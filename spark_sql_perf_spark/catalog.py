@@ -1,0 +1,48 @@
+"""Table catalog over the driver testdata (TESTDATA.md / FIXTURES.md §A).
+
+The reference discovers ``Table`` members by Scala reflection
+(Benchmark.scala:134-149) and registers them as hive/temp tables
+(tpcds/Tables.scala:174-193). We use an explicit registry instead — less
+magic, testable — and plain ``spark.read.parquet`` which preserves
+predicate pushdown + column pruning into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (they
+# grow sublinearly or not at all in TPC-H-style schemas).
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Lazy: just the parquet footer is read."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL entry points)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

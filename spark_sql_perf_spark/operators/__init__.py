@@ -1,0 +1,25 @@
+"""Operator corpus registry (SURVEY.md §2 inventory).
+
+Each submodule registers named queries via the ``@query`` decorator from
+``.registry``. A query is a callable ``(spark, sf_dir) -> DataFrame`` plus,
+when SQL-expressible, a DuckDB oracle string run by the driver against the
+same parquet tables. The aggregate dicts here back
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from . import (  # noqa: F401  (import for registration side effects)
+    aggregations,
+    graph,
+    joins,
+    scalars,
+    setops,
+    sorts,
+    subqueries,
+    tpch,
+    windows,
+)
+from .registry import ORACLES, QUERIES
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,39 @@
+"""Cross-check every registered query against its DuckDB oracle at
+sf0.001 — the same comparison the driver runs at sf0.01 (t2 gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_TINY
+from tests.oracle_check import check_query
+
+
+def _cases():
+    from spark_sql_perf_spark.operators import ORACLES, QUERIES
+
+    return [(name, fn, ORACLES.get(name)) for name, fn in sorted(QUERIES.items())]
+
+
+@pytest.mark.parametrize("name,fn,oracle", _cases(), ids=lambda v: v if isinstance(v, str) else "")
+def test_query_matches_oracle(spark, duck, name, fn, oracle):
+    check_query(spark, duck, name, fn, oracle, SF_DIR_TINY)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["p_brand", "order_year", "revenue", "sum_qty", "n_lines"]
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    from spark_sql_perf_spark.operators import ORACLES, QUERIES
+
+    missing = set(QUERIES) - set(ORACLES)
+    # Non-SQL-expressible ops get rows-only checks; keep the list explicit
+    # so new queries don't silently skip the oracle gate.
+    allowed_rows_only = {"f5_crc32_fingerprint"}
+    assert missing <= allowed_rows_only, f"queries without oracle: {missing}"

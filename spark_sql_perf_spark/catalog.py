@@ -10,6 +10,7 @@ predicate pushdown + column pruning into the scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES: tuple[str, ...] = (
     "region",
@@ -30,9 +31,22 @@ BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table. Lazy: just the parquet footer is read."""
+    """Load one testdata table. Lazy: just the parquet footer is read.
+
+    `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects. We read nanos as long (legacy conf, runtime-settable) and
+    truncate to microseconds — the same truncation DuckDB applies when
+    casting TIMESTAMP_NS to TIMESTAMP, so both engines see identical
+    microsecond values.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

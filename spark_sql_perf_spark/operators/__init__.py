@@ -20,6 +20,13 @@ from . import (  # noqa: F401  (import for registration side effects)
     tpch,
     windows,
 )
+from ..pipeline import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+from ..streaming import windows as event_windows  # noqa: F401
 from .registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,351 @@
+"""Deduplication operators over the `documents` / `embeddings` tables.
+
+Five dedup families, each a `queries()` entry with a DuckDB oracle:
+
+  d1 exact            hash-groupBy on canonicalized text
+  d2 minhash-lsh      shingle -> k minhashes -> banded buckets -> verify
+  d3 simhash          16-bit sign-of-sum signature over token hashes
+  d4 ngram-jaccard    exact jaccard verification on LSH candidates (in d2)
+  d5 embedding cosine near-dup pairs over array<float> vectors
+
+The driver corpus has **no natural duplicates** (verified: texts are unique
+at every sf), so each query PLANTS deterministic duplicates by unioning a
+perturbed copy of every 10th document — both engines construct the same
+corpus, so results stay oracle-exact and non-empty at any scale factor.
+
+Scale design (100 TB): every family is shuffle-bounded by design —
+exact dedup shuffles on a 128-bit hash (not the text); MinHash shuffles
+(doc, shingle-hash) pairs and bands, never the pairwise cross product;
+the only pairwise work happens inside an LSH band bucket. No Python UDFs;
+everything is codegen'd column expressions over md5 (the one hash Spark
+and DuckDB share).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.text import md5_hash32, md5_hash32_sql
+from ..operators.registry import query
+
+_N_HASHES = 6  # minhash signature length; banded 3 x 2
+_BANDS = [(0, 1), (2, 3), (4, 5)]
+_JACCARD_THRESHOLD = 0.6
+
+# ---------------------------------------------------------------------------
+# planted-duplicate corpus, identical in Spark and DuckDB
+# ---------------------------------------------------------------------------
+
+_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, lower(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lower(text) || ' planted near duplicate suffix'
+      FROM documents WHERE doc_id % 10 = 0)
+"""
+
+_EXACT_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, lower(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lower(text)
+      FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str, suffix: str | None) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    planted_text = (
+        F.concat(F.lower(F.col("text")), F.lit(" " + suffix)) if suffix else F.lower(F.col("text"))
+    )
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), planted_text.alias("text")
+    )
+    return base.unionAll(planted)
+
+
+# ---------------------------------------------------------------------------
+# d1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d1_dedup_exact",
+    oracle=f"""
+    WITH {_EXACT_CORPUS_SQL}
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id.
+
+    Shuffles 16-byte hashes, never document bodies — at 100 TB the shuffle
+    volume is |docs| x 16B regardless of text size.
+    """
+    corpus = _corpus(spark, sf_dir, suffix=None)
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# d2: MinHash + LSH banding + exact-jaccard verify (also covers d4)
+# ---------------------------------------------------------------------------
+
+
+def _shingles_df(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct 3-word shingles per document."""
+    ws = F.split("text", r"\s+")
+    shingles = F.expr(
+        "transform(sequence(1, size(ws) - 2),"
+        " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))"
+    )
+    return (
+        corpus.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", F.explode(shingles).alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+    shingled AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM corpus),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM shingled WHERE len(ws) >= 3)
+"""
+
+
+@query(
+    "d2_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id, sh,
+             {', '.join(md5_hash32_sql('sh', f'mh{j}') + f' AS h{j}' for j in range(_N_HASHES))}
+      FROM shingles),
+    sigs AS (
+      SELECT doc_id, {', '.join(f'MIN(h{j}) AS m{j}' for j in range(_N_HASHES))},
+             COUNT(*) AS n_sh
+      FROM hashed GROUP BY doc_id),
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {bi} AS band, md5(CAST(m{a} AS VARCHAR) || ',' || CAST(m{b} AS VARCHAR)) AS bh FROM sigs"
+          for bi, (a, b) in enumerate(_BANDS))}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+    FROM common
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection with exact-jaccard verification.
+
+    shingle -> {_N_HASHES} md5-derived minhashes -> {len(_BANDS)} bands of 2
+    -> band-bucket join for candidates -> exact n-gram jaccard >= {_JACCARD_THRESHOLD}.
+
+    The pairwise join happens ONLY between band-bucket collisions — the
+    cross product never materializes, which is the property that lets
+    MinHash dedup run at 100 TB (candidates ~ near-dups, not |docs|^2).
+    """
+    corpus = _corpus(spark, sf_dir, suffix="planted near duplicate suffix")
+    shingles = _shingles_df(corpus).cache()
+
+    hashed = shingles.select(
+        "doc_id",
+        "sh",
+        *[md5_hash32("sh", f"mh{j}").alias(f"h{j}") for j in range(_N_HASHES)],
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_HASHES)],
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    bands = None
+    for bi, (a, b) in enumerate(_BANDS):
+        band = sigs.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat(
+                    F.col(f"m{a}").cast("string"), F.lit(","), F.col(f"m{b}").cast("string")
+                )
+            ).alias("bh"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    common = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("id_b")) & (F.col("sb.sh") == F.col("sa.sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("na"), F.col("na.doc_id") == F.col("id_a"))
+        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("id_b"))
+        .where(jac >= _JACCARD_THRESHOLD)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# d3: SimHash signatures
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+@query(
+    "d3_dedup_simhash",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+      FROM corpus),
+    hashed AS (
+      SELECT doc_id, {md5_hash32_sql('w', 'sim')} AS h FROM toks),
+    bits AS (
+      SELECT doc_id,
+             {', '.join(f"SUM(CASE WHEN ((h >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS s{k}"
+                        for k in range(_SIMHASH_BITS))}
+      FROM hashed GROUP BY doc_id)
+    SELECT doc_id,
+           {' + '.join(f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)"
+                       for k in range(_SIMHASH_BITS))} AS simhash
+    FROM bits
+    """,
+)
+def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 16-bit sign-of-sum signature over distinct-token hashes.
+
+    Near-dup docs get signatures within small hamming distance; the
+    signature itself is the oracle-checked output (the grouping key a
+    simhash dedup would bucket on).
+    """
+    corpus = _corpus(spark, sf_dir, suffix="planted near duplicate suffix")
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("w")
+    ).distinct()
+    hashed = toks.select("doc_id", md5_hash32("w", "sim").alias("h"))
+    bits = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"((h >> {k}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{k}")
+            for k in range(_SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for k in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# d5: embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d5_dedup_embedding",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+      FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / (SQRT(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+                  * SQRT(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))))
+             AS cos
+      FROM corpus a JOIN corpus b
+        ON b.vec_id = a.vec_id + 1000000)
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+    FROM pairs WHERE cos >= 0.999
+    """,
+)
+def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine >= 0.999 between originals and planted
+    rescaled copies (cosine is scale-invariant, so planted pairs hit 1.0).
+
+    The candidate set is an equi join on the planted-id offset — the
+    pattern stands in for 'candidate pairs from a blocking key', which is
+    how embedding dedup stays sub-quadratic at scale.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 0.5).alias("v"),
+    )
+    corpus = orig.unionAll(planted)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+
+    def _dot(x: str, y: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = _dot("a.v", "b.v") / (F.sqrt(_dot("a.v", "a.v")) * F.sqrt(_dot("b.v", "b.v")))
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1000000)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= 0.999)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis operators over the `documents` table.
+
+Language-ID (stopword-marker heuristic), quality scoring (length / word
+stats), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. All pure column expressions (whole-stage codegen; no
+Python in the hot path) with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.text import md5_hash32, md5_hash32_sql
+from ..operators.registry import query
+
+# language -> marker (stopword) words for the n-gram-free heuristic
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+@query(
+    "t1_text_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           LENGTH(text) AS n_chars,
+           LEN(string_split_regex(text, '\\s+')) AS n_words,
+           LEN(list_distinct(string_split_regex(lower(text), '\\s+'))) AS n_distinct_words,
+           ROUND(LENGTH(regexp_replace(text, '\\s', '', 'g'))
+                 / LEN(string_split_regex(text, '\\s+')), 6) AS avg_word_len
+    FROM documents
+    """,
+)
+def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats: char/word/distinct-word counts, mean word len."""
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", r"\s+"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))).alias(
+            "n_distinct_words"
+        ),
+        F.round(F.length(F.regexp_replace("text", r"\s", "")) / n_words, 6).alias(
+            "avg_word_len"
+        ),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"LEN(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" w -> w IN ({markers}))) AS {lang}_score"
+    )
+
+
+@query(
+    "t2_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('en')}, {_lang_score_sql('es')},
+             {_lang_score_sql('fr')}, {_lang_score_sql('de')}
+      FROM documents)
+    SELECT doc_id, lang, en_score, es_score, fr_score, de_score,
+           CASE WHEN en_score >= es_score AND en_score >= fr_score
+                     AND en_score >= de_score AND en_score > 0 THEN 'en'
+                WHEN es_score >= fr_score AND es_score >= de_score
+                     AND es_score > 0 THEN 'es'
+                WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
+                WHEN de_score > 0 THEN 'de'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """,
+)
+def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker counts with a deterministic
+    argmax (ties broken in a fixed language order)."""
+    docs = table(spark, sf_dir, "documents")
+    cols = [F.col("doc_id"), F.col("lang")]
+    score_cols = {}
+    for lang, markers in _LANG_MARKERS.items():
+        in_list = ", ".join(f"'{w}'" for w in markers)
+        c = F.expr(
+            f"size(filter(split(lower(text), '\\\\s+'), w -> w IN ({in_list})))"
+        ).alias(f"{lang}_score")
+        score_cols[lang] = F.col(f"{lang}_score")
+        cols.append(c)
+    scored = docs.select(*cols)
+    en, es, fr, de = (score_cols[lg] for lg in ("en", "es", "fr", "de"))
+    predicted = (
+        F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
+        .when((es >= fr) & (es >= de) & (es > 0), "es")
+        .when((fr >= de) & (fr > 0), "fr")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return scored.select(
+        "doc_id", "lang", "en_score", "es_score", "fr_score", "de_score",
+        predicted.alias("predicted_lang"),
+    )
+
+
+@query(
+    "t3_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(string_split_regex(text, '\\s+')) AS ws_tokens,
+           LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def t3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letter runs / digit runs / single punctuation)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+_CANON_SQL = r"array_to_string(string_split_regex(lower(text), '\s+'), ' ')"
+
+
+@query(
+    "t4_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_CANON_SQL}) AS canon_md5,
+           {md5_hash32_sql(_CANON_SQL, 'fp')} AS fp32
+    FROM documents
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-canonicalized md5 + 32-bit
+    numeric fingerprint (the dedup join key at scale)."""
+    docs = table(spark, sf_dir, "documents")
+    canon = F.array_join(F.split(F.lower(F.col("text")), r"\s+"), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("canon_md5"),
+        md5_hash32(canon, "fp").alias("fp32"),
+    )

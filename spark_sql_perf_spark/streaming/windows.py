@@ -1,0 +1,202 @@
+"""Event-time window aggregations over `events`.
+
+Batch and streaming share the transformation: Structured Streaming's
+micro-batch model makes `F.window`/`F.session_window` aggregations produce
+identical results on a static table and on a stream once the watermark has
+passed — so the DuckDB oracle (time_bucket / gaps-and-islands SQL) checks
+both semantics.
+
+Scale: windowed aggregation shuffles on (key, window) — bounded state per
+watermark; session windows use Spark's native session_window operator
+(state merges inside the shuffle, no per-row Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.registry import dec, query
+
+
+@query(
+    "e1_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), event_type
+    """,
+)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (F.window == streaming tumbling agg)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "e2_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS b, value FROM events),
+    contrib AS (
+      SELECT b AS window_start, value FROM buckets
+      UNION ALL
+      SELECT b - INTERVAL '1 hour' AS window_start, value FROM buckets)
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM contrib
+    GROUP BY window_start
+    """,
+)
+def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h-window / 1h-slide: each event lands in 2 windows.
+
+    The oracle mirrors Spark's window assignment (window_start in
+    {bucket(ts), bucket(ts) - slide}).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "e3_session_window",
+    oracle="""
+    WITH micro AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '1 hour'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM micro),
+    grouped AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM grouped
+    GROUP BY user_id, session_id
+    """,
+)
+def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 1h gap (F.session_window == the stateful streaming
+    operator; oracle = gaps-and-islands SQL). Session identity is the set
+    of events, surfaced as (user_id, session_start)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+
+
+@query(
+    "e4_event_type_pivot",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+    FROM events
+    GROUP BY user_id % 100
+    """,
+)
+def e4_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional pivot over event types per user bucket (sessionization
+    feature-building shape)."""
+    ev = table(spark, sf_dir, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+
+    return ev.groupBy((F.col("user_id") % 100).alias("user_bucket")).agg(
+        cnt("click"),
+        cnt("view"),
+        cnt("purchase"),
+        F.sum(F.when(F.col("event_type") == "purchase", dec("value")))
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFrame:
+    """`events` as a true stream: a file source watching ``stream_dir``
+    (Spark's file stream source requires a directory — the production shape,
+    where upstream lands one parquet file per micro-batch).
+
+    Use with ``run_stream_once`` in tests: Trigger.AvailableNow drains the
+    source and stops — batch-equivalent semantics, real streaming engine.
+
+    Mirrors catalog.table's nanos handling: the stream schema declares ts
+    as long (raw nanos) and converts to a microsecond timestamp.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFrame:
+    """e1 as a genuine streaming query with a watermark (late-data bound)."""
+    ev = stream_events(spark, sf_dir, stream_dir).withWatermark("ts", "2 hours")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_once(df: DataFrame, table_name: str) -> None:
+    """Drain a streaming DataFrame into an in-memory sink (AvailableNow)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology (mirrors the reference harness's timing discipline,
+Benchmark.scala:112 / performance.dashboard.scala:26-28): one untimed
+warmup of the flagship to absorb JVM JIT + code-gen compilation, then each
+headline query executed once, consumed with the noop sink (full execution,
+no driver-side result transfer — the analog of ExecutionMode.ForeachResults).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_sql_perf_spark.operators import QUERIES  # noqa: E402
+from spark_sql_perf_spark.session import build_session  # noqa: E402
+
+# Representative spread: scan-agg, star joins, fact-fact join, rollup,
+# windows, graph multi-join, dedup, ANN, sessionization.
+HEADLINE = [
+    "flagship_star_agg",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "j2_compound_key",
+    "j4_chain_join",
+    "a8_rollup_grouping",
+    "w2_running_total",
+    "g3_triangle_count",
+    "d2_dedup_minhash_lsh",
+    "sim1_cosine_topk",
+    "e3_session_window",
+]
+
+
+def consume(df) -> None:
+    """Execute fully without collecting (noop datasource sink)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = build_session(app_name="spark-sql-perf-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    consume(QUERIES["flagship_star_agg"](spark, sf_dir))  # warmup (JIT/codegen)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        consume(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

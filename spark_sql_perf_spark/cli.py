@@ -1,0 +1,96 @@
+"""CLI mirroring the reference's scopt flags (RunBenchmark.scala:29-85):
+
+  -b/--benchmark   query-set name: any registered operator-corpus prefix
+                   ('tpch', 'joins', 'all', ...) or comma list of query names
+  -f/--filter      substring filter over query names
+  -i/--iterations  iterations (default 3)
+  -p/--shuffle-partitions
+  -s/--sf-dir      testdata scale-factor directory
+  -l/--location    results output location
+  -t/--timeout     per-query timeout seconds
+  --mode           collect | foreach | count | hash
+  --variations     comma list of conf variations key=v1|v2,key2=...
+
+Example:
+  python -m spark_sql_perf_spark.cli -b tpch -i 3 \
+      --variations spark.sql.adaptive.enabled=true|false
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .modes import COLLECT, COUNT, FOREACH, HASH
+from .operators import QUERIES
+from .query import Query, Variation
+from .runner import ExperimentRunner
+from .session import build_session
+
+_MODES = {"collect": COLLECT, "foreach": FOREACH, "count": COUNT, "hash": HASH}
+
+
+def select_queries(benchmark: str, name_filter: str | None, sf_dir: str, mode) -> list[Query]:
+    if benchmark == "all":
+        names = sorted(QUERIES)
+    elif "," in benchmark:
+        names = [n.strip() for n in benchmark.split(",")]
+    else:
+        names = sorted(n for n in QUERIES if n.startswith(benchmark))
+    if name_filter:
+        names = [n for n in names if name_filter in n]
+    missing = [n for n in names if n not in QUERIES]
+    if missing:
+        raise SystemExit(f"unknown queries: {missing}")
+    return [
+        Query(name=n, build=(lambda s, _n=n: QUERIES[_n](s, sf_dir)), mode=mode)
+        for n in names
+    ]
+
+
+def parse_variations(spec: str | None) -> list[Variation]:
+    if not spec:
+        return []
+    out = []
+    for part in spec.split(","):
+        key, _, opts = part.partition("=")
+        out.append(Variation.conf(key.strip(), opts.split("|")))
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-b", "--benchmark", default="all")
+    ap.add_argument("-f", "--filter", default=None)
+    ap.add_argument("-i", "--iterations", type=int, default=3)
+    ap.add_argument("-p", "--shuffle-partitions", default=None)
+    ap.add_argument("-s", "--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("-l", "--location", default="results")
+    ap.add_argument("-t", "--timeout", type=float, default=600.0)
+    ap.add_argument("--mode", choices=sorted(_MODES), default="foreach")
+    ap.add_argument("--variations", default=None)
+    args = ap.parse_args(argv)
+
+    extra = {}
+    if args.shuffle_partitions:
+        extra["spark.sql.shuffle.partitions"] = args.shuffle_partitions
+    spark = build_session("spark-sql-perf-spark-cli", extra_conf=extra)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = select_queries(args.benchmark, args.filter, args.sf_dir, _MODES[args.mode])
+    runner = ExperimentRunner(spark, results_location=args.location, timeout_s=args.timeout)
+    runs = runner.run_experiment(queries, iterations=args.iterations,
+                                 variations=parse_variations(args.variations))
+
+    from .analyze import load_results, summarize
+
+    summary = summarize(load_results(spark, args.location))
+    for row in summary.collect():
+        print(json.dumps(row.asDict()), file=sys.stderr)
+    print(f"{len(runs)} experiment runs -> {args.location}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

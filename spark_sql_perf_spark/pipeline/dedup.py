@@ -34,6 +34,14 @@ _N_HASHES = 6  # minhash signature length; banded 3 x 2
 _BANDS = [(0, 1), (2, 3), (4, 5)]
 _JACCARD_THRESHOLD = 0.6
 
+# Linear-permutation minhash family: h_j = (A_j * h + B_j) mod P over the
+# base md5 hash. One md5 per shingle instead of _N_HASHES — the classic
+# construction, and it keeps every derived hash integer-exact in both
+# engines (P = 2^31 - 1; A_j * h < 2^62 fits BIGINT).
+_P = 2_147_483_647
+_PERM = [(1, 0), (1_103_515_245, 12_345), (214_013, 2_531_011),
+         (22_695_477, 1), (134_775_813, 1_013_904_223), (1_664_525, 1_013_904_223)]
+
 # ---------------------------------------------------------------------------
 # planted-duplicate corpus, identical in Spark and DuckDB
 # ---------------------------------------------------------------------------
@@ -104,7 +112,8 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_df(corpus: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct 3-word shingles per document."""
+    """(doc_id, sh): 3-word shingles per document (dedup happens later on
+    the 8-byte shingle hash, so no string-keyed distinct here)."""
     ws = F.split("text", r"\s+")
     shingles = F.expr(
         "transform(sequence(1, size(ws) - 2),"
@@ -114,7 +123,6 @@ def _shingles_df(corpus: DataFrame) -> DataFrame:
         corpus.select("doc_id", ws.alias("ws"))
         .where(F.size("ws") >= 3)
         .select("doc_id", F.explode(shingles).alias("sh"))
-        .distinct()
     )
 
 
@@ -135,13 +143,16 @@ _SHINGLES_SQL = """
     WITH {_CORPUS_SQL},
     {_SHINGLES_SQL},
     hashed AS (
-      SELECT doc_id, sh,
-             {', '.join(md5_hash32_sql('sh', f'mh{j}') + f' AS h{j}' for j in range(_N_HASHES))}
+      SELECT DISTINCT doc_id, {md5_hash32_sql('sh', 'mh')} % {_P} AS h
       FROM shingles),
+    perms AS (
+      SELECT doc_id,
+             {', '.join(f'(({a} * h + {b}) % {_P}) AS h{j}' for j, (a, b) in enumerate(_PERM))}
+      FROM hashed),
     sigs AS (
       SELECT doc_id, {', '.join(f'MIN(h{j}) AS m{j}' for j in range(_N_HASHES))},
              COUNT(*) AS n_sh
-      FROM hashed GROUP BY doc_id),
+      FROM perms GROUP BY doc_id),
     bands AS (
       {' UNION ALL '.join(
           f"SELECT doc_id, {bi} AS band, md5(CAST(m{a} AS VARCHAR) || ',' || CAST(m{b} AS VARCHAR)) AS bh FROM sigs"
@@ -153,10 +164,10 @@ _SHINGLES_SQL = """
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_common
       FROM cand c
-        JOIN shingles sa ON sa.doc_id = c.id_a
-        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        JOIN hashed sa ON sa.doc_id = c.id_a
+        JOIN hashed sb ON sb.doc_id = c.id_b AND sb.h = sa.h
       GROUP BY c.id_a, c.id_b),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id)
     SELECT id_a, id_b,
            ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
     FROM common
@@ -176,29 +187,49 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash dedup run at 100 TB (candidates ~ near-dups, not |docs|^2).
     """
     corpus = _corpus(spark, sf_dir, suffix="planted near duplicate suffix")
-    shingles = _shingles_df(corpus).cache()
-
-    hashed = shingles.select(
-        "doc_id",
-        "sh",
-        *[md5_hash32("sh", f"mh{j}").alias(f"h{j}") for j in range(_N_HASHES)],
+    # Hash shingles to ints BEFORE the distinct: the dedup shuffle and every
+    # downstream join moves 8-byte longs, never shingle strings. One md5 per
+    # shingle; the other 5 minhash functions are linear permutations of it.
+    hashed = (
+        _shingles_df(corpus)
+        .select("doc_id", (md5_hash32("sh", "mh") % _P).alias("h"))
+        .distinct()
+        .cache()
     )
-    sigs = hashed.groupBy("doc_id").agg(
+    perms = hashed.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"h{j}")
+            for j, (a, b) in enumerate(_PERM)
+        ],
+    )
+    sigs = perms.groupBy("doc_id").agg(
         *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_HASHES)],
         F.count(F.lit(1)).alias("n_sh"),
     )
-    bands = None
-    for bi, (a, b) in enumerate(_BANDS):
-        band = sigs.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat(
-                    F.col(f"m{a}").cast("string"), F.lit(","), F.col(f"m{b}").cast("string")
-                )
-            ).alias("bh"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    # one row per (doc, band) via explode — a union would recompute the
+    # signature aggregation once per band; cached because the LSH bucket
+    # join below is a self-join (two scans of the same tiny relation).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat(
+                        F.col(f"m{a}").cast("string"),
+                        F.lit(","),
+                        F.col(f"m{b}").cast("string"),
+                    )
+                ).alias("bh"),
+            )
+            for bi, (a, b) in enumerate(_BANDS)
+        ]
+    )
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("s"))
+        .select("doc_id", F.col("s.band").alias("band"), F.col("s.bh").alias("bh"))
+        .cache()
+    )
 
     left = bands.alias("a")
     right = bands.alias("b")
@@ -213,15 +244,15 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sa = shingles.alias("sa")
-    sb = shingles.alias("sb")
+    sa = hashed.alias("sa")
+    sb = hashed.alias("sb")
     common = (
         cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
-        .join(sb, (F.col("sb.doc_id") == F.col("id_b")) & (F.col("sb.sh") == F.col("sa.sh")))
+        .join(sb, (F.col("sb.doc_id") == F.col("id_b")) & (F.col("sb.h") == F.col("sa.h")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     jac = F.col("n_common").cast("double") / (
         F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
     )

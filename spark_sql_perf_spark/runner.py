@@ -1,0 +1,173 @@
+"""Experiment runner: iterations x cartesian(variations) x queries, with
+per-phase Catalyst timing, join-type scrape, timeout, and a JSON results
+store — the reference's Benchmark.scala:299-458 / Benchmarkable.scala:38-107
+/ Query.scala:70-142 re-expressed for PySpark.
+
+Phase timing reaches the JVM QueryExecution through py4j and forces the
+same four lazy plans the reference times (logical -> analyzed -> optimized
+-> executed). py4j round-trips happen *between* phases, not inside them,
+so the measured spans are JVM work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import traceback
+from collections.abc import Iterable, Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .query import BenchmarkResult, ExperimentRun, Query, Variation, cartesian
+
+
+def _time_ms(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def phase_times(df: DataFrame) -> dict[str, float]:
+    """Force Catalyst's four plans in order, timing each (Query.scala:73-84).
+
+    PySpark builds the analyzed plan eagerly at DataFrame construction, so
+    parsing/analysis are usually ~0 here; they are still forced for parity
+    and for the SQL entry path where they do run lazily.
+    """
+    qe = df._jdf.queryExecution()
+    return {
+        "parsing_time_ms": _time_ms(qe.logical),
+        "analysis_time_ms": _time_ms(qe.analyzed),
+        "optimization_time_ms": _time_ms(qe.optimizedPlan),
+        "planning_time_ms": _time_ms(qe.executedPlan),
+    }
+
+
+def join_types(df: DataFrame) -> list[str]:
+    """Scrape join operator names from the executed plan (Query.scala:140-142)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seen: list[str] = []
+    for line in plan.splitlines():
+        node = line.lstrip("+-*: (0123456789)")
+        name = node.split(" ", 1)[0]
+        if "Join" in name and name not in seen:
+            seen.append(name)
+    return seen
+
+
+class BenchmarkTimeout(Exception):
+    pass
+
+
+def _run_with_timeout(spark: SparkSession, group: str, fn, timeout_s: float | None):
+    """Run fn in a daemon thread; cancel the Spark job group on timeout
+    (Benchmarkable.scala:67-107 semantics via setJobGroup/cancelJobGroup)."""
+    if timeout_s is None:
+        return fn()
+    box: dict[str, Any] = {}
+
+    def target():
+        spark.sparkContext.setJobGroup(group, f"benchmark {group}", True)
+        try:
+            box["value"] = fn()
+        except BaseException as e:  # noqa: BLE001 — captured for the result record
+            box["error"] = e
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        raise BenchmarkTimeout(f"{group} exceeded {timeout_s}s")
+    if "error" in box:
+        raise box["error"]
+    return box.get("value")
+
+
+class ExperimentRunner:
+    """Run a set of queries under iterations x variation combinations.
+
+    Results land as JSON lines under `results_location/timestamp=<ms>/`
+    (Benchmark.scala:446-452 layout) and are loadable with spark.read.json.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        results_location: str = "results",
+        timeout_s: float | None = 600.0,
+        tags: dict[str, str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.results_location = results_location
+        self.timeout_s = timeout_s
+        self.tags = tags or {}
+
+    # -- single query ------------------------------------------------------
+    def run_query(self, q: Query, parameters: dict[str, Any] | None = None) -> BenchmarkResult:
+        res = BenchmarkResult(name=q.name, mode=q.mode.name, parameters=parameters or {})
+        try:
+            df = q.build(self.spark)
+            res.__dict__.update(phase_times(df))
+            res.join_types = join_types(df)
+            t0 = time.perf_counter()
+            value = _run_with_timeout(
+                self.spark, q.name, lambda: q.mode.consume(df, q.name), self.timeout_s
+            )
+            res.execution_time_ms = (time.perf_counter() - t0) * 1000.0
+            res.result = value
+        except Exception:
+            res.failure = traceback.format_exc(limit=10)
+        return res
+
+    # -- full experiment ---------------------------------------------------
+    def run_experiment(
+        self,
+        queries: Sequence[Query],
+        iterations: int = 3,
+        variations: Iterable[Variation] = (),
+    ) -> list[ExperimentRun]:
+        runs: list[ExperimentRun] = []
+        combos = cartesian(variations)
+        ts = int(time.time() * 1000)
+        for iteration in range(1, iterations + 1):
+            for combo in combos:
+                params: dict[str, Any] = {}
+                for variation, option in combo:
+                    variation.setup(self.spark, option)
+                    params[variation.name] = option
+                results = [self.run_query(q, dict(params)) for q in queries]
+                runs.append(
+                    ExperimentRun(
+                        timestamp=ts,
+                        iteration=iteration,
+                        tags=dict(self.tags),
+                        configuration=self._configuration(),
+                        results=results,
+                    )
+                )
+            # post-iteration cleanup (Benchmarkable.scala:58-65 analog)
+            self.spark.catalog.clearCache()
+        self._write(runs, ts)
+        return runs
+
+    def _configuration(self) -> dict[str, Any]:
+        sc = self.spark.sparkContext
+        return {
+            "sparkVersion": self.spark.version,
+            "defaultParallelism": sc.defaultParallelism,
+            "shufflePartitions": self.spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": self.spark.conf.get("spark.sql.adaptive.enabled", "true"),
+        }
+
+    def _write(self, runs: list[ExperimentRun], ts: int) -> str:
+        out_dir = os.path.join(self.results_location, f"timestamp={ts}")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "results.json")
+        with open(path, "w") as f:
+            for run in runs:
+                f.write(json.dumps(run.to_dict()) + "\n")
+        return path

@@ -41,6 +41,8 @@ DEFAULT_CONF: dict[str, str] = {
     # Catalyst can misread; keep planner strict but AQE adaptive.
     "spark.sql.cbo.enabled": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # keep stdout/stderr clean for harness consumers (bench JSON line)
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

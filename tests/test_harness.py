@@ -1,0 +1,119 @@
+"""Harness tests: execution modes, variations cartesian product, phase
+timing, timeout machinery, results store + analysis."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR_TINY
+
+
+def _q(name="flagship_star_agg", mode=None):
+    from spark_sql_perf_spark.modes import FOREACH
+    from spark_sql_perf_spark.operators import QUERIES
+    from spark_sql_perf_spark.query import Query
+
+    return Query(
+        name=name,
+        build=lambda s: QUERIES[name](s, SF_DIR_TINY),
+        mode=mode or FOREACH,
+    )
+
+
+def test_execution_modes(spark, tmp_path):
+    from spark_sql_perf_spark import modes
+    from spark_sql_perf_spark.operators import QUERIES
+
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR_TINY)
+    assert modes.COLLECT.consume(df, "q") is None
+    assert modes.FOREACH.consume(df, "q") is None
+    assert modes.COUNT.consume(df, "q") == 6
+    h1 = modes.HASH.consume(df, "q")
+    h2 = modes.HASH.consume(df, "q")
+    assert h1 == h2 and h1 is not None  # run-to-run stable fingerprint
+    wp = modes.write_parquet(str(tmp_path))
+    wp.consume(df, "q1")
+    assert spark.read.parquet(str(tmp_path / "q1.parquet")).count() == 6
+
+
+def test_variation_cartesian():
+    from spark_sql_perf_spark.query import Variation, cartesian
+
+    v1 = Variation.conf("spark.sql.adaptive.enabled", ["true", "false"])
+    v2 = Variation.conf("spark.sql.shuffle.partitions", [4, 8])
+    combos = cartesian([v1, v2])
+    assert len(combos) == 4
+    assert cartesian([]) == [[]]
+
+
+def test_runner_end_to_end(spark, tmp_path):
+    from spark_sql_perf_spark.analyze import load_results, summarize
+    from spark_sql_perf_spark.query import Variation
+    from spark_sql_perf_spark.runner import ExperimentRunner
+
+    runner = ExperimentRunner(
+        spark, results_location=str(tmp_path / "results"), timeout_s=120
+    )
+    runs = runner.run_experiment(
+        [_q("flagship_star_agg"), _q("j4_chain_join")],
+        iterations=2,
+        variations=[Variation.conf("spark.sql.adaptive.enabled", ["true", "false"])],
+    )
+    assert len(runs) == 4  # 2 iterations x 2 variation options
+    for run in runs:
+        for res in run.results:
+            assert res.failure is None, res.failure
+            assert res.execution_time_ms > 0
+            assert res.planning_time_ms is not None
+    # flagship has a broadcast join in the plan
+    assert any("Join" in j for j in runs[0].results[0].join_types)
+
+    # results store is JSON-lines loadable and summarizable
+    ts_dirs = os.listdir(tmp_path / "results")
+    assert len(ts_dirs) == 1 and ts_dirs[0].startswith("timestamp=")
+    line = open(tmp_path / "results" / ts_dirs[0] / "results.json").readline()
+    assert json.loads(line)["iteration"] == 1
+
+    summary = summarize(load_results(spark, str(tmp_path / "results")))
+    rows = {r["name"]: r for r in summary.collect()}
+    assert rows["flagship_star_agg"]["runs"] == 4
+    assert rows["j4_chain_join"]["avg_ms"] > 0
+
+
+def test_runner_records_failure(spark, tmp_path):
+    from spark_sql_perf_spark.query import Query
+    from spark_sql_perf_spark.runner import ExperimentRunner
+
+    bad = Query(name="bad", build=lambda s: s.sql("SELECT * FROM missing_table"))
+    res = ExperimentRunner(spark, results_location=str(tmp_path)).run_query(bad)
+    assert res.failure is not None and "missing_table" in res.failure
+
+
+def test_timeout_cancels(spark):
+    from spark_sql_perf_spark.runner import BenchmarkTimeout, _run_with_timeout
+
+    def slow():
+        # a genuinely slow distributed job (10^12-row cross join)
+        spark.range(1 << 20).crossJoin(spark.range(1 << 20)).count()
+
+    with pytest.raises(BenchmarkTimeout):
+        _run_with_timeout(spark, "slow-test", slow, timeout_s=2.0)
+
+
+def test_sql_query_path(spark):
+    from spark_sql_perf_spark.catalog import register_views
+    from spark_sql_perf_spark.modes import COUNT
+    from spark_sql_perf_spark.query import Query
+    from spark_sql_perf_spark.runner import ExperimentRunner
+
+    register_views(spark, SF_DIR_TINY)
+    q = Query.from_sql(
+        "sql_smoke",
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+        mode=COUNT,
+    )
+    res = ExperimentRunner(spark, results_location="/tmp/unused").run_query(q)
+    assert res.failure is None and res.result == 3

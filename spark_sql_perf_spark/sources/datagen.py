@@ -1,0 +1,423 @@
+"""Deterministic pure-Spark data generators.
+
+The reference pipes an external `dsdgen` binary per partition and parses
+'|'-separated text (tpcds/Tables.scala:45-104, fixed RNGSEED 100). We
+replace that with `spark.range(n)` + column expressions. Crucially the
+randomness is **hash-derived, not F.rand**: `F.rand(seed)` depends on the
+partition layout (same seed, different parallelism -> different rows),
+while `xxhash64(id, seed)` is a pure function of the row id — the dataset
+is bit-identical on 1 core or 1000 executors. That is the property dsdgen's
+RNGSEED provided, and it's what makes 100 TB regeneration reproducible.
+
+Surface:
+  uniform/uniform_int/choice/padded   expression helpers
+  gen_table(spark, schema, n, seed)   generic schema-driven generator
+  TPCDS_SCHEMAS                       all 24 TPC-DS table schemas
+                                      (structure parity with
+                                      tpcds/Tables.scala:261-735)
+  gen_tpcds(spark, name, scale)       generated TPC-DS table
+  gen_edges(...)                      uniform / power-law skewed edge lists
+                                      (graph corpus + TrafficEstimation skew)
+  micro tables                        JoinPerformance / AggregationPerformance
+  vary_data_size / vary_num_matches   payload padding + n-fold union
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MASK = (1 << 63) - 1  # keep hash values non-negative
+
+
+def _h(seed: str, *cols: Column) -> Column:
+    """Non-negative 63-bit hash, pure function of (seed, cols)."""
+    return F.abs(F.xxhash64(F.lit(seed), *cols))
+
+
+def uniform(id_col: Column, seed: str, lo: float = 0.0, hi: float = 1.0) -> Column:
+    """Uniform double in [lo, hi), deterministic per id."""
+    u = (_h(seed, id_col) % F.lit(1 << 40)).cast("double") / F.lit(float(1 << 40))
+    return u * (hi - lo) + lo
+
+
+def uniform_int(id_col: Column, seed: str, lo: int, hi: int) -> Column:
+    """Uniform int in [lo, hi], deterministic per id."""
+    return (_h(seed, id_col) % F.lit(hi - lo + 1) + F.lit(lo)).cast("long")
+
+
+def choice(id_col: Column, seed: str, values: list[str]) -> Column:
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.element_at(arr, (uniform_int(id_col, seed, 0, len(values) - 1) + 1).cast("int"))
+
+
+def money(id_col: Column, seed: str, lo: float, hi: float) -> Column:
+    """2-decimal money value (matches TPC-DS decimal(7,2) semantics)."""
+    return F.round(uniform(id_col, seed, lo, hi), 2)
+
+
+def gen_table(
+    spark: SparkSession,
+    n: int,
+    columns: dict[str, object],
+    seed: str = "100",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Generate n rows; `columns` maps name -> (fn(id_col) -> Column) or a
+    literal spec tuple understood by _spec_column."""
+    df = spark.range(0, n, numPartitions=partitions)
+    idc = F.col("id")
+    cols = []
+    for name, spec in columns.items():
+        col = spec(idc) if callable(spec) else _spec_column(idc, f"{seed}:{name}", spec)
+        cols.append(col.alias(name))
+    return df.select(*cols)
+
+
+def _spec_column(idc: Column, seed: str, spec: object) -> Column:
+    """Spec tuples: ('key',), ('int', lo, hi), ('double', lo, hi),
+    ('money', lo, hi), ('choice', [values]), ('string', prefix),
+    ('date', start_year, n_years)."""
+    kind = spec[0]  # type: ignore[index]
+    if kind == "key":
+        return idc + 1
+    if kind == "int":
+        return uniform_int(idc, seed, spec[1], spec[2])  # type: ignore[misc]
+    if kind == "double":
+        return uniform(idc, seed, spec[1], spec[2])  # type: ignore[misc]
+    if kind == "money":
+        return money(idc, seed, spec[1], spec[2])  # type: ignore[misc]
+    if kind == "choice":
+        return choice(idc, seed, spec[1])  # type: ignore[misc]
+    if kind == "string":
+        return F.concat(F.lit(spec[1]), (idc + 1).cast("string"))  # type: ignore[misc]
+    if kind == "date":
+        start, years = spec[1], spec[2]  # type: ignore[misc]
+        days = uniform_int(idc, seed, 0, years * 365 - 1)
+        return F.date_add(F.lit(f"{start}-01-01").cast("date"), days.cast("int"))
+    raise ValueError(f"unknown column spec {spec!r}")
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS schema catalog (structure parity: tpcds/Tables.scala:261-735).
+# decimal money columns are doubles here, matching the reference's own
+# useDoubleForDecimal() escape hatch (tpcds/Tables.scala:106-116).
+# ---------------------------------------------------------------------------
+
+TPCDS_FACTS: dict[str, tuple[str, int]] = {
+    # table -> (hive partition column, base rows at scale=1)
+    "store_sales": ("ss_sold_date_sk", 2_880_000),
+    "store_returns": ("sr_returned_date_sk", 288_000),
+    "catalog_sales": ("cs_sold_date_sk", 1_440_000),
+    "catalog_returns": ("cr_returned_date_sk", 144_000),
+    "web_sales": ("ws_sold_date_sk", 720_000),
+    "web_returns": ("wr_returned_date_sk", 72_000),
+    "inventory": ("inv_date_sk", 11_745_000),
+}
+
+_DATE_SK = ("int", 2_450_815, 2_452_642)  # dsdgen's julian date_sk range
+
+
+def _sales_columns(p: str) -> dict[str, object]:
+    return {
+        f"{p}_sold_date_sk": _DATE_SK,
+        f"{p}_sold_time_sk": ("int", 0, 86_399),
+        f"{p}_item_sk": ("int", 1, 18_000),
+        f"{p}_customer_sk": ("int", 1, 100_000),
+        f"{p}_store_sk": ("int", 1, 12),
+        f"{p}_promo_sk": ("int", 1, 300),
+        f"{p}_ticket_number": ("key",),
+        f"{p}_quantity": ("int", 1, 100),
+        f"{p}_wholesale_cost": ("money", 1.0, 100.0),
+        f"{p}_list_price": ("money", 1.0, 200.0),
+        f"{p}_sales_price": ("money", 1.0, 200.0),
+        f"{p}_ext_sales_price": ("money", 1.0, 20_000.0),
+        f"{p}_ext_wholesale_cost": ("money", 1.0, 10_000.0),
+        f"{p}_ext_list_price": ("money", 1.0, 40_000.0),
+        f"{p}_ext_tax": ("money", 0.0, 1_800.0),
+        f"{p}_coupon_amt": ("money", 0.0, 1_000.0),
+        f"{p}_net_paid": ("money", 1.0, 20_000.0),
+        f"{p}_net_profit": ("money", -10_000.0, 10_000.0),
+    }
+
+
+TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
+    "store_sales": _sales_columns("ss"),
+    "web_sales": _sales_columns("ws"),
+    "catalog_sales": _sales_columns("cs"),
+    "store_returns": {
+        "sr_returned_date_sk": _DATE_SK,
+        "sr_item_sk": ("int", 1, 18_000),
+        "sr_customer_sk": ("int", 1, 100_000),
+        "sr_ticket_number": ("key",),
+        "sr_return_quantity": ("int", 1, 100),
+        "sr_return_amt": ("money", 0.0, 20_000.0),
+        "sr_net_loss": ("money", 0.0, 10_000.0),
+    },
+    "catalog_returns": {
+        "cr_returned_date_sk": _DATE_SK,
+        "cr_item_sk": ("int", 1, 18_000),
+        "cr_refunded_customer_sk": ("int", 1, 100_000),
+        "cr_order_number": ("key",),
+        "cr_return_quantity": ("int", 1, 100),
+        "cr_return_amount": ("money", 0.0, 20_000.0),
+        "cr_net_loss": ("money", 0.0, 10_000.0),
+    },
+    "web_returns": {
+        "wr_returned_date_sk": _DATE_SK,
+        "wr_item_sk": ("int", 1, 18_000),
+        "wr_refunded_customer_sk": ("int", 1, 100_000),
+        "wr_order_number": ("key",),
+        "wr_return_quantity": ("int", 1, 100),
+        "wr_return_amt": ("money", 0.0, 20_000.0),
+        "wr_net_loss": ("money", 0.0, 10_000.0),
+    },
+    "inventory": {
+        "inv_date_sk": _DATE_SK,
+        "inv_item_sk": ("int", 1, 18_000),
+        "inv_warehouse_sk": ("int", 1, 5),
+        "inv_quantity_on_hand": ("int", 0, 1_000),
+    },
+    "date_dim": {
+        "d_date_sk": ("key",),
+        "d_date": ("date", 1998, 7),
+        "d_year": ("int", 1998, 2004),
+        "d_moy": ("int", 1, 12),
+        "d_dom": ("int", 1, 28),
+        "d_day_name": ("choice", ["Sunday", "Monday", "Tuesday", "Wednesday",
+                                   "Thursday", "Friday", "Saturday"]),
+        "d_quarter_name": ("choice", ["1998Q1", "1998Q2", "1998Q3", "1998Q4"]),
+    },
+    "item": {
+        "i_item_sk": ("key",),
+        "i_item_id": ("string", "ITEM_"),
+        "i_rec_start_date": ("date", 1997, 4),
+        "i_category": ("choice", ["Books", "Electronics", "Home", "Jewelry",
+                                   "Men", "Music", "Shoes", "Sports", "Women", "Children"]),
+        "i_class": ("choice", [f"class{i}" for i in range(16)]),
+        "i_brand": ("choice", [f"Brand#{i}" for i in range(1, 26)]),
+        "i_current_price": ("money", 0.09, 99.99),
+        "i_wholesale_cost": ("money", 0.05, 80.0),
+        "i_manufact_id": ("int", 1, 1_000),
+    },
+    "customer": {
+        "c_customer_sk": ("key",),
+        "c_customer_id": ("string", "CUST_"),
+        "c_current_cdemo_sk": ("int", 1, 1_920_800),
+        "c_current_hdemo_sk": ("int", 1, 7_200),
+        "c_current_addr_sk": ("int", 1, 50_000),
+        "c_first_name": ("string", "First"),
+        "c_last_name": ("string", "Last"),
+        "c_birth_year": ("int", 1924, 1992),
+        "c_email_address": ("string", "cust@example"),
+    },
+    "customer_address": {
+        "ca_address_sk": ("key",),
+        "ca_state": ("choice", ["CA", "NY", "TX", "WA", "IL", "GA", "OH", "MI"]),
+        "ca_zip": ("int", 10_000, 99_999),
+        "ca_gmt_offset": ("choice", ["-5", "-6", "-7", "-8"]),
+    },
+    "customer_demographics": {
+        "cd_demo_sk": ("key",),
+        "cd_gender": ("choice", ["M", "F"]),
+        "cd_marital_status": ("choice", ["S", "M", "D", "W", "U"]),
+        "cd_education_status": ("choice", ["Primary", "Secondary", "College",
+                                            "2 yr Degree", "4 yr Degree",
+                                            "Advanced Degree", "Unknown"]),
+        "cd_purchase_estimate": ("int", 500, 10_000),
+    },
+    "household_demographics": {
+        "hd_demo_sk": ("key",),
+        "hd_income_band_sk": ("int", 1, 20),
+        "hd_buy_potential": ("choice", ["0-500", "501-1000", "1001-5000",
+                                         "5001-10000", ">10000", "Unknown"]),
+        "hd_dep_count": ("int", 0, 9),
+        "hd_vehicle_count": ("int", 0, 4),
+    },
+    "income_band": {
+        "ib_income_band_sk": ("key",),
+        "ib_lower_bound": ("int", 0, 190_000),
+        "ib_upper_bound": ("int", 10_000, 200_000),
+    },
+    "promotion": {
+        "p_promo_sk": ("key",),
+        "p_promo_id": ("string", "PROMO_"),
+        "p_cost": ("money", 100.0, 1_000.0),
+        "p_channel_email": ("choice", ["Y", "N"]),
+        "p_channel_tv": ("choice", ["Y", "N"]),
+    },
+    "reason": {
+        "r_reason_sk": ("key",),
+        "r_reason_id": ("string", "REASON_"),
+        "r_reason_desc": ("choice", ["Did not like", "Wrong size", "Gift",
+                                      "Damaged", "Other"]),
+    },
+    "ship_mode": {
+        "sm_ship_mode_sk": ("key",),
+        "sm_type": ("choice", ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "LIBRARY"]),
+        "sm_carrier": ("choice", ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL"]),
+    },
+    "store": {
+        "s_store_sk": ("key",),
+        "s_store_id": ("string", "STORE_"),
+        "s_store_name": ("string", "Store "),
+        "s_number_employees": ("int", 200, 300),
+        "s_floor_space": ("int", 5_000_000, 10_000_000),
+        "s_state": ("choice", ["CA", "NY", "TX", "WA", "IL", "GA"]),
+        "s_gmt_offset": ("choice", ["-5", "-6", "-7", "-8"]),
+    },
+    "time_dim": {
+        "t_time_sk": ("key",),
+        "t_hour": ("int", 0, 23),
+        "t_minute": ("int", 0, 59),
+        "t_second": ("int", 0, 59),
+        "t_am_pm": ("choice", ["AM", "PM"]),
+    },
+    "warehouse": {
+        "w_warehouse_sk": ("key",),
+        "w_warehouse_name": ("string", "Warehouse "),
+        "w_warehouse_sq_ft": ("int", 50_000, 1_000_000),
+        "w_state": ("choice", ["CA", "NY", "TX", "WA"]),
+    },
+    "web_page": {
+        "wp_web_page_sk": ("key",),
+        "wp_web_page_id": ("string", "PAGE_"),
+        "wp_creation_date_sk": _DATE_SK,
+        "wp_char_count": ("int", 100, 8_000),
+    },
+    "web_site": {
+        "web_site_sk": ("key",),
+        "web_site_id": ("string", "SITE_"),
+        "web_name": ("string", "site"),
+        "web_open_date_sk": _DATE_SK,
+    },
+    "call_center": {
+        "cc_call_center_sk": ("key",),
+        "cc_call_center_id": ("string", "CC_"),
+        "cc_rec_start_date": ("date", 1998, 4),
+        "cc_employees": ("int", 100, 700),
+        "cc_sq_ft": ("int", 10_000, 700_000),
+    },
+    "catalog_page": {
+        "cp_catalog_page_sk": ("key",),
+        "cp_catalog_page_id": ("string", "CP_"),
+        "cp_catalog_number": ("int", 1, 109),
+        "cp_catalog_page_number": ("int", 1, 188),
+    },
+}
+
+_DIM_ROWS: dict[str, int] = {
+    "date_dim": 73_049, "item": 18_000, "customer": 100_000,
+    "customer_address": 50_000, "customer_demographics": 1_920_800,
+    "household_demographics": 7_200, "income_band": 20, "promotion": 300,
+    "reason": 35, "ship_mode": 20, "store": 12, "time_dim": 86_400,
+    "warehouse": 5, "web_page": 60, "web_site": 30, "call_center": 6,
+    "catalog_page": 11_718,
+}
+
+
+def tpcds_rows(name: str, scale: float) -> int:
+    """Row count for a table at a given scale factor (facts scale linearly,
+    dims are fixed — the TPC-DS convention)."""
+    if name in TPCDS_FACTS:
+        return max(1, int(TPCDS_FACTS[name][1] * scale))
+    return _DIM_ROWS[name]
+
+
+def gen_tpcds(
+    spark: SparkSession, name: str, scale: float = 0.01, seed: str = "100",
+    partitions: int | None = None,
+) -> DataFrame:
+    if name not in TPCDS_SCHEMAS:
+        raise KeyError(f"unknown TPC-DS table {name!r}")
+    return gen_table(
+        spark, tpcds_rows(name, scale), TPCDS_SCHEMAS[name],
+        seed=f"{seed}:{name}", partitions=partitions,
+    )
+
+
+def write_tpcds(
+    spark: SparkSession, name: str, location: str, scale: float = 0.01,
+    seed: str = "100",
+) -> None:
+    """Write a generated table the way the reference does: facts
+    hive-partitioned on their date key (tpcds/Tables.scala:165-167),
+    dims coalesced to one file (tpcds/Tables.scala:160-162)."""
+    df = gen_tpcds(spark, name, scale, seed)
+    writer = df.write.mode("overwrite").format("parquet")
+    if name in TPCDS_FACTS:
+        part_col = TPCDS_FACTS[name][0]
+        # DISTRIBUTE BY the partition column first so each hive partition
+        # is written by one task (tpcds/Tables.scala:143-156 pre-clustering)
+        df.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(f"{location}/{name}")
+    else:
+        writer = df.coalesce(1).write.mode("overwrite")
+        writer.parquet(f"{location}/{name}")
+
+
+# ---------------------------------------------------------------------------
+# graph generators (edge lists; uniform + power-law skew)
+# ---------------------------------------------------------------------------
+
+
+def gen_edges(
+    spark: SparkSession, n_nodes: int, n_edges: int, seed: str = "g",
+    skew: float = 0.0, partitions: int | None = None,
+) -> DataFrame:
+    """Edge list (source long, target long). skew=0 -> uniform endpoints;
+    skew>0 -> power-law-ish degree distribution via inverse-transform on
+    the hash-uniform (replaces TrafficEstimation.scala's skew-0.1..1.0
+    JSON fixtures)."""
+    df = spark.range(0, n_edges, numPartitions=partitions)
+    idc = F.col("id")
+
+    def endpoint(s: str) -> Column:
+        u = uniform(idc, f"{seed}:{s}", 0.0, 1.0)
+        if skew <= 0:
+            return (u * n_nodes).cast("long")
+        # u^(1/(1-skew)) concentrates mass near 0 as skew -> 1
+        return (F.pow(u, F.lit(1.0 / (1.0 - skew * 0.999))) * n_nodes).cast("long")
+
+    return df.select(endpoint("src").alias("source"), endpoint("dst").alias("target"))
+
+
+# ---------------------------------------------------------------------------
+# micro-benchmark tables (JoinPerformance.scala:14-31,
+# AggregationPerformance.scala:13-25, DatasetPerformance.scala:30-36)
+# ---------------------------------------------------------------------------
+
+
+def ints_table(spark: SparkSession, n: int, files: int = 1) -> DataFrame:
+    """1milints / 100milints / 1bilints: `range(n).repartition(files)`."""
+    return spark.range(n).repartition(files)
+
+
+def grouped_ints(spark: SparkSession, n_groups: int, rows_per_group: int = 10_000) -> DataFrame:
+    """intsN: (a int, b int) with `rows_per_group` rows per group value."""
+    return spark.range(n_groups * rows_per_group).select(
+        (F.col("id") % n_groups).cast("int").alias("a"),
+        uniform_int(F.col("id"), "b", 0, 1 << 20).cast("int").alias("b"),
+    )
+
+
+def two_groups(spark: SparkSession, n: int) -> DataFrame:
+    """twoGroupsN: (a = id % 2, b = id)."""
+    return spark.range(n).select(
+        (F.col("id") % 2).alias("a"), F.col("id").alias("b")
+    )
+
+
+def vary_data_size(df: DataFrame, n_bytes: int) -> DataFrame:
+    """Append a `dataN` padding column of n literal bytes
+    (JoinPerformance.scala:50-55 varyDataSize)."""
+    return df.withColumn(f"data{n_bytes}", F.lit("*" * n_bytes))
+
+
+def vary_num_matches(df: DataFrame, n: int) -> DataFrame:
+    """n-fold self-union for match-multiplicity scaling
+    (JoinPerformance.scala:64-70)."""
+    return reduce(DataFrame.unionAll, [df] * n)

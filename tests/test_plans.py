@@ -1,0 +1,84 @@
+"""Physical-plan quality gates (the 100-TB design checks).
+
+Each assertion encodes a property that matters at scale:
+- filters reach the parquet scan (PushedFilters) — I/O scales with
+  selectivity, not table size
+- column pruning (ReadSchema lists only needed columns)
+- small dims broadcast (no shuffle of the fact table for dim joins)
+- orderBy+limit compiles to TakeOrderedAndProject (no global sort)
+- aggregations are partial (map-side combine before the shuffle)
+- hot paths stay inside WholeStageCodegen
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR_TINY
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:
+        # AQE shows WholeStageCodegen spans only in the finalized plan, and
+        # only on THIS DataFrame's own QueryExecution (a write would spawn
+        # a separate command QE)
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _q(spark, name):
+    from spark_sql_perf_spark.operators import QUERIES
+
+    return QUERIES[name](spark, SF_DIR_TINY)
+
+
+def test_flagship_pushdown_and_broadcast(spark):
+    plan = _plan(_q(spark, "flagship_star_agg"), execute=True)
+    # the date predicate reaches the orders scan (DataFilters on the FileScan)
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert any("o_orderdate" in l and "DataFilters" in l for l in scan_lines), plan
+    assert "BroadcastHashJoin" in plan  # part dim broadcast
+    assert "HashAggregate" in plan
+    # whole-stage codegen spans show as "*(n)" operator prefixes
+    assert "*(" in plan and "isFinalPlan=true" in plan
+
+
+def test_q6_full_pushdown(spark):
+    plan = _plan(_q(spark, "q6_forecast_revenue"))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l or "l_shipdate" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, scan
+
+
+def test_column_pruning(spark):
+    plan = _plan(_q(spark, "a1_grouped_avg"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_orderby_limit_is_topk(spark):
+    plan = _plan(_q(spark, "s1_orderby_limit"))
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
+
+
+def test_partial_aggregation(spark):
+    plan = _plan(_q(spark, "a2_low_cardinality_group"))
+    # two HashAggregates around the exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in _plan(_q(spark, "j12_semi_join"))
+    assert "LeftAnti" in _plan(_q(spark, "j12_anti_join"))
+
+
+def test_broadcast_hint_respected(spark):
+    plan = _plan(_q(spark, "j9_broadcast_star"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_decimal_aggs_stay_jvm(spark):
+    # no Python UDF in the hot path of the headline aggregation
+    plan = _plan(_q(spark, "q1_pricing_summary"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

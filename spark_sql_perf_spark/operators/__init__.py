@@ -13,12 +13,15 @@ from . import (  # noqa: F401  (import for registration side effects)
     aggregations,
     graph,
     joins,
+    nested,
     scalars,
     setops,
     sorts,
+    sqlpath,
     subqueries,
     tpch,
     windows,
+    windows2,
 )
 from ..pipeline import (  # noqa: F401
     dedup,

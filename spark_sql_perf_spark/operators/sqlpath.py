@@ -1,0 +1,85 @@
+"""SQL-string entry path (the TPC-DS factory path, Benchmark.scala:200-207).
+
+These queries register temp views and go through `spark.sql(...)`, so the
+full Catalyst pipeline runs from raw SQL — including the rewrites the
+DataFrame corpus expresses manually: correlated-scalar-subquery
+decorrelation (q1/q17), EXISTS -> left-semi (q10), NOT IN -> anti,
+uncorrelated scalar subqueries in CASE (q9). The oracle is the SAME SQL
+text (portable subset), so this also checks SQL-dialect parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from .registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(text)
+
+
+_Q17_SQL = """
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_quantity < (
+      SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+      FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+@query("sql1_correlated_scalar", oracle=_Q17_SQL)
+def sql1_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery THROUGH SQL: Catalyst decorrelates it into
+    the aggregate-join the DataFrame corpus (sub2) writes by hand."""
+    return _sql(spark, sf_dir, _Q17_SQL)
+
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+@query("sql2_exists_not_exists", oracle=_EXISTS_SQL)
+def sql2_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS through SQL -> semi + anti join in one plan.
+
+    Customer-based so it stays non-empty at every sf: orders-per-customer
+    is constant (~10), so P(no 'P' order) stays ~0.5 as data scales."""
+    return _sql(spark, sf_dir, _EXISTS_SQL)
+
+
+_CASE_SCALAR_SQL = """
+    SELECT o_orderstatus,
+           CASE WHEN COUNT(*) > (SELECT COUNT(*) FROM orders) / 4
+                THEN 'major' ELSE 'minor' END AS segment_size,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@query("sql3_scalar_in_case", oracle=_CASE_SCALAR_SQL)
+def sql3_scalar_in_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery inside CASE (TPC-DS q9 shape)."""
+    return _sql(spark, sf_dir, _CASE_SCALAR_SQL)
+
+
+_INTERSECT_SQL = """
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+@query("sql4_intersect_pattern", oracle=_INTERSECT_SQL)
+def sql4_intersect_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT through SQL (q14/q38 cross-channel-customers shape)."""
+    return _sql(spark, sf_dir, _INTERSECT_SQL)

@@ -58,6 +58,8 @@ class Variation:
     name: str
     options: Sequence[Any]
     setup: Callable[[SparkSession, Any], None]
+    conf_key: str | None = None  # set for conf-backed variations -> runner
+    # snapshots & restores the key after the experiment
 
     @classmethod
     def conf(cls, conf_key: str, options: Sequence[Any], name: str | None = None) -> "Variation":
@@ -65,6 +67,7 @@ class Variation:
             name=name or conf_key.rsplit(".", 1)[-1],
             options=options,
             setup=lambda spark, opt: spark.conf.set(conf_key, str(opt)),
+            conf_key=conf_key,
         )
 
 

@@ -133,6 +133,12 @@ class ExperimentRunner:
         runs: list[ExperimentRun] = []
         combos = cartesian(variations)
         ts = int(time.time() * 1000)
+        # snapshot conf-backed variation keys; the experiment mutates the
+        # session conf per combo and must not leak state past its end
+        saved_conf: dict[str, str | None] = {}
+        for v in variations:
+            if v.conf_key is not None:
+                saved_conf[v.conf_key] = self.spark.conf.get(v.conf_key, None)
         for iteration in range(1, iterations + 1):
             for combo in combos:
                 params: dict[str, Any] = {}
@@ -151,6 +157,11 @@ class ExperimentRunner:
                 )
             # post-iteration cleanup (Benchmarkable.scala:58-65 analog)
             self.spark.catalog.clearCache()
+        for key, val in saved_conf.items():
+            if val is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, val)
         self._write(runs, ts)
         return runs
 

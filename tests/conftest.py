@@ -10,6 +10,8 @@ SF_DIR_SMALL = "/root/testdata/sf0.01"
 def spark():
     from spark_sql_perf_spark.session import build_session
 
+    import tempfile
+
     spark = build_session(
         app_name="spark-sql-perf-spark-tests",
         master="local[4]",
@@ -17,6 +19,8 @@ def spark():
             "spark.sql.shuffle.partitions": "8",
             "spark.ui.enabled": "false",
             "spark.driver.memory": "4g",
+            # static conf: managed tables (saveAsTable tests) land in tmp
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
         },
     )
     yield spark

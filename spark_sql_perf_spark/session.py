@@ -25,6 +25,10 @@ DEFAULT_CONF: dict[str, str] = {
     # reference fork's motivation (runtime re-plan of multi-joins).
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # coalesce to the advisory partition SIZE, not the cluster parallelism:
+    # small shuffles collapse to few tasks (12x on the sf0.1 bench) and big
+    # shuffles still split by size — the recommended production setting
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Deterministic timestamp semantics across Spark and the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",

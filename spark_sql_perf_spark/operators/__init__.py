@@ -14,6 +14,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     graph,
     joins,
     nested,
+    projections,
     scalars,
     setops,
     sorts,
@@ -25,6 +26,7 @@ from . import (  # noqa: F401  (import for registration side effects)
 )
 from ..pipeline import (  # noqa: F401
     dedup,
+    grouped,
     multimodal,
     similarity,
     textstats,

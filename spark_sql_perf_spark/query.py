@@ -97,6 +97,9 @@ class BenchmarkResult:
     result: int | None = None
     query_execution: str | None = None
     failure: str | None = None
+    # ML benchmarkables (results.scala:82-84 mlParams/mlResult parity)
+    ml_params: dict[str, Any] | None = None
+    ml_result: dict[str, Any] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)

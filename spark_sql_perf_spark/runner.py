@@ -123,6 +123,30 @@ class ExperimentRunner:
             res.failure = traceback.format_exc(limit=10)
         return res
 
+    def run_ml(self, name: str, params: dict[str, Any] | None = None) -> BenchmarkResult:
+        """Run one ML battery entry as a Benchmarkable
+        (MLTransformerBenchmarkable.scala:44-89 analog): fit time becomes
+        execution_time_ms; params/metrics land in ml_params/ml_result."""
+        from .ml.benchmarks import build_battery
+
+        res = BenchmarkResult(name=f"ml:{name}", mode="ml")
+        try:
+            bench = build_battery()[name]
+            ml = _run_with_timeout(
+                self.spark, f"ml:{name}", lambda: bench.run(self.spark, params),
+                self.timeout_s,
+            )
+            res.execution_time_ms = ml.fit_time_s * 1000.0
+            res.ml_params = ml.params
+            res.ml_result = {
+                "metric": ml.metric_name,
+                "train": ml.train_metric,
+                "test": ml.test_metric,
+            }
+        except Exception:
+            res.failure = traceback.format_exc(limit=10)
+        return res
+
     # -- full experiment ---------------------------------------------------
     def run_experiment(
         self,

@@ -117,3 +117,15 @@ def test_sql_query_path(spark):
     )
     res = ExperimentRunner(spark, results_location="/tmp/unused").run_query(q)
     assert res.failure is None and res.result == 3
+
+
+def test_run_ml_benchmarkable(spark):
+    from spark_sql_perf_spark.runner import ExperimentRunner
+
+    res = ExperimentRunner(spark, results_location="/tmp/unused").run_ml(
+        "logistic_regression", {"maxIter": 5}
+    )
+    assert res.failure is None, res.failure
+    assert res.execution_time_ms > 0
+    assert res.ml_params["maxIter"] == 5
+    assert res.ml_result["train"] > 0.7

@@ -27,6 +27,7 @@ from . import (  # noqa: F401  (import for registration side effects)
 from ..pipeline import (  # noqa: F401
     dedup,
     grouped,
+    ivf,
     multimodal,
     similarity,
     textstats,

@@ -11,11 +11,13 @@ from __future__ import annotations
 
 from . import (  # noqa: F401  (import for registration side effects)
     aggregations,
+    asof,
     graph,
     joins,
     nested,
     projections,
     scalars,
+    scalars2,
     setops,
     sorts,
     sqlpath,

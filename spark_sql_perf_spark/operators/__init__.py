@@ -34,6 +34,7 @@ from ..pipeline import (  # noqa: F401
     multimodal,
     similarity,
     textstats,
+    tfidf,
 )
 from ..streaming import windows as event_windows  # noqa: F401
 from .registry import ORACLES, QUERIES

@@ -181,7 +181,9 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "inv_quantity_on_hand": ("int", 0, 1_000),
     },
     "date_dim": {
-        "d_date_sk": ("key",),
+        # surrogate keys span the same julian range the fact tables draw
+        # their *_date_sk from, so fact->date_dim joins actually match
+        "d_date_sk": lambda idc: idc + 2_450_815,
         "d_date": ("date", 1998, 7),
         "d_year": ("int", 1998, 2004),
         "d_moy": ("int", 1, 12),

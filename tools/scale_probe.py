@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Scale probe: run headline-shape plans over GENERATED data at increasing
+row counts and record wall time -> SCALE_PROBE.md. The point is the
+scaling exponent, not the absolute numbers: a plan whose time grows ~O(n)
+on local[32] has no hidden quadratic/shuffle-explosion term waiting at
+100 TB.
+
+Probes (matched to the riskiest plan shapes):
+  star_join_agg   fact |><| broadcast(dim) -> groupBy  (flagship shape)
+  fact_fact_join  two facts shuffled on a shared key   (j2 shape)
+  window_running  partitioned running sum              (w2 shape)
+  exact_dedup     hash-groupBy dedup                   (d1 shape)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_sql_perf_spark.session import build_session  # noqa: E402
+from spark_sql_perf_spark.sources.datagen import gen_table, uniform_int  # noqa: E402
+
+SCALES = [1_000_000, 4_000_000, 16_000_000]
+
+
+def probe(spark, n: int) -> dict[str, float]:
+    fact = gen_table(
+        spark, n,
+        {
+            "k": lambda idc: uniform_int(idc, "k", 1, max(1, n // 10)),
+            "dim_k": lambda idc: uniform_int(idc, "d", 1, 10_000),
+            "v": lambda idc: (uniform_int(idc, "v", 0, 1_000_000) / 100.0),
+        },
+    )
+    fact2 = gen_table(
+        spark, n // 4,
+        {
+            "k": lambda idc: uniform_int(idc, "k2", 1, max(1, n // 10)),
+            "w": lambda idc: (uniform_int(idc, "w", 0, 1_000_000) / 100.0),
+        },
+    )
+    dim = gen_table(
+        spark, 10_000,
+        {"dim_k": lambda idc: idc + 1, "grp": lambda idc: idc % 50},
+    )
+    out = {}
+
+    def t(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+
+    t("star_join_agg",
+      fact.join(F.broadcast(dim), "dim_k").groupBy("grp")
+      .agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("s")))
+    t("fact_fact_join",
+      fact.join(fact2, "k").groupBy((F.col("k") % 100).alias("b"))
+      .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy(F.col("k") % 100_000).orderBy("k", "dim_k")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t("window_running", fact.select(F.sum("v").over(w).alias("r")))
+    t("exact_dedup",
+      fact.groupBy("k").agg(F.min("dim_k").alias("keep"), F.count(F.lit(1)).alias("c")))
+    return out
+
+
+def main() -> None:
+    spark = build_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    probe(spark, 200_000)  # untimed warmup: JIT + codegen for all 4 shapes
+    results = {}
+    for n in SCALES:
+        results[n] = probe(spark, n)
+        print(n, results[n], flush=True)
+
+    lines = [
+        "# SCALE_PROBE — wall time vs generated data size (local[32])",
+        "",
+        "Plans must scale ~linearly; a super-linear jump flags a shuffle",
+        "explosion that would bite at cluster scale. Generated with the",
+        "deterministic datagen (tools/scale_probe.py).",
+        "",
+        "| rows | " + " | ".join(results[SCALES[0]].keys()) + " |",
+        "|---|" + "---|" * len(results[SCALES[0]]),
+    ]
+    for n in SCALES:
+        lines.append(
+            f"| {n:,} | " + " | ".join(f"{v}s" for v in results[n].values()) + " |"
+        )
+    base, top = results[SCALES[0]], results[SCALES[-1]]
+    ratio = SCALES[-1] / SCALES[0]
+    lines += ["", f"Data grew {ratio:.0f}x; time ratios:"]
+    for k in base:
+        lines.append(f"- {k}: {top[k] / max(base[k], 0.01):.1f}x")
+    with open("SCALE_PROBE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALE_PROBE.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,10 @@ _MODES = {"collect": COLLECT, "foreach": FOREACH, "count": COUNT, "hash": HASH}
 
 
 def select_queries(benchmark: str, name_filter: str | None, sf_dir: str, mode) -> list[Query]:
+    if benchmark.startswith("suite:"):
+        # generated-data benchmark suites (suite:joinperf / aggperf /
+        # multijoin / tpcds) — resolved lazily against the live session
+        return []  # resolved in main() where the session exists
     if benchmark == "all":
         names = sorted(QUERIES)
     elif "," in benchmark:
@@ -78,7 +82,17 @@ def main(argv: list[str] | None = None) -> None:
     spark = build_session("spark-sql-perf-spark-cli", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = select_queries(args.benchmark, args.filter, args.sf_dir, _MODES[args.mode])
+    if args.benchmark.startswith("suite:"):
+        from .suites import SUITES
+
+        suite_name = args.benchmark.removeprefix("suite:")
+        queries = SUITES[suite_name](spark)
+        if args.filter:
+            queries = [q for q in queries if args.filter in q.name]
+        for q in queries:
+            q.mode = _MODES[args.mode]
+    else:
+        queries = select_queries(args.benchmark, args.filter, args.sf_dir, _MODES[args.mode])
     runner = ExperimentRunner(spark, results_location=args.location, timeout_s=args.timeout)
     runs = runner.run_experiment(queries, iterations=args.iterations,
                                  variations=parse_variations(args.variations))

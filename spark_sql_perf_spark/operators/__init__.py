@@ -32,6 +32,7 @@ from ..pipeline import (  # noqa: F401
     grouped,
     ivf,
     multimodal,
+    quality,
     similarity,
     textstats,
     tfidf,

@@ -41,6 +41,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Defensive: oracle comparisons require UTC timestamp semantics, and
+    # the caller's session (e.g. the external driver's) may not set it.
+    # Runtime-settable; affects literal parsing + collection uniformly.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -14,6 +14,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     asof,
     graph,
     joins,
+    layout_query,
     multijoin_query,
     nested,
     projections,

@@ -203,13 +203,14 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, (a, b) in enumerate(_PERM)
         ],
     )
+    # sigs is tiny (one row per doc) and feeds three consumers (bands x2
+    # via the self-join, sizes) — cache it; bands itself is a cheap explode
     sigs = perms.groupBy("doc_id").agg(
         *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_HASHES)],
         F.count(F.lit(1)).alias("n_sh"),
-    )
+    ).cache()
     # one row per (doc, band) via explode — a union would recompute the
-    # signature aggregation once per band; cached because the LSH bucket
-    # join below is a self-join (two scans of the same tiny relation).
+    # signature aggregation once per band.
     band_structs = F.array(
         *[
             F.struct(
@@ -228,7 +229,6 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         sigs.select("doc_id", F.explode(band_structs).alias("s"))
         .select("doc_id", F.col("s.band").alias("band"), F.col("s.bh").alias("bh"))
-        .cache()
     )
 
     left = bands.alias("a")
@@ -252,7 +252,9 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # shingle-set sizes already live in sigs (n_sh) — reuse instead of a
+    # second groupBy over the hashed relation
+    sizes = sigs.select("doc_id", "n_sh")
     jac = F.col("n_common").cast("double") / (
         F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
     )

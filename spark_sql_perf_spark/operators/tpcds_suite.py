@@ -19,8 +19,8 @@ from ..query import Query
 from ..sources.datagen import gen_tpcds
 
 TPCDS_TABLES = (
-    "store_sales", "date_dim", "item", "customer", "store", "promotion",
-    "customer_demographics", "household_demographics",
+    "store_sales", "store_returns", "date_dim", "item", "customer", "store",
+    "promotion", "customer_demographics", "household_demographics",
 )
 
 
@@ -88,6 +88,38 @@ _QUERIES: dict[str, str] = {
         WHERE d_moy = 12
         GROUP BY d_year, i_brand
         ORDER BY d_year, ext_price DESC, i_brand
+        LIMIT 100
+    """,
+    "tpcds_q1": """
+        WITH customer_total_return AS (
+          SELECT sr_customer_sk AS ctr_customer_sk,
+                 sr_item_sk % 12 AS ctr_store_sk,
+                 SUM(CAST(sr_return_amt AS DECIMAL(18,2))) AS ctr_total_return
+          FROM store_returns JOIN date_dim ON sr_returned_date_sk = d_date_sk
+          WHERE d_year = 2000
+          GROUP BY sr_customer_sk, sr_item_sk % 12)
+        SELECT c_customer_id
+        FROM customer_total_return ctr1
+          JOIN customer ON ctr1.ctr_customer_sk = c_customer_sk
+        WHERE ctr1.ctr_total_return > (
+          SELECT AVG(ctr_total_return) * 1.2
+          FROM customer_total_return ctr2
+          WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+        ORDER BY c_customer_id
+        LIMIT 100
+    """,
+    "tpcds_q98": """
+        SELECT i_item_id, i_category,
+               SUM(CAST(ss_ext_sales_price AS DECIMAL(18,2))) AS itemrevenue,
+               SUM(CAST(ss_ext_sales_price AS DECIMAL(18,2))) * 100.0
+                 / SUM(SUM(CAST(ss_ext_sales_price AS DECIMAL(18,2))))
+                     OVER (PARTITION BY i_category) AS revenueratio
+        FROM store_sales
+          JOIN item ON ss_item_sk = i_item_sk
+          JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        WHERE d_moy = 5
+        GROUP BY i_item_id, i_category
+        ORDER BY i_category, revenueratio DESC, i_item_id
         LIMIT 100
     """,
     "tpcds_q73": """

@@ -93,11 +93,11 @@ _QUERIES: dict[str, str] = {
     "tpcds_q1": """
         WITH customer_total_return AS (
           SELECT sr_customer_sk AS ctr_customer_sk,
-                 sr_item_sk % 12 AS ctr_store_sk,
+                 sr_store_sk AS ctr_store_sk,
                  SUM(CAST(sr_return_amt AS DECIMAL(18,2))) AS ctr_total_return
           FROM store_returns JOIN date_dim ON sr_returned_date_sk = d_date_sk
           WHERE d_year = 2000
-          GROUP BY sr_customer_sk, sr_item_sk % 12)
+          GROUP BY sr_customer_sk, sr_store_sk)
         SELECT c_customer_id
         FROM customer_total_return ctr1
           JOIN customer ON ctr1.ctr_customer_sk = c_customer_sk

@@ -151,6 +151,7 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "sr_returned_date_sk": _DATE_SK,
         "sr_item_sk": ("int", 1, 18_000),
         "sr_customer_sk": ("int", 1, 100_000),
+        "sr_store_sk": ("int", 1, 12),
         "sr_ticket_number": ("key",),
         "sr_return_quantity": ("int", 1, 100),
         "sr_return_amt": ("money", 0.0, 20_000.0),

@@ -46,3 +46,70 @@ def test_multimodal_decode_is_distributed(spark):
     rows = df.collect()
     assert len(rows) == 500
     assert all(r.n_bytes > 0 and 16 <= r.width < 80 for r in rows)
+
+
+def test_watermark_drops_late_data(spark):
+    """Watermark semantics: an event older than the watermark arriving in a
+    later micro-batch is DROPPED from its (already finalized) window."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    stage = tempfile.mkdtemp(prefix="late-data-")
+    src = tempfile.mkdtemp(prefix="late-src-")
+    # batch 0: on-time events 10:00..20:00 (watermark after batch = 18:00)
+    b0 = pd.DataFrame(
+        {"ts": pd.to_datetime([f"2024-01-01 {h:02d}:30:00" for h in range(10, 21)]),
+         "v": [1.0] * 11}
+    )
+    # batch 1: one LATE event at 12:45 (< 18:00 watermark -> dropped) and
+    # one on-time at 20:45
+    b1 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 12:45:00", "2024-01-01 20:45:00"]),
+         "v": [100.0, 1.0]}
+    )
+    # microsecond timestamps: Spark's reader rejects parquet NANOS
+    b0["ts"] = b0["ts"].astype("datetime64[us]")
+    b1["ts"] = b1["ts"].astype("datetime64[us]")
+    b0.to_parquet(f"{stage}/b0.parquet")
+    b1.to_parquet(f"{stage}/b1.parquet")
+    os.symlink(f"{stage}/b0.parquet", f"{src}/000.parquet")
+
+    ckpt = tempfile.mkdtemp(prefix="late-ckpt-")
+    sink = tempfile.mkdtemp(prefix="late-sink-")
+    schema = spark.read.parquet(f"{src}/000.parquet").schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> LTZ
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .select(F.col("w.start").alias("ws"), "n", "s")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: only batch-0 file exists; watermark persists in the checkpoint
+    run_once()
+    # run 2: the late file arrives AFTER the watermark advanced past 18:30
+    os.symlink(f"{stage}/b1.parquet", f"{src}/001.parquet")
+    run_once()
+
+    got = {
+        r.ws.strftime("%H:%M"): (r.n, r.s)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the 12:00 window was finalized before the late event arrived: count
+    # stays 1 and the late 100.0 never lands
+    assert got["12:00"] == (1, 1.0), got
+    # windows still above the final watermark are unemitted in append mode
+    assert "20:00" not in got

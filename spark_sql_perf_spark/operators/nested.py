@@ -47,7 +47,7 @@ def n1_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,

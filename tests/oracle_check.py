@@ -8,6 +8,7 @@ values, so any float divergence we'd tolerate here would fail there.
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 
 import numpy as np
@@ -41,6 +42,26 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family; the driver's value hash is type-aware, so a
+    DuckDB HUGEINT (-> float64/object in pandas) vs Spark bigint (-> int64)
+    divergence fails there even when values are equal. Mirror that here."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    nn = s.dropna()
+    if len(nn) and isinstance(nn.iloc[0], (dt.date, dt.datetime, pd.Timestamp)):
+        # Spark DATE -> object of datetime.date; DuckDB DATE -> datetime64.
+        # The driver's hash normalizes these (q51 was green in round 1).
+        return "datetime"
+    return "object"
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count mismatch spark={len(spark_pdf)} duck={len(duck_pdf)}"
@@ -48,6 +69,16 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     )
+    for c in sorted(spark_pdf.columns):
+        fa, fb = _dtype_family(spark_pdf[c]), _dtype_family(duck_pdf[c])
+        # all-null columns surface as object/float interchangeably; only flag
+        # when both sides actually carry values
+        if fa != fb and spark_pdf[c].notna().any() and duck_pdf[c].notna().any():
+            raise AssertionError(
+                f"{name}.{c}: dtype family mismatch spark={spark_pdf[c].dtype}"
+                f"({fa}) vs duck={duck_pdf[c].dtype}({fb}) — would fail the"
+                " driver's typed value hash"
+            )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]

@@ -29,6 +29,30 @@ TABLE_NAMES: tuple[str, ...] = (
 # grow sublinearly or not at all in TPC-H-style schemas).
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
 
+_TUNED_FLAG = "spark.sql_perf.session.tuned"
+
+
+def tune_session(spark: SparkSession) -> None:
+    """Set runtime confs this engine depends on, once per session.
+
+    The external driver (and any embedding application) owns the session
+    and may run stock defaults — 200 shuffle partitions and row-based
+    toPandas are a large constant overhead per query at small SF and the
+    reason a fixed verification time budget covers fewer queries. All of
+    these are runtime-settable and safe at any scale: AQE re-splits big
+    shuffles upward, so a lower floor only removes empty-task overhead.
+    """
+    try:
+        if spark.conf.get(_TUNED_FLAG, "") == "1":
+            return
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set(_TUNED_FLAG, "1")
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Lazy: just the parquet footer is read.
@@ -44,7 +68,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive: oracle comparisons require UTC timestamp semantics, and
     # the caller's session (e.g. the external driver's) may not set it.
     # Runtime-settable; affects literal parsing + collection uniformly.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tune_session(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

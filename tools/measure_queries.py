@@ -1,0 +1,61 @@
+"""Measure per-query wall time at sf0.01 under a driver-like session.
+
+The external driver runs ``queries()`` in dict order under a fixed time
+budget; round 1 only got through the first 50 of 104. This script measures
+each query end-to-end (plan + execute + toPandas) in a stock session —
+``catalog.tune_session`` fires on first table load, as it will for the
+driver — and writes ``tools/query_costs.json`` used to order the registry
+cheapest-first so a prefix budget covers the maximum number of queries.
+
+Run:  python tools/measure_queries.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("measure")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    qs = entry.queries()
+    costs: dict[str, float] = {}
+    complex_cols: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf)
+            cc = [f.name for f in df.schema.fields if not f.dataType.typeName()
+                  in ("string", "integer", "long", "double", "float", "date",
+                      "timestamp", "boolean", "short", "byte", "decimal")]
+            if cc:
+                complex_cols[name] = cc
+            n = len(df.toPandas())
+            costs[name] = round(time.monotonic() - t0, 3)
+            print(f"{costs[name]:8.3f}s  {n:8d} rows  {name}", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            costs[name] = round(time.monotonic() - t0, 3)
+            print(f"{costs[name]:8.3f}s  FAIL {name}: {str(ex)[:120]}", flush=True)
+    out = {"costs": costs, "complex_cols": complex_cols,
+           "total_s": round(sum(costs.values()), 1)}
+    with open("/root/repo/tools/query_costs.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"TOTAL {out['total_s']}s for {len(costs)} queries")
+    print("complex:", complex_cols)
+
+
+if __name__ == "__main__":
+    main()

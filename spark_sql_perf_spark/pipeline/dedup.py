@@ -137,6 +137,9 @@ _SHINGLES_SQL = """
 """
 
 
+_D2_CACHED: list[DataFrame] = []
+
+
 @query(
     "d2_dedup_minhash_lsh",
     oracle=f"""
@@ -187,6 +190,14 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash dedup run at 100 TB (candidates ~ near-dups, not |docs|^2).
     """
     corpus = _corpus(spark, sf_dir, suffix="planted near duplicate suffix")
+    # The caches below outlive this call (the returned plan is lazy), so
+    # bound storage to one invocation: drop the previous call's cached
+    # frames before building new ones (bench min-of-N loops, oracle sweeps).
+    while _D2_CACHED:
+        try:
+            _D2_CACHED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
     # Hash shingles to ints BEFORE the distinct: the dedup shuffle and every
     # downstream join moves 8-byte longs, never shingle strings. One md5 per
     # shingle; the other 5 minhash functions are linear permutations of it.
@@ -196,6 +207,7 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
+    _D2_CACHED.append(hashed)
     perms = hashed.select(
         "doc_id",
         *[
@@ -209,6 +221,7 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_HASHES)],
         F.count(F.lit(1)).alias("n_sh"),
     ).cache()
+    _D2_CACHED.append(sigs)
     # one row per (doc, band) via explode — a union would recompute the
     # signature aggregation once per band.
     band_structs = F.array(

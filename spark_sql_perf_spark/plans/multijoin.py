@@ -73,6 +73,34 @@ class JoinPlan:
         return " -> ".join(parts)
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Row-count estimate without a full count job.
+
+    For file-backed relations, sum exact row counts from the parquet
+    footers (pure metadata — no Spark job, no data read; at 100 TB a
+    per-relation `df.count()` before planning would dominate the query it
+    plans). For filtered/derived relations this is an upper bound, which
+    is the safe direction for a greedy smallest-first planner. Falls back
+    to `count()` only when the plan has no file scan underneath.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                path = f[7:] if f.startswith("file://") else f
+                total += pq.ParquetFile(path).metadata.num_rows
+            return total
+        except Exception:
+            pass
+    return df.count()
+
+
 def sample_stats(
     relations: dict[str, DataFrame],
     join_keys: dict[str, list[str]],
@@ -87,7 +115,7 @@ def sample_stats(
     """
     out: dict[str, RelStats] = {}
     for name, df in relations.items():
-        rows = df.count()
+        rows = _estimate_rows(df)
         keys = join_keys.get(name, [])
         if not keys or rows == 0:
             out[name] = RelStats(name, rows, {})
@@ -132,6 +160,25 @@ def plan_joins(
     cur_rows = stats[start].rows
     remaining = list(edges)
 
+    def bare(key: str) -> str:
+        return key.split(".", 1)[-1]
+
+    def key_owner(e: JoinEdge, key: str) -> str:
+        return e.left if key == e.left_key else e.right
+
+    # NDV of each qualified join key *within the accumulated intermediate*.
+    # Seeded from the start relation; after each join the matched key's NDV
+    # collapses to min(left, right) and every key is capped by the
+    # intermediate's estimated row count. Without this the estimator always
+    # used the right side's base-table NDV as the left NDV, so the
+    # intermediate's (usually much smaller) key cardinality never informed
+    # the smallest-first ordering.
+    cur_ndv: dict[str, int] = {}
+    for e in edges:
+        for k in (e.left_key, e.right_key):
+            if key_owner(e, k) == start:
+                cur_ndv[k] = stats[start].ndv_of(bare(k))
+
     while remaining:
         candidates = []
         for e in remaining:
@@ -141,12 +188,16 @@ def plan_joins(
                 rel, lk, rk = e.left, e.right_key, e.left_key
             else:
                 continue
-            est = estimate_join(cur_rows, stats[rel].ndv_of(rk), stats[rel], rk)
-            candidates.append((est, e, rel, lk, rk))
+            left_ndv = min(
+                cur_ndv.get(lk, stats[key_owner(e, lk)].ndv_of(bare(lk))),
+                max(cur_rows, 1),
+            )
+            est = estimate_join(cur_rows, left_ndv, stats[rel], bare(rk))
+            candidates.append((est, e, rel, lk, rk, left_ndv))
         if not candidates:
             # disconnected edge set: keep remaining edges as post-filters
             break
-        est, edge, rel, lk, rk = min(candidates, key=lambda c: c[0])
+        est, edge, rel, lk, rk, left_ndv = min(candidates, key=lambda c: c[0])
         steps.append(
             JoinStep(
                 relation=rel,
@@ -159,6 +210,17 @@ def plan_joins(
         joined.add(rel)
         order.append(rel)
         cur_rows = est
+        # matched keys collapse to the smaller side's NDV; keys the new
+        # relation brings in enter at their base NDV; everything is capped
+        # by the intermediate's row estimate
+        matched = min(left_ndv, stats[rel].ndv_of(bare(rk)))
+        cur_ndv[lk] = cur_ndv[rk] = matched
+        for e2 in edges:
+            for k in (e2.left_key, e2.right_key):
+                if key_owner(e2, k) == rel and k not in cur_ndv:
+                    cur_ndv[k] = stats[rel].ndv_of(bare(k))
+        for k in cur_ndv:
+            cur_ndv[k] = min(cur_ndv[k], max(cur_rows, 1))
         remaining = [e for e in remaining if not (e.left in joined and e.right in joined)]
 
     return JoinPlan(order=order, steps=steps)

@@ -163,29 +163,34 @@ class ExperimentRunner:
         for v in variations:
             if v.conf_key is not None:
                 saved_conf[v.conf_key] = self.spark.conf.get(v.conf_key, None)
-        for iteration in range(1, iterations + 1):
-            for combo in combos:
-                params: dict[str, Any] = {}
-                for variation, option in combo:
-                    variation.setup(self.spark, option)
-                    params[variation.name] = option
-                results = [self.run_query(q, dict(params)) for q in queries]
-                runs.append(
-                    ExperimentRun(
-                        timestamp=ts,
-                        iteration=iteration,
-                        tags=dict(self.tags),
-                        configuration=self._configuration(),
-                        results=results,
+        try:
+            for iteration in range(1, iterations + 1):
+                for combo in combos:
+                    params: dict[str, Any] = {}
+                    for variation, option in combo:
+                        variation.setup(self.spark, option)
+                        params[variation.name] = option
+                    results = [self.run_query(q, dict(params)) for q in queries]
+                    runs.append(
+                        ExperimentRun(
+                            timestamp=ts,
+                            iteration=iteration,
+                            tags=dict(self.tags),
+                            configuration=self._configuration(),
+                            results=results,
+                        )
                     )
-                )
-            # post-iteration cleanup (Benchmarkable.scala:58-65 analog)
-            self.spark.catalog.clearCache()
-        for key, val in saved_conf.items():
-            if val is None:
-                self.spark.conf.unset(key)
-            else:
-                self.spark.conf.set(key, val)
+                # post-iteration cleanup (Benchmarkable.scala:58-65 analog)
+                self.spark.catalog.clearCache()
+        finally:
+            # restore even on variation.setup failure / interrupt — the
+            # session is shared and a leaked conf (e.g. AQE off) would
+            # silently change every subsequent run
+            for key, val in saved_conf.items():
+                if val is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, val)
         self._write(runs, ts)
         return runs
 

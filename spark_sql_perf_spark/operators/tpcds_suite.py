@@ -21,6 +21,7 @@ from ..sources.datagen import gen_tpcds
 TPCDS_TABLES = (
     "store_sales", "store_returns", "date_dim", "item", "customer", "store",
     "promotion", "customer_demographics", "household_demographics",
+    "customer_address",
 )
 
 
@@ -47,7 +48,7 @@ _QUERIES: dict[str, str] = {
                AVG(CAST(ss_coupon_amt AS DECIMAL(18,2))) AS agg3,
                AVG(CAST(ss_sales_price AS DECIMAL(18,2))) AS agg4
         FROM store_sales
-          JOIN customer_demographics ON ss_customer_sk % 1920800 + 1 = cd_demo_sk
+          JOIN customer_demographics ON ss_cdemo_sk = cd_demo_sk
           JOIN date_dim ON ss_sold_date_sk = d_date_sk
           JOIN item ON ss_item_sk = i_item_sk
           JOIN promotion ON ss_promo_sk = p_promo_sk
@@ -129,7 +130,7 @@ _QUERIES: dict[str, str] = {
           FROM store_sales
             JOIN date_dim ON ss_sold_date_sk = d_date_sk
             JOIN store ON ss_store_sk = s_store_sk
-            JOIN household_demographics ON ss_customer_sk % 7200 + 1 = hd_demo_sk
+            JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
           WHERE hd_buy_potential IN ('>10000', 'Unknown') AND hd_vehicle_count > 0
           GROUP BY ss_customer_sk
           HAVING COUNT(*) BETWEEN 2 AND 100

@@ -54,8 +54,11 @@ def choice(id_col: Column, seed: str, values: list[str]) -> Column:
 
 
 def money(id_col: Column, seed: str, lo: float, hi: float) -> Column:
-    """2-decimal money value (matches TPC-DS decimal(7,2) semantics)."""
-    return F.round(uniform(id_col, seed, lo, hi), 2)
+    """Money value as DECIMAL(7,2) — the real TPC-DS money type. Decimal
+    keeps engine-to-engine aggregation exact (order-independent sums), so
+    the verbatim `sum(ss_ext_sales_price)` queries hash-match a DuckDB
+    run over the same parquet."""
+    return F.round(uniform(id_col, seed, lo, hi), 2).cast("decimal(7,2)")
 
 
 def gen_table(
@@ -119,16 +122,52 @@ TPCDS_FACTS: dict[str, tuple[str, int]] = {
 
 _DATE_SK = ("int", 2_450_815, 2_452_642)  # dsdgen's julian date_sk range
 
+# Variable basket sizes, cycled deterministically: row id -> ticket such
+# that tickets span 1..25 items (avg ~11, the dsdgen regime). Real TPC-DS
+# tickets hold many lines sharing customer/store/date — the property
+# q34/q46/q68/q73/q79 aggregate over (`group by ss_ticket_number, ...`
+# with HAVING on the line count). Pattern-based (not hash-based) so row
+# counts stay exact and the mapping is parallelism-invariant.
+_TICKET_SIZES = [12, 1, 18, 3, 16, 5, 20, 2, 15, 8, 4, 17, 25, 6, 19, 2, 9, 16, 3, 22]
+_TICKET_CYCLE = sum(_TICKET_SIZES)  # 223 rows -> 20 tickets per cycle
 
-def _sales_columns(p: str) -> dict[str, object]:
+
+def _ticket(idc: Column) -> Column:
+    """Deterministic row->ticket mapping with variable basket sizes."""
+    cycle = F.floor(idc / F.lit(_TICKET_CYCLE)).cast("long")
+    r = idc % F.lit(_TICKET_CYCLE)
+    # nested CASE over the size-prefix cutpoints: bucket k covers
+    # prefix[k] <= r < prefix[k+1]
+    cuts: list[tuple[int, int]] = []
+    acc = 0
+    for k, s in enumerate(_TICKET_SIZES):
+        acc += s
+        cuts.append((acc, k))
+    expr: Column = F.lit(len(_TICKET_SIZES) - 1)
+    for acc_v, k in reversed(cuts[:-1]):
+        expr = F.when(r < acc_v, F.lit(k)).otherwise(expr)
+    return cycle * F.lit(len(_TICKET_SIZES)) + expr.cast("long") + 1
+
+
+def _per_ticket_int(seed: str, lo: int, hi: int):
+    """Column fn: uniform int keyed by the row's *ticket*, so every line
+    of a basket shares the value (customer, store, date, demographics)."""
+    return lambda idc: uniform_int(_ticket(idc), seed, lo, hi)
+
+
+def _sales_columns(p: str, demo_prefix: str = "") -> dict[str, object]:
+    d = demo_prefix  # "" for store_sales, "bill_" for catalog/web channels
     return {
-        f"{p}_sold_date_sk": _DATE_SK,
-        f"{p}_sold_time_sk": ("int", 0, 86_399),
+        f"{p}_sold_date_sk": _per_ticket_int(f"{p}_sold_date_sk", 2_450_815, 2_452_642),
+        f"{p}_sold_time_sk": _per_ticket_int(f"{p}_sold_time_sk", 0, 86_399),
         f"{p}_item_sk": ("int", 1, 18_000),
-        f"{p}_customer_sk": ("int", 1, 100_000),
-        f"{p}_store_sk": ("int", 1, 12),
+        f"{p}_customer_sk": _per_ticket_int(f"{p}_customer_sk", 1, 100_000),
+        f"{p}_{d}cdemo_sk": _per_ticket_int(f"{p}_cdemo_sk", 1, 1_920_800),
+        f"{p}_{d}hdemo_sk": _per_ticket_int(f"{p}_hdemo_sk", 1, 7_200),
+        f"{p}_{d}addr_sk": _per_ticket_int(f"{p}_addr_sk", 1, 50_000),
+        f"{p}_store_sk": _per_ticket_int(f"{p}_store_sk", 1, 12),
         f"{p}_promo_sk": ("int", 1, 300),
-        f"{p}_ticket_number": ("key",),
+        f"{p}_ticket_number": _ticket,
         f"{p}_quantity": ("int", 1, 100),
         f"{p}_wholesale_cost": ("money", 1.0, 100.0),
         f"{p}_list_price": ("money", 1.0, 200.0),
@@ -143,10 +182,57 @@ def _sales_columns(p: str) -> dict[str, object]:
     }
 
 
+# City/county vocab shared by store and customer_address — includes every
+# value the ported corpus filters on (q34/q46/q68/q73/q79 predicates), so
+# those predicates stay structurally non-empty at every scale.
+_CITIES = ["Midway", "Fairview", "Concord", "Spring Hill", "Brownsville",
+           "Greenville", "Pleasant Hill", "Oak Grove"]
+_COUNTIES = ["Williamson County", "Franklin Parish", "Bronx County",
+             "Orange County", "Saginaw County", "Sumner County",
+             "Appanoose County", "Daviess County", "Fairfield County",
+             "Raleigh County", "Ziebach County", "Walker County"]
+
+_J2000 = 2_451_545  # julian day number of 2000-01-01 (a Saturday)
+_DATE_DIM_BASE = 2_415_022  # 1900-01-02, the first dsdgen date_dim row
+
+
+def _date_dim_columns() -> dict[str, object]:
+    def d(idc: Column) -> Column:
+        return F.date_add(F.lit("2000-01-01").cast("date"),
+                          (idc + F.lit(_DATE_DIM_BASE - _J2000)).cast("int"))
+
+    # built lazily per-call: Column exprs need an active session, and this
+    # module is imported before one exists
+    def day_names() -> Column:
+        return F.array(*[F.lit(n) for n in
+                         ["Sunday", "Monday", "Tuesday", "Wednesday",
+                          "Thursday", "Friday", "Saturday"]])
+
+    return {
+        "d_date_sk": lambda idc: idc + _DATE_DIM_BASE,
+        "d_date": d,
+        "d_year": lambda idc: F.year(d(idc)).cast("long"),
+        "d_moy": lambda idc: F.month(d(idc)).cast("long"),
+        "d_dom": lambda idc: F.dayofmonth(d(idc)).cast("long"),
+        # dsdgen convention: 0 = Sunday .. 6 = Saturday
+        "d_dow": lambda idc: (F.dayofweek(d(idc)) - 1).cast("long"),
+        "d_day_name": lambda idc: F.element_at(day_names(), F.dayofweek(d(idc))),
+        # months since 1900-01 (1212 = Jan 2001); weeks start Sunday, seq 1
+        # on the week containing 1900-01-02 (a Tuesday, so offset +2)
+        "d_month_seq": lambda idc: ((F.year(d(idc)) - 1900) * 12
+                                    + F.month(d(idc)) - 1).cast("long"),
+        "d_week_seq": lambda idc: (F.floor((idc + 2) / 7) + 1).cast("long"),
+        "d_qoy": lambda idc: F.quarter(d(idc)).cast("long"),
+        "d_quarter_name": lambda idc: F.concat(
+            F.year(d(idc)).cast("string"), F.lit("Q"),
+            F.quarter(d(idc)).cast("string")),
+    }
+
+
 TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     "store_sales": _sales_columns("ss"),
-    "web_sales": _sales_columns("ws"),
-    "catalog_sales": _sales_columns("cs"),
+    "web_sales": _sales_columns("ws", demo_prefix="bill_"),
+    "catalog_sales": _sales_columns("cs", demo_prefix="bill_"),
     "store_returns": {
         "sr_returned_date_sk": _DATE_SK,
         "sr_item_sk": ("int", 1, 18_000),
@@ -181,29 +267,39 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "inv_warehouse_sk": ("int", 1, 5),
         "inv_quantity_on_hand": ("int", 0, 1_000),
     },
-    "date_dim": {
-        # surrogate keys span the same julian range the fact tables draw
-        # their *_date_sk from, so fact->date_dim joins actually match
-        "d_date_sk": lambda idc: idc + 2_450_815,
-        "d_date": ("date", 1998, 7),
-        "d_year": ("int", 1998, 2004),
-        "d_moy": ("int", 1, 12),
-        "d_dom": ("int", 1, 28),
-        "d_day_name": ("choice", ["Sunday", "Monday", "Tuesday", "Wednesday",
-                                   "Thursday", "Friday", "Saturday"]),
-        "d_quarter_name": ("choice", ["1998Q1", "1998Q2", "1998Q3", "1998Q4"]),
-    },
+    # date_dim is a real CALENDAR, not random columns: d_date_sk is the
+    # julian day number (dsdgen convention: 2451545 = 2000-01-01), every
+    # other column derives from the corresponding date. That makes the
+    # corpus's julian partition-key filters, d_date string ranges, d_dow
+    # weekend predicates, and d_month_seq windows all mutually consistent
+    # (e.g. d_month_seq 1212 = Jan 2001, dsdgen's (year-1900)*12 + moy-1).
+    "date_dim": _date_dim_columns(),
     "item": {
         "i_item_sk": ("key",),
         "i_item_id": ("string", "ITEM_"),
         "i_rec_start_date": ("date", 1997, 4),
+        "i_item_desc": ("string", "Description of item "),
         "i_category": ("choice", ["Books", "Electronics", "Home", "Jewelry",
                                    "Men", "Music", "Shoes", "Sports", "Women", "Children"]),
-        "i_class": ("choice", [f"class{i}" for i in range(16)]),
-        "i_brand": ("choice", [f"Brand#{i}" for i in range(1, 26)]),
+        "i_category_id": ("int", 1, 10),
+        # class/brand vocab is the dsdgen vocabulary the corpus filters on
+        # (q53/q63/q89 predicates), padded with fillers to realistic width
+        "i_class": ("choice", ["personal", "portable", "reference", "self-help",
+                                "accessories", "classical", "fragrances", "pants",
+                                "wallpaper", "parenting", "musical", "womens",
+                                "birdal", "shirts", "dresses", "football"]),
+        "i_class_id": ("int", 1, 16),
+        "i_brand": ("choice", ["scholaramalgamalg #14", "scholaramalgamalg #7",
+                                "exportiunivamalg #9", "scholaramalgamalg #9",
+                                "amalgimporto #1", "edu packscholar #1",
+                                "exportiimporto #1", "importoamalg #1"]
+                    + [f"Brand#{i}" for i in range(1, 18)]),
+        "i_brand_id": ("int", 1_001_001, 1_016_017),
         "i_current_price": ("money", 0.09, 99.99),
         "i_wholesale_cost": ("money", 0.05, 80.0),
         "i_manufact_id": ("int", 1, 1_000),
+        "i_manufact": ("choice", [f"manufact#{i}" for i in range(1, 101)]),
+        "i_manager_id": ("int", 1, 100),
     },
     "customer": {
         "c_customer_sk": ("key",),
@@ -211,16 +307,19 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "c_current_cdemo_sk": ("int", 1, 1_920_800),
         "c_current_hdemo_sk": ("int", 1, 7_200),
         "c_current_addr_sk": ("int", 1, 50_000),
+        "c_salutation": ("choice", ["Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"]),
         "c_first_name": ("string", "First"),
         "c_last_name": ("string", "Last"),
+        "c_preferred_cust_flag": ("choice", ["Y", "N"]),
         "c_birth_year": ("int", 1924, 1992),
         "c_email_address": ("string", "cust@example"),
     },
     "customer_address": {
         "ca_address_sk": ("key",),
+        "ca_city": ("choice", _CITIES),
         "ca_state": ("choice", ["CA", "NY", "TX", "WA", "IL", "GA", "OH", "MI"]),
-        "ca_zip": ("int", 10_000, 99_999),
-        "ca_gmt_offset": ("choice", ["-5", "-6", "-7", "-8"]),
+        "ca_zip": lambda idc: uniform_int(idc, "ca_zip", 10_000, 99_999).cast("string"),
+        "ca_gmt_offset": ("int", -8, -5),
     },
     "customer_demographics": {
         "cd_demo_sk": ("key",),
@@ -250,6 +349,7 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "p_cost": ("money", 100.0, 1_000.0),
         "p_channel_email": ("choice", ["Y", "N"]),
         "p_channel_tv": ("choice", ["Y", "N"]),
+        "p_channel_event": ("choice", ["Y", "N"]),
     },
     "reason": {
         "r_reason_sk": ("key",),
@@ -268,8 +368,12 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "s_store_name": ("string", "Store "),
         "s_number_employees": ("int", 200, 300),
         "s_floor_space": ("int", 5_000_000, 10_000_000),
+        "s_city": ("choice", _CITIES),
+        "s_county": ("choice", _COUNTIES),
         "s_state": ("choice", ["CA", "NY", "TX", "WA", "IL", "GA"]),
-        "s_gmt_offset": ("choice", ["-5", "-6", "-7", "-8"]),
+        "s_zip": lambda idc: uniform_int(idc, "s_zip", 10_000, 99_999).cast("string"),
+        "s_company_name": ("choice", ["Unknown", "ought", "able", "pri"]),
+        "s_gmt_offset": ("int", -8, -5),
     },
     "time_dim": {
         "t_time_sk": ("key",),

@@ -169,9 +169,25 @@ def tpcds_performance(spark: SparkSession, scale: float = 0.01) -> list[Query]:
     return tpcds_queries()
 
 
+def _impala(suite: str | None):
+    def build(spark: SparkSession, scale: float = 0.01) -> list[Query]:
+        from .operators.impala_suite import impala_queries
+        from .operators.tpcds_suite import register_tpcds
+
+        register_tpcds(spark, scale)
+        return impala_queries(suite)
+
+    return build
+
+
 SUITES = {
     "joinperf": join_performance,
     "aggperf": aggregation_performance,
     "multijoin": multijoin_performance,
     "tpcds": tpcds_performance,
+    # the Impala-kit dashboard suites (ImpalaKitQueries.scala:1465-1469)
+    "impala": _impala(None),
+    "interactive": _impala("interactive"),
+    "reporting": _impala("reporting"),
+    "deep_analytic": _impala("deep_analytic"),
 }

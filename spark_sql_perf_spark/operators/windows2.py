@@ -7,11 +7,58 @@ finding) but they complete the window surface a migrating user expects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from .registry import dec, query
+
+# bounded cache registry for the two-pass rank (same lifetime pattern as
+# pipeline.dedup: drop the previous invocation's frames on each call)
+_RANK_CACHED: list[DataFrame] = []
+
+
+def _with_global_rank(
+    df: DataFrame, order: list[Column], n_parts: int = 32
+) -> tuple[DataFrame, int]:
+    """Scale-safe global row_number: range-repartition on the sort key,
+    rank within each partition, then add broadcast per-partition offsets.
+
+    A bare ``Window.orderBy(...)`` funnels the whole table through ONE
+    reducer — fine at sf0.01, fatal at 100 TB. This is the classic
+    two-pass formulation: one range shuffle (parallel), one tiny counts
+    job (n_parts rows to the driver), one partition-local window. The
+    order must be total (include a unique tiebreak column) for the result
+    to be deterministic.
+
+    Returns (df with ``_rank``, total row count).
+    """
+    while _RANK_CACHED:
+        try:
+            _RANK_CACHED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    parted = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    _RANK_CACHED.append(parted)
+    counts = {r["_pid"]: r["count"] for r in parted.groupBy("_pid").count().collect()}
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
+    return (
+        parted.withColumn("_rank", (local + off_map[F.col("_pid")]).cast("long")),
+        total,
+    )
 
 
 @query(
@@ -23,10 +70,21 @@ from .registry import dec, query
     """,
 )
 def w8_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile(4) without a global window: two-pass rank, then the
+    ntile bucket arithmetic (first n%k buckets get ceil(n/k) rows)."""
     cust = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
-    return cust.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    ranked, n = _with_global_rank(
+        cust, [F.desc("c_acctbal"), F.asc("c_custkey")]
+    )
+    k = 4
+    q, rem = divmod(n, k)
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    r = F.col("_rank")
+    quartile = F.when(r <= big, F.ceil(r / F.lit(q + 1))).otherwise(
+        F.lit(rem) + F.ceil((r - F.lit(big)) / F.lit(max(q, 1)))
+    )
+    return ranked.select(
+        "c_custkey", "c_acctbal", quartile.cast("long").alias("quartile")
     )
 
 
@@ -94,13 +152,21 @@ def w10_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w11_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist (rounded: both are ratios of ints, exact to
-    1 ulp, but the division order can differ across engines)."""
+    """percent_rank / cume_dist via the two-pass global rank (the sort key
+    includes the unique p_partkey, so rank == row_number and
+    percent_rank = (r-1)/(n-1), cume_dist = r/n — same values the global
+    window produces, without the single-reducer sort)."""
     part = table(spark, sf_dir, "part")
-    w = Window.orderBy("p_retailprice", "p_partkey")
-    return part.select(
+    ranked, n = _with_global_rank(
+        part, [F.asc("p_retailprice"), F.asc("p_partkey")]
+    )
+    r = F.col("_rank")
+    pct = (
+        F.round((r - 1) / F.lit(n - 1), 9) if n > 1 else F.lit(0.0)
+    )
+    return ranked.select(
         "p_partkey",
         "p_retailprice",
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        pct.alias("pct_rank"),
+        F.round(r / F.lit(n), 9).alias("cume"),
     )

@@ -456,11 +456,15 @@ def write_tpcds(
     writer = df.write.mode("overwrite").format("parquet")
     if name in TPCDS_FACTS:
         part_col = TPCDS_FACTS[name][0]
-        # DISTRIBUTE BY the partition column first so each hive partition
-        # is written by one task (tpcds/Tables.scala:143-156 pre-clustering)
-        df.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
-            part_col
-        ).parquet(f"{location}/{name}")
+        # NOT-NULL partition filter (Tables.scala:168-170): a null date key
+        # would land in __HIVE_DEFAULT_PARTITION__ and dodge every
+        # partition-pruned scan. DISTRIBUTE BY the partition column so each
+        # hive partition is written by one task (Tables.scala:143-156).
+        df.where(F.col(part_col).isNotNull()).repartition(
+            F.col(part_col)
+        ).write.mode("overwrite").partitionBy(part_col).parquet(
+            f"{location}/{name}"
+        )
     else:
         writer = df.coalesce(1).write.mode("overwrite")
         writer.parquet(f"{location}/{name}")

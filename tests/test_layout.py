@@ -64,3 +64,45 @@ def test_salt_join_spreads_hot_key(spark):
         .count()
     )
     assert spread == 8
+
+
+def test_partitioned_fact_write_prunes_partitions(spark, tmp_path):
+    """The reference writes facts hive-partitioned on their date key
+    (tpcds/Tables.scala:131-170); a date-filtered scan over that layout
+    must prune at the partition level (PartitionFilters in the scan), the
+    dominant scan lever at 100 TB."""
+    from spark_sql_perf_spark.sources.datagen import write_tpcds
+
+    loc = str(tmp_path / "tpcds_part")
+    write_tpcds(spark, "store_sales", loc, scale=0.001)
+    ss = spark.read.parquet(f"{loc}/store_sales")
+
+    lo, hi = 2451149, 2451179
+    df = ss.where(F.col("ss_sold_date_sk").between(lo, hi)).groupBy(
+        "ss_store_sk"
+    ).count()
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    filters = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0].strip()
+    assert filters, f"no partition filters pushed:\n{plan}"
+    assert "ss_sold_date_sk" in filters
+    # the filter column never appears as a data (parquet) filter — it only
+    # exists in the directory structure
+    n_all = ss.count()
+    n_pruned = ss.where(F.col("ss_sold_date_sk").between(lo, hi)).count()
+    assert 0 < n_pruned < n_all
+
+
+def test_partitioned_write_not_null_partition_column(spark, tmp_path):
+    """NOT-NULL filtering on the partition key (Tables.scala:168-170):
+    no __HIVE_DEFAULT_PARTITION__ directory appears."""
+    import os
+
+    from spark_sql_perf_spark.sources.datagen import write_tpcds
+
+    loc = str(tmp_path / "tpcds_nn")
+    write_tpcds(spark, "store_returns", loc, scale=0.001)
+    dirs = os.listdir(f"{loc}/store_returns")
+    assert not any("HIVE_DEFAULT_PARTITION" in d for d in dirs), dirs
+    assert any(d.startswith("sr_returned_date_sk=") for d in dirs)

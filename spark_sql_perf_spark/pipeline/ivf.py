@@ -68,35 +68,56 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (argmin over {_N_CENTROIDS} via window rank), then search only the
     query's cell. Assignment distance is rounded to 9 decimals before the
     argmin so the cell boundaries are engine-identical."""
-    vecs = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    vecs = _vecs(spark, sf_dir)
     cents = vecs.where(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
+    return _ivf_search(vecs, cents)
 
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _dot(x: str, y: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(x), F.col(y), lambda p, r: p * r),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _ivf_search(
+    vecs: DataFrame, cents: DataFrame,
+    n_queries: int = _N_QUERIES, top_k: int = _TOP_K, nprobe: int = 1,
+) -> DataFrame:
+    """Shared IVF machinery: Voronoi assignment against ``cents``
+    (cid, cv), then exact cosine top-k over the query's ``nprobe``
+    nearest cells (candidates always live in exactly one cell, so
+    multi-probe trades scanned-candidate count for recall — the standard
+    IVF knob; well-balanced trained centroids need nprobe > 1)."""
     dist = F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.round(dist, 9).asc(), F.col("cid"))
-    assigned = (
+    ranked_cells = (
         vecs.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "cid", F.row_number().over(w_assign).alias("rn"))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
     )
+    assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "v", "cid")
 
-    q = assigned.where(F.col("vec_id") < _N_QUERIES).alias("q")
-    cand = assigned.where(F.col("vec_id") >= _N_QUERIES).alias("n")
-
-    def _dot(x: str, y: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(x), F.col(y), lambda p, r: p * r),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
+    q = (
+        ranked_cells.where(
+            (F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)
         )
+        .select("vec_id", "v", "cid")
+        .alias("q")
+    )
+    cand = assigned.where(F.col("vec_id") >= n_queries).alias("n")
 
     cos = _dot("q.v", "n.v") / (F.sqrt(_dot("q.v", "q.v")) * F.sqrt(_dot("n.v", "n.v")))
     scored = (
@@ -110,5 +131,48 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.select("*", F.row_number().over(w_rank).alias("rn")).where(
-        F.col("rn") <= _TOP_K
+        F.col("rn") <= top_k
     )
+
+
+def _normalized(vecs: DataFrame) -> DataFrame:
+    """L2-normalize so euclidean cell assignment agrees with the cosine
+    ranking metric (spherical IVF): argmin ||q-c|| == argmax cos(q,c) on
+    the unit sphere. Cosine scores are scale-invariant, so ranking over
+    normalized vectors equals ranking over the raw ones."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+    return vecs.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / norm).alias("v")
+    )
+
+
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = _N_CENTROIDS, seed: int = 100,
+) -> DataFrame:
+    """Coarse centroids trained with pyspark.ml KMeans over L2-normalized
+    vectors (spherical k-means, the production IVF path for a cosine
+    metric). Iterative, so rows-only for the driver; recall vs the subset
+    variant is asserted in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _normalized(_vecs(spark, sf_dir))
+    train = vecs.select(array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(train)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(centers, "cid long, cv array<double>")
+
+
+@query("sim4_ivf_kmeans_ann")  # iterative training -> rows-only check
+def sim4_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with trained spherical-k-means coarse centroids: same
+    assignment / cell-pruned search plan as sim3, centroids from
+    pyspark.ml KMeans over unit vectors, nprobe=4."""
+    vecs = _normalized(_vecs(spark, sf_dir))
+    cents = kmeans_centroids(spark, sf_dir)
+    return _ivf_search(vecs, cents, nprobe=4)

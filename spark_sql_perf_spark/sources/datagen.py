@@ -155,23 +155,31 @@ def _per_ticket_int(seed: str, lo: int, hi: int):
     return lambda idc: uniform_int(_ticket(idc), seed, lo, hi)
 
 
-def _sales_columns(p: str, demo_prefix: str = "") -> dict[str, object]:
-    d = demo_prefix  # "" for store_sales, "bill_" for catalog/web channels
-    return {
+def _sales_columns(
+    p: str, demo_prefix: str = "", order_col: str | None = None,
+    extras: dict[str, object] | None = None,
+) -> dict[str, object]:
+    """Channel fact schema. ``demo_prefix`` is "" for store_sales and
+    "bill_" for catalog/web (real TPC-DS column names: cs_bill_customer_sk
+    etc.); ``order_col`` is ss_ticket_number / cs_order_number /
+    ws_order_number; ``extras`` appends channel-specific FKs."""
+    d = demo_prefix
+    cols: dict[str, object] = {
         f"{p}_sold_date_sk": _per_ticket_int(f"{p}_sold_date_sk", 2_450_815, 2_452_642),
-        f"{p}_sold_time_sk": _per_ticket_int(f"{p}_sold_time_sk", 0, 86_399),
+        f"{p}_sold_time_sk": _per_ticket_int(f"{p}_sold_time_sk", 1, 86_400),
         f"{p}_item_sk": ("int", 1, 18_000),
-        f"{p}_customer_sk": _per_ticket_int(f"{p}_customer_sk", 1, 100_000),
+        f"{p}_{d}customer_sk": _per_ticket_int(f"{p}_customer_sk", 1, 100_000),
         f"{p}_{d}cdemo_sk": _per_ticket_int(f"{p}_cdemo_sk", 1, 1_920_800),
         f"{p}_{d}hdemo_sk": _per_ticket_int(f"{p}_hdemo_sk", 1, 7_200),
         f"{p}_{d}addr_sk": _per_ticket_int(f"{p}_addr_sk", 1, 50_000),
         f"{p}_store_sk": _per_ticket_int(f"{p}_store_sk", 1, 12),
         f"{p}_promo_sk": ("int", 1, 300),
-        f"{p}_ticket_number": _ticket,
+        order_col or f"{p}_ticket_number": _ticket,
         f"{p}_quantity": ("int", 1, 100),
         f"{p}_wholesale_cost": ("money", 1.0, 100.0),
         f"{p}_list_price": ("money", 1.0, 200.0),
         f"{p}_sales_price": ("money", 1.0, 200.0),
+        f"{p}_ext_discount_amt": ("money", 0.0, 1_000.0),
         f"{p}_ext_sales_price": ("money", 1.0, 20_000.0),
         f"{p}_ext_wholesale_cost": ("money", 1.0, 10_000.0),
         f"{p}_ext_list_price": ("money", 1.0, 40_000.0),
@@ -180,13 +188,38 @@ def _sales_columns(p: str, demo_prefix: str = "") -> dict[str, object]:
         f"{p}_net_paid": ("money", 1.0, 20_000.0),
         f"{p}_net_profit": ("money", -10_000.0, 10_000.0),
     }
+    cols.update(extras or {})
+    return cols
+
+
+def _ship_date(p: str):
+    """Ship date: the basket's sold date plus a per-line 1..120 day lag."""
+    return lambda idc: (
+        uniform_int(_ticket(idc), f"{p}_sold_date_sk", 2_450_815, 2_452_642)
+        + uniform_int(idc, f"{p}_ship_lag", 1, 120)
+    )
+
+
+def _cycle(values: list[str]):
+    """Column fn: values assigned round-robin by row id. For tiny dims
+    (store: 12 rows) a hash choice can miss a value entirely — P(no
+    'Midway' store) ≈ 25% — silently emptying every query that filters
+    on it; cycling guarantees each value appears once per len(values)
+    rows at every scale and seed."""
+    arr_vals = list(values)
+
+    def col(idc: Column) -> Column:
+        arr = F.array(*[F.lit(v) for v in arr_vals])
+        return F.element_at(arr, (idc % len(arr_vals) + 1).cast("int"))
+
+    return col
 
 
 # City/county vocab shared by store and customer_address — includes every
 # value the ported corpus filters on (q34/q46/q68/q73/q79 predicates), so
 # those predicates stay structurally non-empty at every scale.
 _CITIES = ["Midway", "Fairview", "Concord", "Spring Hill", "Brownsville",
-           "Greenville", "Pleasant Hill", "Oak Grove"]
+           "Greenville", "Pleasant Hill", "Oak Grove", "Edgewood"]
 _COUNTIES = ["Williamson County", "Franklin Parish", "Bronx County",
              "Orange County", "Saginaw County", "Sumner County",
              "Appanoose County", "Daviess County", "Fairfield County",
@@ -229,38 +262,100 @@ def _date_dim_columns() -> dict[str, object]:
     }
 
 
+def _returns_columns(
+    rp: str, sp: str, sales_table: str, extras: dict[str, object] | None = None,
+):
+    """Returns-table factory ALIGNED to its sales channel: each return row
+    maps to sales row ``id*10`` (row counts keep a fixed 10:1 ratio across
+    scales) and reproduces that row's item / ticket / per-basket keys by
+    re-deriving the same hash columns — so return<->sale joins
+    (sr_ticket_number = ss_ticket_number AND sr_item_sk = ss_item_sk)
+    match real lines, the way dsdgen emits returns referencing sales.
+
+    Returns a factory(seed) because item reproduction needs the sales
+    table's per-table seed (``{seed}:{sales_table}:{col}``).
+    """
+
+    def factory(base_seed: str) -> dict[str, object]:
+        def sales_row(idc: Column) -> Column:
+            return idc * 10
+
+        def item(idc: Column) -> Column:
+            return uniform_int(
+                sales_row(idc), f"{base_seed}:{sales_table}:{sp}_item_sk", 1, 18_000
+            )
+
+        def quantity_sold(idc: Column) -> Column:
+            return uniform_int(
+                sales_row(idc), f"{base_seed}:{sales_table}:{sp}_quantity", 1, 100
+            )
+
+        def tkt(idc: Column) -> Column:
+            return _ticket(sales_row(idc))
+
+        def per_basket(col_seed: str, lo: int, hi: int):
+            return lambda idc: uniform_int(tkt(idc), col_seed, lo, hi)
+
+        cols: dict[str, object] = {
+            f"{rp}_returned_date_sk": lambda idc: (
+                per_basket(f"{sp}_sold_date_sk", 2_450_815, 2_452_642)(idc)
+                + uniform_int(idc, f"{rp}_lag", 1, 150)
+            ),
+            f"{rp}_item_sk": item,
+            f"{rp}_return_quantity": lambda idc: (
+                F.pmod(_h(f"{rp}_rq", idc), quantity_sold(idc)) + 1
+            ),
+            f"{rp}_return_amt": ("money", 0.0, 20_000.0),
+            f"{rp}_net_loss": ("money", 0.0, 10_000.0),
+        }
+        cols.update(extras or {})
+        if rp == "sr":
+            cols["sr_customer_sk"] = per_basket("ss_customer_sk", 1, 100_000)
+            cols["sr_cdemo_sk"] = per_basket("ss_cdemo_sk", 1, 1_920_800)
+            cols["sr_hdemo_sk"] = per_basket("ss_hdemo_sk", 1, 7_200)
+            cols["sr_store_sk"] = per_basket("ss_store_sk", 1, 12)
+            cols["sr_ticket_number"] = tkt
+            cols["sr_reason_sk"] = ("int", 1, 35)
+        elif rp == "cr":
+            cols["cr_refunded_customer_sk"] = per_basket("cs_customer_sk", 1, 100_000)
+            cols["cr_refunded_cdemo_sk"] = per_basket("cs_cdemo_sk", 1, 1_920_800)
+            cols["cr_order_number"] = tkt
+            cols["cr_reason_sk"] = ("int", 1, 35)
+        elif rp == "wr":
+            cols["wr_refunded_customer_sk"] = per_basket("ws_customer_sk", 1, 100_000)
+            cols["wr_refunded_cdemo_sk"] = per_basket("ws_cdemo_sk", 1, 1_920_800)
+            cols["wr_order_number"] = tkt
+            cols["wr_reason_sk"] = ("int", 1, 35)
+        return cols
+
+    return factory
+
+
 TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     "store_sales": _sales_columns("ss"),
-    "web_sales": _sales_columns("ws", demo_prefix="bill_"),
-    "catalog_sales": _sales_columns("cs", demo_prefix="bill_"),
-    "store_returns": {
-        "sr_returned_date_sk": _DATE_SK,
-        "sr_item_sk": ("int", 1, 18_000),
-        "sr_customer_sk": ("int", 1, 100_000),
-        "sr_store_sk": ("int", 1, 12),
-        "sr_ticket_number": ("key",),
-        "sr_return_quantity": ("int", 1, 100),
-        "sr_return_amt": ("money", 0.0, 20_000.0),
-        "sr_net_loss": ("money", 0.0, 10_000.0),
-    },
-    "catalog_returns": {
-        "cr_returned_date_sk": _DATE_SK,
-        "cr_item_sk": ("int", 1, 18_000),
-        "cr_refunded_customer_sk": ("int", 1, 100_000),
-        "cr_order_number": ("key",),
-        "cr_return_quantity": ("int", 1, 100),
-        "cr_return_amount": ("money", 0.0, 20_000.0),
-        "cr_net_loss": ("money", 0.0, 10_000.0),
-    },
-    "web_returns": {
-        "wr_returned_date_sk": _DATE_SK,
-        "wr_item_sk": ("int", 1, 18_000),
-        "wr_refunded_customer_sk": ("int", 1, 100_000),
-        "wr_order_number": ("key",),
-        "wr_return_quantity": ("int", 1, 100),
-        "wr_return_amt": ("money", 0.0, 20_000.0),
-        "wr_net_loss": ("money", 0.0, 10_000.0),
-    },
+    "web_sales": _sales_columns(
+        "ws", demo_prefix="bill_", order_col="ws_order_number",
+        extras={
+            "ws_ship_date_sk": _ship_date("ws"),
+            "ws_warehouse_sk": ("int", 1, 5),
+            "ws_web_page_sk": ("int", 1, 60),
+            "ws_web_site_sk": ("int", 1, 30),
+            "ws_ship_mode_sk": ("int", 1, 20),
+        },
+    ),
+    "catalog_sales": _sales_columns(
+        "cs", demo_prefix="bill_", order_col="cs_order_number",
+        extras={
+            "cs_ship_date_sk": _ship_date("cs"),
+            "cs_warehouse_sk": ("int", 1, 5),
+            "cs_call_center_sk": ("int", 1, 6),
+            "cs_catalog_page_sk": ("int", 1, 11_718),
+            "cs_ship_mode_sk": ("int", 1, 20),
+        },
+    ),
+    "store_returns": _returns_columns("sr", "ss", "store_sales"),
+    "catalog_returns": _returns_columns("cr", "cs", "catalog_sales"),
+    "web_returns": _returns_columns("wr", "ws", "web_sales"),
     "inventory": {
         "inv_date_sk": _DATE_SK,
         "inv_item_sk": ("int", 1, 18_000),
@@ -317,7 +412,9 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     "customer_address": {
         "ca_address_sk": ("key",),
         "ca_city": ("choice", _CITIES),
+        "ca_county": ("choice", _COUNTIES),
         "ca_state": ("choice", ["CA", "NY", "TX", "WA", "IL", "GA", "OH", "MI"]),
+        "ca_country": lambda idc: F.lit("United States"),
         "ca_zip": lambda idc: uniform_int(idc, "ca_zip", 10_000, 99_999).cast("string"),
         "ca_gmt_offset": ("int", -8, -5),
     },
@@ -354,8 +451,10 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     "reason": {
         "r_reason_sk": ("key",),
         "r_reason_id": ("string", "REASON_"),
-        "r_reason_desc": ("choice", ["Did not like", "Wrong size", "Gift",
-                                      "Damaged", "Other"]),
+        # dsdgen-style 'reason N' descriptions (q93 filters r_reason_desc
+        # = 'reason 28'); derived from the key, not random
+        "r_reason_desc": lambda idc: F.concat(
+            F.lit("reason "), (idc + 1).cast("string")),
     },
     "ship_mode": {
         "sm_ship_mode_sk": ("key",),
@@ -365,22 +464,36 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     "store": {
         "s_store_sk": ("key",),
         "s_store_id": ("string", "STORE_"),
-        "s_store_name": ("string", "Store "),
+        # dsdgen store-name vocabulary (q88/q96 filter s_store_name='ese');
+        # cycled, not hash-chosen: 12 stores must cover all 8 names
+        "s_store_name": _cycle(["ese", "ought", "able", "bar", "anti",
+                                "cally", "ation", "eing"]),
         "s_number_employees": ("int", 200, 300),
         "s_floor_space": ("int", 5_000_000, 10_000_000),
-        "s_city": ("choice", _CITIES),
+        "s_company_id": ("int", 1, 6),
+        "s_street_number": lambda idc: uniform_int(
+            idc, "s_street_number", 1, 1_000).cast("string"),
+        "s_street_name": ("choice", ["Main", "Oak", "Park", "First",
+                                      "Cedar", "Elm"]),
+        "s_street_type": ("choice", ["St", "Ave", "Blvd", "Ct", "Ln"]),
+        "s_suite_number": ("string", "Suite "),
+        "s_city": _cycle(_CITIES),
         "s_county": ("choice", _COUNTIES),
-        "s_state": ("choice", ["CA", "NY", "TX", "WA", "IL", "GA"]),
+        # TN is in-vocab: q36 filters s_state='TN' (and q27's IN-list has it)
+        "s_state": _cycle(["CA", "NY", "TX", "WA", "IL", "GA", "TN"]),
         "s_zip": lambda idc: uniform_int(idc, "s_zip", 10_000, 99_999).cast("string"),
         "s_company_name": ("choice", ["Unknown", "ought", "able", "pri"]),
         "s_gmt_offset": ("int", -8, -5),
     },
+    # time_dim is a real CLOCK (like date_dim's calendar): t_time_sk is the
+    # second-of-day + 1, hour/minute/second derive from it — so fact
+    # sold_time_sk joins land on consistent hour/minute predicates (q88/q96)
     "time_dim": {
         "t_time_sk": ("key",),
-        "t_hour": ("int", 0, 23),
-        "t_minute": ("int", 0, 59),
-        "t_second": ("int", 0, 59),
-        "t_am_pm": ("choice", ["AM", "PM"]),
+        "t_hour": lambda idc: F.floor(idc / 3600).cast("long"),
+        "t_minute": lambda idc: F.floor((idc % 3600) / 60).cast("long"),
+        "t_second": lambda idc: (idc % 60).cast("long"),
+        "t_am_pm": lambda idc: F.when(idc < 43_200, F.lit("AM")).otherwise(F.lit("PM")),
     },
     "warehouse": {
         "w_warehouse_sk": ("key",),
@@ -439,8 +552,12 @@ def gen_tpcds(
 ) -> DataFrame:
     if name not in TPCDS_SCHEMAS:
         raise KeyError(f"unknown TPC-DS table {name!r}")
+    entry = TPCDS_SCHEMAS[name]
+    # returns tables are factories: they reproduce their sales channel's
+    # hash columns and need the base seed, not the per-table seed
+    columns = entry(seed) if callable(entry) else entry
     return gen_table(
-        spark, tpcds_rows(name, scale), TPCDS_SCHEMAS[name],
+        spark, tpcds_rows(name, scale), columns,
         seed=f"{seed}:{name}", partitions=partitions,
     )
 

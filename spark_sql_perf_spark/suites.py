@@ -180,11 +180,19 @@ def _impala(suite: str | None):
     return build
 
 
+def tpcds14_performance(spark: SparkSession, scale: float = 0.01) -> list[Query]:
+    from .operators.tpcds14_suite import register_tpcds14, tpcds14_queries
+
+    register_tpcds14(spark, scale)
+    return tpcds14_queries()
+
+
 SUITES = {
     "joinperf": join_performance,
     "aggperf": aggregation_performance,
     "multijoin": multijoin_performance,
     "tpcds": tpcds_performance,
+    "tpcds14": tpcds14_performance,
     # the Impala-kit dashboard suites (ImpalaKitQueries.scala:1465-1469)
     "impala": _impala(None),
     "interactive": _impala("interactive"),

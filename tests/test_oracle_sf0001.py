@@ -35,5 +35,7 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # Non-SQL-expressible ops get rows-only checks; keep the list explicit
     # so new queries don't silently skip the oracle gate.
-    allowed_rows_only = {"f5_crc32_fingerprint"}
+    # sim4: trained k-means centroids are iterative ML state, not
+    # SQL-expressible; its recall check lives in test_cogroup_approx.py
+    allowed_rows_only = {"f5_crc32_fingerprint", "sim4_ivf_kmeans_ann"}
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"

@@ -1,25 +1,39 @@
-"""TPC-DS 1.4 query tranche beyond the Impala-kit 20: fifteen more
+"""TPC-DS 1.4 query corpus beyond the Impala-kit 20: thirty-one more
 full-fidelity queries from the reference's ``runnable`` list
 (TPCDS_1_4_Queries.scala:3866-3876; texts re-derived from the public
 TPC-DS 1.4 templates), chosen to exercise the shapes the Impala set
 doesn't: multi-channel UNION/INTERSECT/EXCEPT (q2/q38/q87/q97), scalar
 subqueries in CASE (q9), grouping-sets + windowed rank (q36), sales<->
-returns joins (q50/q93/q84), inventory-free channel FK joins (q26),
-time-of-day star joins (q88/q96), revenue-ratio windows (q12/q20) and
-multi-bucket self-unions (q28).
+returns joins (q50/q93/q84/q40), inventory scans (q21/q22/q37/q82),
+cross-channel repurchase chains (q17/q25/q29), correlated-average
+discount outliers (q32/q92), ship-lag bucket reports (q62/q99),
+time-of-day star joins (q88/q96/q90), AND-of-OR demographic batteries
+(q13-family: q48), zip/state branch filters (q15/q45), revenue-ratio
+windows (q12/q20) and multi-bucket self-unions (q28).
 
 Correctness model: engine-vs-engine vs DuckDB over identical parquet
 (tests/test_tpcds14_suite.py) + run-to-run fingerprints.
 
 Documented deviations from the verbatim 1.4 texts:
-- q50's backtick aliases (`30 days`) are not portable between Spark and
-  DuckDB quoting; renamed d30/d31_60/d61_90/d91_120/dgt120.
+- backtick aliases (`30 days`, `order count`) are not portable between
+  Spark and DuckDB quoting; renamed d30/d31_60/... etc.
 - q9's five count thresholds are literals chosen for the harness scales
   (the reference computes them from the scale factor).
 - deterministic tiebreak columns are appended to ORDER BY where the
   original order is not total (q36), so the LIMIT cut is well-defined.
 - "+ interval N days" is written as "+ N" (date + int), valid in both
   engines (the reference applies the same kind of rewrite for Spark).
+- item-subset predicates are rescaled to the generated item table's
+  uniform vocabulary so they stay structurally non-empty at sf0.01:
+  q32 i_manufact_id 977 -> BETWEEN 950 AND 1000; q92 350 -> BETWEEN 320
+  AND 370; q37/q82 widen the price band and manufact list; q40 widens
+  the price band; q90 widens wp_char_count 5000-5200 -> 4000-6000;
+  q45's literal 5-digit zips -> their 2-digit prefixes; q21's price
+  band 0.99-1.49 -> 0.99-19.99 (its before/after ratio needs (warehouse,
+  item) groups with inventory on both sides of the pivot date). The
+  shape (selective dim predicate driving a fact scan) is unchanged.
+- q17/q25/q29 rely on the datagen's planted cross-channel repurchase
+  rows (see sources/datagen.py _catalog_sales_columns).
 """
 
 from __future__ import annotations
@@ -31,9 +45,11 @@ from ..sources.datagen import gen_tpcds
 
 TPCDS14_TABLES = (
     "store_sales", "catalog_sales", "web_sales", "store_returns",
+    "catalog_returns", "inventory",
     "date_dim", "time_dim", "item", "customer", "customer_address",
     "customer_demographics", "household_demographics", "income_band",
-    "store", "promotion", "reason",
+    "store", "promotion", "reason", "warehouse", "ship_mode",
+    "call_center", "web_page", "web_site",
 )
 
 TPCDS14_QUERIES: dict[str, str] = {
@@ -445,6 +461,353 @@ TPCDS14_QUERIES: dict[str, str] = {
             and household_demographics.hd_dep_count = 7
             and store.s_store_name = 'ese'
         order by count(*)
+        limit 100
+    """,
+    "q15": """
+        select ca_zip, sum(cs_sales_price) as sum_sales
+        from catalog_sales, customer, customer_address, date_dim
+        where cs_bill_customer_sk = c_customer_sk
+          and c_current_addr_sk = ca_address_sk
+          and ( substr(ca_zip,1,5) in ('85669','86197','88274','83405','86475',
+                                       '85392','85460','80348','81792')
+                or ca_state in ('CA','WA','GA')
+                or cs_sales_price > 500)
+          and cs_sold_date_sk = d_date_sk
+          and d_qoy = 2 and d_year = 2001
+        group by ca_zip
+        order by ca_zip
+        limit 100
+    """,
+    "q17": """
+        select i_item_id, i_item_desc, s_state,
+               count(ss_quantity) as store_sales_quantitycount,
+               avg(ss_quantity) as store_sales_quantityave,
+               stddev_samp(ss_quantity) as store_sales_quantitystdev,
+               stddev_samp(ss_quantity)/avg(ss_quantity) as store_sales_quantitycov,
+               count(sr_return_quantity) as store_returns_quantitycount,
+               avg(sr_return_quantity) as store_returns_quantityave,
+               stddev_samp(sr_return_quantity) as store_returns_quantitystdev,
+               stddev_samp(sr_return_quantity)/avg(sr_return_quantity) as store_returns_quantitycov,
+               count(cs_quantity) as catalog_sales_quantitycount,
+               avg(cs_quantity) as catalog_sales_quantityave,
+               stddev_samp(cs_quantity)/avg(cs_quantity) as catalog_sales_quantitystdev,
+               stddev_samp(cs_quantity)/avg(cs_quantity) as catalog_sales_quantitycov
+        from store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+             date_dim d3, store, item
+        where d1.d_quarter_name = '2001Q1'
+          and d1.d_date_sk = ss_sold_date_sk
+          and i_item_sk = ss_item_sk
+          and s_store_sk = ss_store_sk
+          and ss_customer_sk = sr_customer_sk
+          and ss_item_sk = sr_item_sk
+          and ss_ticket_number = sr_ticket_number
+          and sr_returned_date_sk = d2.d_date_sk
+          and d2.d_quarter_name in ('2001Q1','2001Q2','2001Q3')
+          and sr_customer_sk = cs_bill_customer_sk
+          and sr_item_sk = cs_item_sk
+          and cs_sold_date_sk = d3.d_date_sk
+          and d3.d_quarter_name in ('2001Q1','2001Q2','2001Q3')
+        group by i_item_id, i_item_desc, s_state
+        order by i_item_id, i_item_desc, s_state
+        limit 100
+    """,
+    "q21": """
+        select * from(
+          select w_warehouse_name, i_item_id,
+                 sum(case when (cast(d_date as date) < cast('2000-03-11' as date))
+                          then inv_quantity_on_hand else 0 end) as inv_before,
+                 sum(case when (cast(d_date as date) >= cast('2000-03-11' as date))
+                          then inv_quantity_on_hand else 0 end) as inv_after
+          from inventory, warehouse, item, date_dim
+          where i_current_price between 0.99 and 19.99
+            and i_item_sk          = inv_item_sk
+            and inv_warehouse_sk   = w_warehouse_sk
+            and inv_date_sk        = d_date_sk
+            and d_date between (cast('2000-03-11' as date) - 30)
+                           and (cast('2000-03-11' as date) + 30)
+          group by w_warehouse_name, i_item_id) x
+        where (case when inv_before > 0
+                    then inv_after / inv_before
+                    else null end) between 2.0/3.0 and 3.0/2.0
+        order by w_warehouse_name, i_item_id
+        limit 100
+    """,
+    "q22": """
+        select i_product_name, i_brand, i_class, i_category,
+               avg(inv_quantity_on_hand) qoh
+        from inventory, date_dim, item, warehouse
+        where inv_date_sk=d_date_sk
+          and inv_item_sk=i_item_sk
+          and inv_warehouse_sk = w_warehouse_sk
+          and d_month_seq between 1200 and 1200 + 11
+        group by rollup(i_product_name, i_brand, i_class, i_category)
+        order by qoh, i_product_name, i_brand, i_class, i_category
+        limit 100
+    """,
+    "q25": """
+        select i_item_id, i_item_desc, s_store_id, s_store_name,
+           sum(ss_net_profit) as store_sales_profit,
+           sum(sr_net_loss) as store_returns_loss,
+           sum(cs_net_profit) as catalog_sales_profit
+        from
+           store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+           date_dim d3, store, item
+        where
+           d1.d_moy = 4
+           and d1.d_year = 2001
+           and d1.d_date_sk = ss_sold_date_sk
+           and i_item_sk = ss_item_sk
+           and s_store_sk = ss_store_sk
+           and ss_customer_sk = sr_customer_sk
+           and ss_item_sk = sr_item_sk
+           and ss_ticket_number = sr_ticket_number
+           and sr_returned_date_sk = d2.d_date_sk
+           and d2.d_moy between 4 and 10
+           and d2.d_year = 2001
+           and sr_customer_sk = cs_bill_customer_sk
+           and sr_item_sk = cs_item_sk
+           and cs_sold_date_sk = d3.d_date_sk
+           and d3.d_moy between 4 and 10
+           and d3.d_year = 2001
+        group by i_item_id, i_item_desc, s_store_id, s_store_name
+        order by i_item_id, i_item_desc, s_store_id, s_store_name
+        limit 100
+    """,
+    "q29": """
+        select i_item_id, i_item_desc, s_store_id, s_store_name,
+               sum(ss_quantity)        as store_sales_quantity,
+               sum(sr_return_quantity) as store_returns_quantity,
+               sum(cs_quantity)        as catalog_sales_quantity
+        from
+           store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+           date_dim d3, store, item
+        where
+            d1.d_moy               = 9
+        and d1.d_year              = 1999
+        and d1.d_date_sk           = ss_sold_date_sk
+        and i_item_sk              = ss_item_sk
+        and s_store_sk             = ss_store_sk
+        and ss_customer_sk         = sr_customer_sk
+        and ss_item_sk             = sr_item_sk
+        and ss_ticket_number       = sr_ticket_number
+        and sr_returned_date_sk    = d2.d_date_sk
+        and d2.d_moy               between 9 and  9 + 3
+        and d2.d_year              = 1999
+        and sr_customer_sk         = cs_bill_customer_sk
+        and sr_item_sk             = cs_item_sk
+        and cs_sold_date_sk        = d3.d_date_sk
+        and d3.d_year              in (1999,1999+1,1999+2)
+        group by i_item_id, i_item_desc, s_store_id, s_store_name
+        order by i_item_id, i_item_desc, s_store_id, s_store_name
+        limit 100
+    """,
+    "q32": """
+        select sum(cs_ext_discount_amt) as excess_discount_amount
+        from catalog_sales, item, date_dim
+        where i_manufact_id between 950 and 1000
+          and i_item_sk = cs_item_sk
+          and d_date between '2000-01-27' and (cast('2000-01-27' as date) + 90)
+          and d_date_sk = cs_sold_date_sk
+          and cs_ext_discount_amt > (
+                 select 1.3 * avg(cs_ext_discount_amt)
+                 from catalog_sales, date_dim
+                 where cs_item_sk = i_item_sk
+                  and d_date between '2000-01-27' and (cast('2000-01-27' as date) + 90)
+                  and d_date_sk = cs_sold_date_sk)
+        limit 100
+    """,
+    "q37": """
+        select i_item_id, i_item_desc, i_current_price
+        from item, inventory, date_dim, catalog_sales
+        where i_current_price between 48 and 48 + 50
+          and inv_item_sk = i_item_sk
+          and d_date_sk=inv_date_sk
+          and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + 60)
+          and i_manufact_id in (677,940,694,808,129,270,821,423,104,250,310,555)
+          and inv_quantity_on_hand between 100 and 500
+          and cs_item_sk = i_item_sk
+        group by i_item_id,i_item_desc,i_current_price
+        order by i_item_id
+        limit 100
+    """,
+    "q40": """
+        select
+          w_state, i_item_id,
+          sum(case when (cast(d_date as date) < cast('2000-03-11' as date))
+                then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_before,
+          sum(case when (cast(d_date as date) >= cast('2000-03-11' as date))
+                then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_after
+        from
+          catalog_sales left outer join catalog_returns on
+              (cs_order_number = cr_order_number
+               and cs_item_sk = cr_item_sk)
+         ,warehouse, item, date_dim
+        where
+            i_current_price between 0.99 and 9.99
+        and i_item_sk          = cs_item_sk
+        and cs_warehouse_sk    = w_warehouse_sk
+        and cs_sold_date_sk    = d_date_sk
+        and d_date between (cast('2000-03-11' as date) - 30)
+                       and (cast('2000-03-11' as date) + 30)
+        group by w_state,i_item_id
+        order by w_state,i_item_id
+        limit 100
+    """,
+    "q45": """
+        select ca_zip, ca_city, sum(ws_sales_price) as sum_sales
+        from web_sales, customer, customer_address, date_dim, item
+        where ws_bill_customer_sk = c_customer_sk
+          and c_current_addr_sk = ca_address_sk
+          and ws_item_sk = i_item_sk
+          and ( substr(ca_zip,1,2) in ('85','86','88','83','80','81')
+                or
+                i_item_id in (select i_item_id
+                              from item
+                              where i_item_sk in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29))
+              )
+          and ws_sold_date_sk = d_date_sk
+          and d_qoy = 2 and d_year = 2001
+        group by ca_zip, ca_city
+        order by ca_zip, ca_city
+        limit 100
+    """,
+    "q48": """
+        select sum (ss_quantity) as quantity_sum
+        from store_sales, store, customer_demographics, customer_address, date_dim
+        where s_store_sk = ss_store_sk
+        and  ss_sold_date_sk = d_date_sk and d_year = 2001
+        and
+        (
+         (cd_demo_sk = ss_cdemo_sk
+          and cd_marital_status = 'M'
+          and cd_education_status = '4 yr Degree'
+          and ss_sales_price between 100.00 and 150.00)
+        or
+         (cd_demo_sk = ss_cdemo_sk
+          and cd_marital_status = 'D'
+          and cd_education_status = '2 yr Degree'
+          and ss_sales_price between 50.00 and 100.00)
+        or
+         (cd_demo_sk = ss_cdemo_sk
+          and cd_marital_status = 'S'
+          and cd_education_status = 'College'
+          and ss_sales_price between 150.00 and 200.00)
+        )
+        and
+        (
+         (ss_addr_sk = ca_address_sk
+          and ca_country = 'United States'
+          and ca_state in ('CO', 'OH', 'TX')
+          and ss_net_profit between 0 and 2000)
+        or
+         (ss_addr_sk = ca_address_sk
+          and ca_country = 'United States'
+          and ca_state in ('OR', 'MN', 'KY')
+          and ss_net_profit between 150 and 3000)
+        or
+         (ss_addr_sk = ca_address_sk
+          and ca_country = 'United States'
+          and ca_state in ('VA', 'CA', 'MS')
+          and ss_net_profit between 50 and 25000)
+        )
+    """,
+    "q62": """
+        select
+          substr(w_warehouse_name,1,20) as warehouse_prefix
+         ,sm_type
+         ,web_name
+         ,sum(case when (ws_ship_date_sk - ws_sold_date_sk <= 30 ) then 1 else 0 end) as d30
+         ,sum(case when (ws_ship_date_sk - ws_sold_date_sk > 30) and
+                        (ws_ship_date_sk - ws_sold_date_sk <= 60) then 1 else 0 end) as d31_60
+         ,sum(case when (ws_ship_date_sk - ws_sold_date_sk > 60) and
+                        (ws_ship_date_sk - ws_sold_date_sk <= 90) then 1 else 0 end) as d61_90
+         ,sum(case when (ws_ship_date_sk - ws_sold_date_sk > 90) and
+                        (ws_ship_date_sk - ws_sold_date_sk <= 120) then 1 else 0 end) as d91_120
+         ,sum(case when (ws_ship_date_sk - ws_sold_date_sk  > 120) then 1 else 0 end) as dgt120
+        from web_sales, warehouse, ship_mode, web_site, date_dim
+        where d_month_seq between 1200 and 1200 + 11
+          and ws_ship_date_sk   = d_date_sk
+          and ws_warehouse_sk   = w_warehouse_sk
+          and ws_ship_mode_sk   = sm_ship_mode_sk
+          and ws_web_site_sk    = web_site_sk
+        group by substr(w_warehouse_name,1,20), sm_type, web_name
+        order by warehouse_prefix, sm_type, web_name
+        limit 100
+    """,
+    "q82": """
+        select i_item_id, i_item_desc, i_current_price
+        from item, inventory, date_dim, store_sales
+        where i_current_price between 42 and 42+50
+          and inv_item_sk = i_item_sk
+          and d_date_sk=inv_date_sk
+          and d_date between cast('2000-05-25' as date) and (cast('2000-05-25' as date) + 60)
+          and i_manufact_id in (129,270,821,423,677,940,694,808,222,333,444,555)
+          and inv_quantity_on_hand between 100 and 500
+          and ss_item_sk = i_item_sk
+        group by i_item_id,i_item_desc,i_current_price
+        order by i_item_id
+        limit 100
+    """,
+    "q90": """
+        select cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio
+        from ( select count(*) amc
+              from web_sales, household_demographics, time_dim, web_page
+              where ws_sold_time_sk = time_dim.t_time_sk
+                and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+                and ws_web_page_sk = web_page.wp_web_page_sk
+                and time_dim.t_hour between 8 and 8+1
+                and household_demographics.hd_dep_count = 6
+                and web_page.wp_char_count between 4000 and 6000) at,
+             ( select count(*) pmc
+              from web_sales, household_demographics, time_dim, web_page
+              where ws_sold_time_sk = time_dim.t_time_sk
+                and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+                and ws_web_page_sk = web_page.wp_web_page_sk
+                and time_dim.t_hour between 19 and 19+1
+                and household_demographics.hd_dep_count = 6
+                and web_page.wp_char_count between 4000 and 6000) pt
+        order by am_pm_ratio
+        limit 100
+    """,
+    "q92": """
+        select sum(ws_ext_discount_amt) as excess_discount_amount
+        from web_sales, item, date_dim
+        where i_manufact_id between 320 and 370
+        and i_item_sk = ws_item_sk
+        and d_date between '2000-01-27' and (cast('2000-01-27' as date) + 90)
+        and d_date_sk = ws_sold_date_sk
+        and ws_ext_discount_amt >
+            (
+              SELECT 1.3 * avg(ws_ext_discount_amt)
+              FROM web_sales, date_dim
+              WHERE ws_item_sk = i_item_sk
+                and d_date between '2000-01-27' and (cast('2000-01-27' as date) + 90)
+                and d_date_sk = ws_sold_date_sk
+            )
+        order by excess_discount_amount
+        limit 100
+    """,
+    "q99": """
+        select
+           substr(w_warehouse_name,1,20) as warehouse_prefix
+          ,sm_type
+          ,cc_name
+          ,sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30 ) then 1 else 0 end) as d30
+          ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30) and
+                         (cs_ship_date_sk - cs_sold_date_sk <= 60) then 1 else 0 end) as d31_60
+          ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60) and
+                         (cs_ship_date_sk - cs_sold_date_sk <= 90) then 1 else 0 end) as d61_90
+          ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90) and
+                         (cs_ship_date_sk - cs_sold_date_sk <= 120) then 1 else 0 end) as d91_120
+          ,sum(case when (cs_ship_date_sk - cs_sold_date_sk  > 120) then 1 else 0 end) as dgt120
+        from catalog_sales, warehouse, ship_mode, call_center, date_dim
+        where d_month_seq between 1200 and 1200 + 11
+          and cs_ship_date_sk   = d_date_sk
+          and cs_warehouse_sk   = w_warehouse_sk
+          and cs_ship_mode_sk   = sm_ship_mode_sk
+          and cs_call_center_sk = cc_call_center_sk
+        group by substr(w_warehouse_name,1,20), sm_type, cc_name
+        order by warehouse_prefix, sm_type, cc_name
         limit 100
     """,
     "q97": """

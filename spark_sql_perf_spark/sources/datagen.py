@@ -331,19 +331,41 @@ def _returns_columns(
     return factory
 
 
-TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
-    "store_sales": _sales_columns("ss"),
-    "web_sales": _sales_columns(
-        "ws", demo_prefix="bill_", order_col="ws_order_number",
-        extras={
-            "ws_ship_date_sk": _ship_date("ws"),
-            "ws_warehouse_sk": ("int", 1, 5),
-            "ws_web_page_sk": ("int", 1, 60),
-            "ws_web_site_sk": ("int", 1, 30),
-            "ws_ship_mode_sk": ("int", 1, 20),
-        },
-    ),
-    "catalog_sales": _sales_columns(
+def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
+    """catalog_sales with CROSS-CHANNEL repurchase rows: rows where
+    ``id % 5 in (1, 2)`` re-derive the (customer, item) of store_returns
+    row ``id // 5`` — the "returned in store, re-bought from the catalog"
+    behavior the q17/q25/q29 family measures. Under independent uniform
+    keys that sr><cs (customer, item) join is structurally empty
+    (|pairs| = 1.8e9 vs ~1e4 rows at sf0.01); dsdgen gets matches from
+    volume at SF>=1, we plant them deterministically at every scale.
+    Row-count ratio cs:sr is a fixed 5:1 (TPCDS_FACTS), so id//5 is a
+    valid sr row at any sf. Residues 1 and 2 are never multiples of 10,
+    so catalog_returns' alignment to cs rows ``id*10`` is untouched.
+    """
+
+    def sr_row(idc: Column) -> Column:
+        return F.floor(idc / 5).cast("long")
+
+    def planted(idc: Column) -> Column:
+        return (idc % 5 == 1) | (idc % 5 == 2)
+
+    def customer(idc: Column) -> Column:
+        # the sr row's customer is per-basket over its sales row (id*10)
+        cross = uniform_int(_ticket(sr_row(idc) * 10), "ss_customer_sk", 1, 100_000)
+        default = uniform_int(_ticket(idc), "cs_customer_sk", 1, 100_000)
+        return F.when(planted(idc), cross).otherwise(default)
+
+    def item(idc: Column) -> Column:
+        cross = uniform_int(
+            sr_row(idc) * 10, f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
+        )
+        default = uniform_int(
+            idc, f"{base_seed}:catalog_sales:cs_item_sk", 1, 18_000
+        )
+        return F.when(planted(idc), cross).otherwise(default)
+
+    cols = _sales_columns(
         "cs", demo_prefix="bill_", order_col="cs_order_number",
         extras={
             "cs_ship_date_sk": _ship_date("cs"),
@@ -352,9 +374,31 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
             "cs_catalog_page_sk": ("int", 1, 11_718),
             "cs_ship_mode_sk": ("int", 1, 20),
         },
+    )
+    cols["cs_bill_customer_sk"] = customer
+    cols["cs_item_sk"] = item
+    return cols
+
+
+TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
+    "store_sales": _sales_columns("ss"),
+    "web_sales": _sales_columns(
+        "ws", demo_prefix="bill_", order_col="ws_order_number",
+        extras={
+            "ws_ship_date_sk": _ship_date("ws"),
+            "ws_ship_hdemo_sk": _per_ticket_int("ws_ship_hdemo_sk", 1, 7_200),
+            "ws_warehouse_sk": ("int", 1, 5),
+            "ws_web_page_sk": ("int", 1, 60),
+            "ws_web_site_sk": ("int", 1, 30),
+            "ws_ship_mode_sk": ("int", 1, 20),
+        },
     ),
+    "catalog_sales": lambda seed: _catalog_sales_columns(seed),
     "store_returns": _returns_columns("sr", "ss", "store_sales"),
-    "catalog_returns": _returns_columns("cr", "cs", "catalog_sales"),
+    "catalog_returns": _returns_columns(
+        "cr", "cs", "catalog_sales",
+        extras={"cr_refunded_cash": ("money", 0.0, 10_000.0)},
+    ),
     "web_returns": _returns_columns("wr", "ws", "web_sales"),
     "inventory": {
         "inv_date_sk": _DATE_SK,
@@ -395,6 +439,7 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "i_manufact_id": ("int", 1, 1_000),
         "i_manufact": ("choice", [f"manufact#{i}" for i in range(1, 101)]),
         "i_manager_id": ("int", 1, 100),
+        "i_product_name": ("string", "Product "),
     },
     "customer": {
         "c_customer_sk": ("key",),
@@ -516,6 +561,9 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     "call_center": {
         "cc_call_center_sk": ("key",),
         "cc_call_center_id": ("string", "CC_"),
+        # cycled (6 rows must cover the vocabulary q99 groups on)
+        "cc_name": _cycle(["NY Metro", "Mid Atlantic", "North Midwest",
+                           "California", "Pacific Northwest", "Central"]),
         "cc_rec_start_date": ("date", 1998, 4),
         "cc_employees": ("int", 100, 700),
         "cc_sq_ft": ("int", 10_000, 700_000),

@@ -1,4 +1,4 @@
-"""TPC-DS 1.4 query corpus beyond the Impala-kit 20: thirty-one more
+"""TPC-DS 1.4 query corpus beyond the Impala-kit 20: forty-five more
 full-fidelity queries from the reference's ``runnable`` list
 (TPCDS_1_4_Queries.scala:3866-3876; texts re-derived from the public
 TPC-DS 1.4 templates), chosen to exercise the shapes the Impala set
@@ -34,6 +34,14 @@ Documented deviations from the verbatim 1.4 texts:
   shape (selective dim predicate driving a fact scan) is unchanged.
 - q17/q25/q29 rely on the datagen's planted cross-channel repurchase
   rows (see sources/datagen.py _catalog_sales_columns).
+- tranche 3 adds q16/q30/q31/q33/q47/q49/q51/q56/q57/q60/q75/q86/q94/
+  q95: ship-exists/not-exists order audits, state-avg outlier returns,
+  county quarter-over-quarter growth, 3-channel item/manufact unions,
+  monthly-series lag/lead self-joins, cumulative full-outer windows,
+  return-ratio rank unions, and year-over-year item-attr declines.
+  q41 is omitted: its correlated count subquery appears under OR, which
+  Spark cannot decorrelate — the reference excludes it from `runnable`
+  for the same reason.
 """
 
 from __future__ import annotations
@@ -45,7 +53,7 @@ from ..sources.datagen import gen_tpcds
 
 TPCDS14_TABLES = (
     "store_sales", "catalog_sales", "web_sales", "store_returns",
-    "catalog_returns", "inventory",
+    "catalog_returns", "web_returns", "inventory",
     "date_dim", "time_dim", "item", "customer", "customer_address",
     "customer_demographics", "household_demographics", "income_band",
     "store", "promotion", "reason", "warehouse", "ship_mode",
@@ -808,6 +816,612 @@ TPCDS14_QUERIES: dict[str, str] = {
           and cs_call_center_sk = cc_call_center_sk
         group by substr(w_warehouse_name,1,20), sm_type, cc_name
         order by warehouse_prefix, sm_type, cc_name
+        limit 100
+    """,
+    "q16": """
+        select
+          count(distinct cs_order_number) as order_count,
+          sum(cs_ext_ship_cost) as total_shipping_cost,
+          sum(cs_net_profit) as total_net_profit
+        from
+          catalog_sales cs1, date_dim, customer_address, call_center
+        where
+          d_date between '2002-02-01' and (cast('2002-02-01' as date) + 60)
+        and cs1.cs_ship_date_sk = d_date_sk
+        and cs1.cs_ship_addr_sk = ca_address_sk
+        and ca_state = 'GA'
+        and cs1.cs_call_center_sk = cc_call_center_sk
+        and cc_county in ('Williamson County','Williamson County','Williamson County',
+                          'Williamson County','Williamson County')
+        and exists (select *
+                   from catalog_sales cs2
+                   where cs1.cs_order_number = cs2.cs_order_number
+                     and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+        and not exists(select *
+                      from catalog_returns cr1
+                      where cs1.cs_order_number = cr1.cr_order_number)
+        order by count(distinct cs_order_number)
+        limit 100
+    """,
+    "q30": """
+        with customer_total_return as
+        (select wr_returning_customer_sk as ctr_customer_sk
+               ,ca_state as ctr_state,
+               sum(wr_return_amt) as ctr_total_return
+        from web_returns, date_dim, customer_address
+        where wr_returned_date_sk = d_date_sk
+          and d_year = 2002
+          and wr_returning_addr_sk = ca_address_sk
+        group by wr_returning_customer_sk,ca_state)
+        select c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+              ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+              ,c_last_review_date,ctr_total_return
+        from customer_total_return ctr1, customer_address, customer
+        where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+                          from customer_total_return ctr2
+                          where ctr1.ctr_state = ctr2.ctr_state)
+              and ca_address_sk = c_current_addr_sk
+              and ca_state = 'GA'
+              and ctr1.ctr_customer_sk = c_customer_sk
+        order by c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+                         ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+                         ,c_last_review_date,ctr_total_return
+        limit 100
+    """,
+    "q31": """
+        with ss as
+        (select ca_county,d_qoy, d_year,sum(ss_ext_sales_price) as store_sales
+        from store_sales,date_dim,customer_address
+        where ss_sold_date_sk = d_date_sk
+         and ss_addr_sk=ca_address_sk
+        group by ca_county,d_qoy, d_year),
+        ws as
+        (select ca_county,d_qoy, d_year,sum(ws_ext_sales_price) as web_sales
+        from web_sales,date_dim,customer_address
+        where ws_sold_date_sk = d_date_sk
+         and ws_bill_addr_sk=ca_address_sk
+        group by ca_county,d_qoy, d_year)
+        select
+               ss1.ca_county
+              ,ss1.d_year
+              ,ws2.web_sales/ws1.web_sales web_q1_q2_increase
+              ,ss2.store_sales/ss1.store_sales store_q1_q2_increase
+              ,ws3.web_sales/ws2.web_sales web_q2_q3_increase
+              ,ss3.store_sales/ss2.store_sales store_q2_q3_increase
+        from
+               ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+        where
+           ss1.d_qoy = 1
+           and ss1.d_year = 2000
+           and ss1.ca_county = ss2.ca_county
+           and ss2.d_qoy = 2
+           and ss2.d_year = 2000
+        and ss2.ca_county = ss3.ca_county
+           and ss3.d_qoy = 3
+           and ss3.d_year = 2000
+           and ss1.ca_county = ws1.ca_county
+           and ws1.d_qoy = 1
+           and ws1.d_year = 2000
+           and ws1.ca_county = ws2.ca_county
+           and ws2.d_qoy = 2
+           and ws2.d_year = 2000
+           and ws1.ca_county = ws3.ca_county
+           and ws3.d_qoy = 3
+           and ws3.d_year = 2000
+           and case when ws1.web_sales > 0 then ws2.web_sales/ws1.web_sales else null end
+              > case when ss1.store_sales > 0 then ss2.store_sales/ss1.store_sales else null end
+           and case when ws2.web_sales > 0 then ws3.web_sales/ws2.web_sales else null end
+              > case when ss2.store_sales > 0 then ss3.store_sales/ss2.store_sales else null end
+        order by ss1.ca_county
+    """,
+    "q33": """
+        with ss as (
+           select
+               i_manufact_id,sum(ss_ext_sales_price) total_sales
+           from
+               store_sales, date_dim, customer_address, item
+           where
+               i_manufact_id in (select i_manufact_id
+                                 from item
+                                 where i_category in ('Electronics'))
+                                   and ss_item_sk = i_item_sk
+                                   and ss_sold_date_sk = d_date_sk
+                                   and d_year = 1998
+                                   and d_moy = 5
+                                   and ss_addr_sk = ca_address_sk
+                                   and ca_gmt_offset = -5
+                                 group by i_manufact_id), cs as
+                (select i_manufact_id, sum(cs_ext_sales_price) total_sales
+                 from catalog_sales, date_dim, customer_address, item
+                 where
+                   i_manufact_id in (
+                       select i_manufact_id from item
+                       where
+                           i_category in ('Electronics'))
+                           and cs_item_sk = i_item_sk
+                           and cs_sold_date_sk = d_date_sk
+                           and d_year = 1998
+                           and d_moy = 5
+                           and cs_bill_addr_sk = ca_address_sk
+                           and ca_gmt_offset = -5
+                       group by i_manufact_id),
+        ws as (
+        select i_manufact_id,sum(ws_ext_sales_price) total_sales
+        from
+            web_sales, date_dim, customer_address, item
+        where
+           i_manufact_id in (select i_manufact_id from item
+                             where i_category in ('Electronics'))
+                                 and ws_item_sk = i_item_sk
+                                 and ws_sold_date_sk = d_date_sk
+                                 and d_year = 1998
+                                 and d_moy = 5
+                                 and ws_bill_addr_sk = ca_address_sk
+                                 and ca_gmt_offset = -5
+                             group by i_manufact_id)
+        select i_manufact_id ,sum(total_sales) total_sales
+        from  (select * from ss
+               union all
+               select * from cs
+               union all
+               select * from ws) tmp1
+        group by i_manufact_id
+        order by total_sales, i_manufact_id
+        limit 100
+    """,
+    "q47": """
+        with v1 as(
+        select i_category, i_brand,
+               s_store_name, s_company_name,
+               d_year, d_moy,
+               sum(ss_sales_price) sum_sales,
+               avg(sum(ss_sales_price)) over
+                 (partition by i_category, i_brand,
+                            s_store_name, s_company_name, d_year)
+                 avg_monthly_sales,
+               rank() over
+                 (partition by i_category, i_brand,
+                            s_store_name, s_company_name
+                  order by d_year, d_moy) rn
+        from item, store_sales, date_dim, store
+        where ss_item_sk = i_item_sk and
+              ss_sold_date_sk = d_date_sk and
+              ss_store_sk = s_store_sk and
+              (
+                d_year = 1999 or
+                ( d_year = 1999-1 and d_moy =12) or
+                ( d_year = 1999+1 and d_moy =1)
+              )
+        group by i_category, i_brand,
+                 s_store_name, s_company_name,
+                 d_year, d_moy),
+        v2 as(
+        select v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name, v1.d_year,
+               v1.d_moy, v1.avg_monthly_sales, v1.sum_sales, v1_lag.sum_sales psum,
+               v1_lead.sum_sales nsum
+        from v1, v1 v1_lag, v1 v1_lead
+        where v1.i_category = v1_lag.i_category and
+              v1.i_category = v1_lead.i_category and
+              v1.i_brand = v1_lag.i_brand and
+              v1.i_brand = v1_lead.i_brand and
+              v1.s_store_name = v1_lag.s_store_name and
+              v1.s_store_name = v1_lead.s_store_name and
+              v1.s_company_name = v1_lag.s_company_name and
+              v1.s_company_name = v1_lead.s_company_name and
+              v1.rn = v1_lag.rn + 1 and
+              v1.rn = v1_lead.rn - 1)
+        select * from v2
+        where  d_year = 1999 and
+               avg_monthly_sales > 0 and
+               case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+        order by sum_sales - avg_monthly_sales, s_store_name, i_category, i_brand,
+                 s_company_name, d_moy
+        limit 100
+    """,
+    "q49": """
+        select 'web' as channel, web.item, web.return_ratio, web.return_rank, web.currency_rank
+        from (
+            select
+           item, return_ratio, currency_ratio,
+             rank() over (order by return_ratio) as return_rank,
+             rank() over (order by currency_ratio) as currency_rank
+            from
+            (   select ws.ws_item_sk as item
+                ,(cast(sum(coalesce(wr.wr_return_quantity,0)) as decimal(15,4))/
+                cast(sum(coalesce(ws.ws_quantity,0)) as decimal(15,4) )) as return_ratio
+                ,(cast(sum(coalesce(wr.wr_return_amt,0)) as decimal(15,4))/
+                cast(sum(coalesce(ws.ws_net_paid,0)) as decimal(15,4) )) as currency_ratio
+                from
+                 web_sales ws left outer join web_returns wr
+                    on (ws.ws_order_number = wr.wr_order_number and
+                    ws.ws_item_sk = wr.wr_item_sk)
+               ,date_dim
+                where
+                    wr.wr_return_amt > 10000
+                    and ws.ws_net_profit > 1
+                    and ws.ws_net_paid > 0
+                    and ws.ws_quantity > 0
+                    and ws_sold_date_sk = d_date_sk
+                    and d_year = 2001
+                    and d_moy = 12
+                group by ws.ws_item_sk
+            ) in_web
+        ) web
+        where (web.return_rank <= 10 or web.currency_rank <= 10)
+        union
+        select
+           'catalog' as channel, catalog.item, catalog.return_ratio,
+           catalog.return_rank, catalog.currency_rank
+        from (
+            select
+           item, return_ratio, currency_ratio,
+             rank() over (order by return_ratio) as return_rank,
+             rank() over (order by currency_ratio) as currency_rank
+            from
+            (   select
+                cs.cs_item_sk as item
+                ,(cast(sum(coalesce(cr.cr_return_quantity,0)) as decimal(15,4))/
+                cast(sum(coalesce(cs.cs_quantity,0)) as decimal(15,4) )) as return_ratio
+                ,(cast(sum(coalesce(cr.cr_return_amount,0)) as decimal(15,4))/
+                cast(sum(coalesce(cs.cs_net_paid,0)) as decimal(15,4) )) as currency_ratio
+                from
+                catalog_sales cs left outer join catalog_returns cr
+                    on (cs.cs_order_number = cr.cr_order_number and
+                    cs.cs_item_sk = cr.cr_item_sk)
+               ,date_dim
+                where
+                    cr.cr_return_amount > 10000
+                    and cs.cs_net_profit > 1
+                    and cs.cs_net_paid > 0
+                    and cs.cs_quantity > 0
+                    and cs_sold_date_sk = d_date_sk
+                    and d_year = 2001
+                    and d_moy = 12
+                group by cs.cs_item_sk
+            ) in_cat
+        ) catalog
+        where (catalog.return_rank <= 10 or catalog.currency_rank <=10)
+        union
+        select
+           'store' as channel, store.item, store.return_ratio,
+           store.return_rank, store.currency_rank
+        from (
+            select
+             item, return_ratio, currency_ratio,
+               rank() over (order by return_ratio) as return_rank,
+               rank() over (order by currency_ratio) as currency_rank
+            from
+            (   select sts.ss_item_sk as item
+                ,(cast(sum(coalesce(sr.sr_return_quantity,0)) as decimal(15,4))/
+                      cast(sum(coalesce(sts.ss_quantity,0)) as decimal(15,4) )) as return_ratio
+                ,(cast(sum(coalesce(sr.sr_return_amt,0)) as decimal(15,4))/
+                      cast(sum(coalesce(sts.ss_net_paid,0)) as decimal(15,4) )) as currency_ratio
+                from
+                store_sales sts left outer join store_returns sr
+                    on (sts.ss_ticket_number = sr.sr_ticket_number and sts.ss_item_sk = sr.sr_item_sk)
+               ,date_dim
+                where
+                    sr.sr_return_amt > 10000
+                    and sts.ss_net_profit > 1
+                    and sts.ss_net_paid > 0
+                    and sts.ss_quantity > 0
+                    and ss_sold_date_sk = d_date_sk
+                    and d_year = 2001
+                    and d_moy = 12
+                group by sts.ss_item_sk
+            ) in_store
+        ) store
+        where (store.return_rank <= 10 or store.currency_rank <= 10)
+        order by channel, return_rank, currency_rank, item
+        limit 100
+    """,
+    "q51": """
+        WITH web_v1 as (
+        select
+          ws_item_sk item_sk, d_date,
+          sum(sum(ws_sales_price))
+              over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+        from web_sales, date_dim
+        where ws_sold_date_sk=d_date_sk
+          and d_month_seq between 1200 and 1200+11
+          and ws_item_sk is not NULL
+        group by ws_item_sk, d_date),
+        store_v1 as (
+        select
+          ss_item_sk item_sk, d_date,
+          sum(sum(ss_sales_price))
+              over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+        from store_sales, date_dim
+        where ss_sold_date_sk=d_date_sk
+          and d_month_seq between 1200 and 1200+11
+          and ss_item_sk is not NULL
+        group by ss_item_sk, d_date)
+        select *
+        from (select item_sk, d_date, web_sales, store_sales
+             ,max(web_sales)
+                 over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative
+             ,max(store_sales)
+                 over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative
+             from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk
+                         ,case when web.d_date is not null then web.d_date else store.d_date end d_date
+                         ,web.cume_sales web_sales
+                         ,store.cume_sales store_sales
+                   from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk
+                                                                  and web.d_date = store.d_date)
+                  )x )y
+        where web_cumulative > store_cumulative
+        order by item_sk, d_date
+        limit 100
+    """,
+    "q56": """
+        with ss as (
+        select i_item_id,sum(ss_ext_sales_price) total_sales
+        from
+            store_sales, date_dim, customer_address, item
+        where
+           i_item_id in (select i_item_id from item where i_color in ('slate','blanched','burnished'))
+        and     ss_item_sk              = i_item_sk
+        and     ss_sold_date_sk         = d_date_sk
+        and     d_year                  = 2001
+        and     d_moy                   = 2
+        and     ss_addr_sk              = ca_address_sk
+        and     ca_gmt_offset           = -5
+        group by i_item_id),
+        cs as (
+        select i_item_id,sum(cs_ext_sales_price) total_sales
+        from
+            catalog_sales, date_dim, customer_address, item
+        where
+           i_item_id in (select i_item_id from item where i_color in ('slate','blanched','burnished'))
+        and     cs_item_sk              = i_item_sk
+        and     cs_sold_date_sk         = d_date_sk
+        and     d_year                  = 2001
+        and     d_moy                   = 2
+        and     cs_bill_addr_sk         = ca_address_sk
+        and     ca_gmt_offset           = -5
+        group by i_item_id),
+        ws as (
+        select i_item_id,sum(ws_ext_sales_price) total_sales
+        from
+            web_sales, date_dim, customer_address, item
+        where
+           i_item_id in (select i_item_id from item where i_color in ('slate','blanched','burnished'))
+        and     ws_item_sk              = i_item_sk
+        and     ws_sold_date_sk         = d_date_sk
+        and     d_year                  = 2001
+        and     d_moy                   = 2
+        and     ws_bill_addr_sk         = ca_address_sk
+        and     ca_gmt_offset           = -5
+        group by i_item_id)
+        select i_item_id ,sum(total_sales) total_sales
+        from  (select * from ss
+               union all
+               select * from cs
+               union all
+               select * from ws) tmp1
+        group by i_item_id
+        order by total_sales, i_item_id
+        limit 100
+    """,
+    "q57": """
+        with v1 as(
+        select i_category, i_brand,
+               cc_name,
+               d_year, d_moy,
+               sum(cs_sales_price) sum_sales,
+               avg(sum(cs_sales_price)) over
+                 (partition by i_category, i_brand, cc_name, d_year)
+                 avg_monthly_sales,
+               rank() over
+                 (partition by i_category, i_brand, cc_name
+                  order by d_year, d_moy) rn
+        from item, catalog_sales, date_dim, call_center
+        where cs_item_sk = i_item_sk and
+              cs_sold_date_sk = d_date_sk and
+              cc_call_center_sk= cs_call_center_sk and
+              (
+                d_year = 1999 or
+                ( d_year = 1999-1 and d_moy =12) or
+                ( d_year = 1999+1 and d_moy =1)
+              )
+        group by i_category, i_brand,
+                 cc_name , d_year, d_moy),
+        v2 as(
+        select v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy
+               ,v1.avg_monthly_sales
+               ,v1.sum_sales, v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+        from v1, v1 v1_lag, v1 v1_lead
+        where v1.i_category = v1_lag.i_category and
+              v1.i_category = v1_lead.i_category and
+              v1.i_brand = v1_lag.i_brand and
+              v1.i_brand = v1_lead.i_brand and
+              v1.cc_name = v1_lag.cc_name and
+              v1.cc_name = v1_lead.cc_name and
+              v1.rn = v1_lag.rn + 1 and
+              v1.rn = v1_lead.rn - 1)
+        select * from v2
+        where  d_year = 1999 and
+               avg_monthly_sales > 0 and
+               case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+        order by sum_sales - avg_monthly_sales, cc_name, i_category, i_brand, d_moy
+        limit 100
+    """,
+    "q60": """
+        with ss as (
+           select i_item_id,sum(ss_ext_sales_price) total_sales
+           from store_sales, date_dim, customer_address, item
+           where
+               i_item_id in (select i_item_id from item where i_category in ('Music'))
+           and     ss_item_sk              = i_item_sk
+           and     ss_sold_date_sk         = d_date_sk
+           and     d_year                  = 1998
+           and     d_moy                   = 9
+           and     ss_addr_sk              = ca_address_sk
+           and     ca_gmt_offset           = -5
+           group by i_item_id),
+         cs as (
+           select i_item_id,sum(cs_ext_sales_price) total_sales
+           from catalog_sales, date_dim, customer_address, item
+           where
+               i_item_id in (select i_item_id from item where i_category in ('Music'))
+           and     cs_item_sk              = i_item_sk
+           and     cs_sold_date_sk         = d_date_sk
+           and     d_year                  = 1998
+           and     d_moy                   = 9
+           and     cs_bill_addr_sk         = ca_address_sk
+           and     ca_gmt_offset           = -5
+           group by i_item_id),
+         ws as (
+           select i_item_id,sum(ws_ext_sales_price) total_sales
+           from web_sales, date_dim, customer_address, item
+           where
+               i_item_id in (select i_item_id from item where i_category in ('Music'))
+           and     ws_item_sk              = i_item_sk
+           and     ws_sold_date_sk         = d_date_sk
+           and     d_year                  = 1998
+           and     d_moy                   = 9
+           and     ws_bill_addr_sk         = ca_address_sk
+           and     ca_gmt_offset           = -5
+           group by i_item_id)
+        select i_item_id, sum(total_sales) total_sales
+        from  (select * from ss
+               union all
+               select * from cs
+               union all
+               select * from ws) tmp1
+        group by i_item_id
+        order by i_item_id, total_sales
+        limit 100
+    """,
+    "q75": """
+        WITH all_sales AS (
+           SELECT
+               d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+               SUM(sales_cnt) AS sales_cnt, SUM(sales_amt) AS sales_amt
+           FROM (
+               SELECT
+                   d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+                   cs_quantity - COALESCE(cr_return_quantity,0) AS sales_cnt,
+                   cs_ext_sales_price - COALESCE(cr_return_amount,0.0) AS sales_amt
+               FROM catalog_sales
+               JOIN item ON i_item_sk=cs_item_sk
+               JOIN date_dim ON d_date_sk=cs_sold_date_sk
+               LEFT JOIN catalog_returns ON (cs_order_number=cr_order_number
+                                             AND cs_item_sk=cr_item_sk)
+               WHERE i_category='Books'
+               UNION
+               SELECT
+                   d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+                    ss_quantity - COALESCE(sr_return_quantity,0) AS sales_cnt,
+                    ss_ext_sales_price - COALESCE(sr_return_amt,0.0) AS sales_amt
+               FROM store_sales
+               JOIN item ON i_item_sk=ss_item_sk
+               JOIN date_dim ON d_date_sk=ss_sold_date_sk
+               LEFT JOIN store_returns ON (ss_ticket_number=sr_ticket_number
+                                           AND ss_item_sk=sr_item_sk)
+               WHERE i_category='Books'
+               UNION
+               SELECT
+                   d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+                   ws_quantity - COALESCE(wr_return_quantity,0) AS sales_cnt,
+                   ws_ext_sales_price - COALESCE(wr_return_amt,0.0) AS sales_amt
+               FROM web_sales
+               JOIN item ON i_item_sk=ws_item_sk
+               JOIN date_dim ON d_date_sk=ws_sold_date_sk
+               LEFT JOIN web_returns ON (ws_order_number=wr_order_number
+                                         AND ws_item_sk=wr_item_sk)
+               WHERE i_category='Books') sales_detail
+           GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+        SELECT
+           prev_yr.d_year AS prev_year, curr_yr.d_year AS year_, curr_yr.i_brand_id,
+           curr_yr.i_class_id, curr_yr.i_category_id, curr_yr.i_manufact_id,
+           prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
+           curr_yr.sales_cnt-prev_yr.sales_cnt AS sales_cnt_diff,
+           curr_yr.sales_amt-prev_yr.sales_amt AS sales_amt_diff
+        FROM all_sales curr_yr, all_sales prev_yr
+        WHERE curr_yr.i_brand_id=prev_yr.i_brand_id
+          AND curr_yr.i_class_id=prev_yr.i_class_id
+          AND curr_yr.i_category_id=prev_yr.i_category_id
+          AND curr_yr.i_manufact_id=prev_yr.i_manufact_id
+          AND curr_yr.d_year=2002
+          AND prev_yr.d_year=2002-1
+          AND prev_yr.sales_cnt <> 0
+          AND CAST(curr_yr.sales_cnt AS DECIMAL(17,2))/CAST(prev_yr.sales_cnt AS DECIMAL(17,2))<0.9
+        ORDER BY sales_cnt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
+                 curr_yr.i_category_id, curr_yr.i_manufact_id
+        LIMIT 100
+    """,
+    "q86": """
+        select sum(ws_net_paid) as total_sum, i_category, i_class,
+         grouping(i_category)+grouping(i_class) as lochierarchy,
+         rank() over (
+                partition by grouping(i_category)+grouping(i_class),
+                case when grouping(i_class) = 0 then i_category end
+                order by sum(ws_net_paid) desc) as rank_within_parent
+        from
+           web_sales, date_dim d1, item
+        where
+           d1.d_month_seq between 1200 and 1200+11
+        and d1.d_date_sk = ws_sold_date_sk
+        and i_item_sk  = ws_item_sk
+        group by rollup(i_category,i_class)
+        order by
+          lochierarchy desc,
+          case when lochierarchy = 0 then i_category end,
+          rank_within_parent, i_category, i_class
+        limit 100
+    """,
+    "q94": """
+        select
+           count(distinct ws_order_number) as order_count
+          ,sum(ws_ext_ship_cost) as total_shipping_cost
+          ,sum(ws_net_profit) as total_net_profit
+        from
+           web_sales ws1, date_dim, customer_address, web_site
+        where
+            d_date between '1999-02-01' and
+                   (cast('1999-02-01' as date) + 60)
+        and ws1.ws_ship_date_sk = d_date_sk
+        and ws1.ws_ship_addr_sk = ca_address_sk
+        and ca_state = 'IL'
+        and ws1.ws_web_site_sk = web_site_sk
+        and web_company_name = 'pri'
+        and exists (select *
+                    from web_sales ws2
+                    where ws1.ws_order_number = ws2.ws_order_number
+                      and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+        and not exists(select *
+                       from web_returns wr1
+                       where ws1.ws_order_number = wr1.wr_order_number)
+        order by count(distinct ws_order_number)
+        limit 100
+    """,
+    "q95": """
+        with ws_wh as
+        (select ws1.ws_order_number,ws1.ws_warehouse_sk wh1,ws2.ws_warehouse_sk wh2
+         from web_sales ws1,web_sales ws2
+         where ws1.ws_order_number = ws2.ws_order_number
+           and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+        select
+           count(distinct ws_order_number) as order_count
+          ,sum(ws_ext_ship_cost) as total_shipping_cost
+          ,sum(ws_net_profit) as total_net_profit
+        from
+           web_sales ws1, date_dim, customer_address, web_site
+        where
+            d_date between '1999-02-01' and
+                   (cast('1999-02-01' as date) + 60)
+        and ws1.ws_ship_date_sk = d_date_sk
+        and ws1.ws_ship_addr_sk = ca_address_sk
+        and ca_state = 'IL'
+        and ws1.ws_web_site_sk = web_site_sk
+        and web_company_name = 'pri'
+        and ws1.ws_order_number in (select ws_order_number
+                                    from ws_wh)
+        and ws1.ws_order_number in (select wr_order_number
+                                    from web_returns,ws_wh
+                                    where wr_order_number = ws_wh.ws_order_number)
+        order by count(distinct ws_order_number)
         limit 100
     """,
     "q97": """

@@ -264,6 +264,7 @@ def _date_dim_columns() -> dict[str, object]:
 
 def _returns_columns(
     rp: str, sp: str, sales_table: str, extras: dict[str, object] | None = None,
+    amt_col: str | None = None,
 ):
     """Returns-table factory ALIGNED to its sales channel: each return row
     maps to sales row ``id*10`` (row counts keep a fixed 10:1 ratio across
@@ -305,7 +306,7 @@ def _returns_columns(
             f"{rp}_return_quantity": lambda idc: (
                 F.pmod(_h(f"{rp}_rq", idc), quantity_sold(idc)) + 1
             ),
-            f"{rp}_return_amt": ("money", 0.0, 20_000.0),
+            amt_col or f"{rp}_return_amt": ("money", 0.0, 20_000.0),
             f"{rp}_net_loss": ("money", 0.0, 10_000.0),
         }
         cols.update(extras or {})
@@ -324,6 +325,9 @@ def _returns_columns(
         elif rp == "wr":
             cols["wr_refunded_customer_sk"] = per_basket("ws_customer_sk", 1, 100_000)
             cols["wr_refunded_cdemo_sk"] = per_basket("ws_cdemo_sk", 1, 1_920_800)
+            # dsdgen: the returning party is usually the buyer
+            cols["wr_returning_customer_sk"] = per_basket("ws_customer_sk", 1, 100_000)
+            cols["wr_returning_addr_sk"] = per_basket("ws_addr_sk", 1, 50_000)
             cols["wr_order_number"] = tkt
             cols["wr_reason_sk"] = ("int", 1, 35)
         return cols
@@ -369,6 +373,8 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
         "cs", demo_prefix="bill_", order_col="cs_order_number",
         extras={
             "cs_ship_date_sk": _ship_date("cs"),
+            "cs_ship_addr_sk": _per_ticket_int("cs_ship_addr_sk", 1, 50_000),
+            "cs_ext_ship_cost": ("money", 0.0, 1_000.0),
             "cs_warehouse_sk": ("int", 1, 5),
             "cs_call_center_sk": ("int", 1, 6),
             "cs_catalog_page_sk": ("int", 1, 11_718),
@@ -387,6 +393,8 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         extras={
             "ws_ship_date_sk": _ship_date("ws"),
             "ws_ship_hdemo_sk": _per_ticket_int("ws_ship_hdemo_sk", 1, 7_200),
+            "ws_ship_addr_sk": _per_ticket_int("ws_ship_addr_sk", 1, 50_000),
+            "ws_ext_ship_cost": ("money", 0.0, 1_000.0),
             "ws_warehouse_sk": ("int", 1, 5),
             "ws_web_page_sk": ("int", 1, 60),
             "ws_web_site_sk": ("int", 1, 30),
@@ -398,6 +406,8 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     "catalog_returns": _returns_columns(
         "cr", "cs", "catalog_sales",
         extras={"cr_refunded_cash": ("money", 0.0, 10_000.0)},
+        # real TPC-DS name: catalog uses _amount, store/web use _amt
+        amt_col="cr_return_amount",
     ),
     "web_returns": _returns_columns("wr", "ws", "web_sales"),
     "inventory": {
@@ -440,6 +450,18 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "i_manufact": ("choice", [f"manufact#{i}" for i in range(1, 101)]),
         "i_manager_id": ("int", 1, 100),
         "i_product_name": ("string", "Product "),
+        # color/units/size carry the dsdgen vocabulary the corpus filters
+        # on (q41 combo predicates, q56 color subsets)
+        "i_color": ("choice", ["slate", "blanched", "burnished", "powder",
+                               "khaki", "brown", "honeydew", "floral",
+                               "deep", "light", "cornflower", "midnight",
+                               "snow", "beige", "rose", "smoke", "pale",
+                               "metallic", "antique", "chiffon"]),
+        "i_units": ("choice", ["Ounce", "Oz", "Bunch", "Ton", "N/A",
+                               "Dozen", "Box", "Pound", "Pallet", "Gross",
+                               "Each", "Lb", "Carton", "Case"]),
+        "i_size": ("choice", ["medium", "extra large", "N/A", "small",
+                              "petite", "large", "economy"]),
     },
     "customer": {
         "c_customer_sk": ("key",),
@@ -451,8 +473,14 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "c_first_name": ("string", "First"),
         "c_last_name": ("string", "Last"),
         "c_preferred_cust_flag": ("choice", ["Y", "N"]),
+        "c_birth_day": ("int", 1, 28),
+        "c_birth_month": ("int", 1, 12),
         "c_birth_year": ("int", 1924, 1992),
+        "c_birth_country": ("choice", ["UNITED STATES", "CANADA", "MEXICO",
+                                       "GERMANY", "JAPAN", "BRAZIL"]),
+        "c_login": ("string", "login"),
         "c_email_address": ("string", "cust@example"),
+        "c_last_review_date": _DATE_SK,
     },
     "customer_address": {
         "ca_address_sk": ("key",),
@@ -556,6 +584,8 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "web_site_sk": ("key",),
         "web_site_id": ("string", "SITE_"),
         "web_name": ("string", "site"),
+        # cycled: q94/q95 filter web_company_name = 'pri'
+        "web_company_name": _cycle(["pri", "able", "ought", "Unknown"]),
         "web_open_date_sk": _DATE_SK,
     },
     "call_center": {
@@ -564,6 +594,8 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         # cycled (6 rows must cover the vocabulary q99 groups on)
         "cc_name": _cycle(["NY Metro", "Mid Atlantic", "North Midwest",
                            "California", "Pacific Northwest", "Central"]),
+        # cycled so 'Williamson County' (q16's filter) is always present
+        "cc_county": _cycle(_COUNTIES),
         "cc_rec_start_date": ("date", 1998, 4),
         "cc_employees": ("int", 100, 700),
         "cc_sq_ft": ("int", 10_000, 700_000),

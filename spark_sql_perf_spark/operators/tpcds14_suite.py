@@ -42,6 +42,13 @@ Documented deviations from the verbatim 1.4 texts:
   q41 is omitted: its correlated count subquery appears under OR, which
   Spark cannot decorrelate — the reference excludes it from `runnable`
   for the same reason.
+- tranche 4 adds q4/q11/q74 (year-over-year customer-channel growth),
+  q18/q61/q66/q67/q70/q71/q77/q81. NULLS FIRST is spelled explicitly on
+  rollup-nullable ORDER BY keys (Spark default is nulls-first, DuckDB's
+  is nulls-last — the LIMIT cut must agree); q18's state list maps to
+  the generated vocabulary; q4/q11/q74 are volume-driven (customers
+  active in two channels across consecutive years) and verified at
+  sf0.1 in tests/test_tpcds14_yoy.py rather than sf0.01.
 """
 
 from __future__ import annotations
@@ -50,6 +57,10 @@ from pyspark.sql import SparkSession
 
 from ..query import Query
 from ..sources.datagen import gen_tpcds
+
+# Year-over-year family: needs two-channel customer overlap in
+# consecutive years, which is a data-VOLUME property — tested at sf0.1
+TPCDS14_YOY = ("q4", "q11", "q74")
 
 TPCDS14_TABLES = (
     "store_sales", "catalog_sales", "web_sales", "store_returns",
@@ -1422,6 +1433,583 @@ TPCDS14_QUERIES: dict[str, str] = {
                                     from web_returns,ws_wh
                                     where wr_order_number = ws_wh.ws_order_number)
         order by count(distinct ws_order_number)
+        limit 100
+    """,
+    "q4": """
+        WITH year_total AS (
+         SELECT c_customer_id customer_id,
+                c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                c_preferred_cust_flag customer_preferred_cust_flag,
+                c_birth_country customer_birth_country,
+                c_login customer_login,
+                c_email_address customer_email_address,
+                d_year dyear,
+                sum(((ss_ext_list_price-ss_ext_wholesale_cost-ss_ext_discount_amt)+ss_ext_sales_price)/2) year_total,
+                's' sale_type
+         FROM customer, store_sales, date_dim
+         WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+         GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+                  c_birth_country, c_login, c_email_address, d_year
+         UNION ALL
+         SELECT c_customer_id customer_id,
+                c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                c_preferred_cust_flag customer_preferred_cust_flag,
+                c_birth_country customer_birth_country,
+                c_login customer_login,
+                c_email_address customer_email_address,
+                d_year dyear,
+                sum((((cs_ext_list_price-cs_ext_wholesale_cost-cs_ext_discount_amt)+cs_ext_sales_price)/2) ) year_total,
+                'c' sale_type
+         FROM customer, catalog_sales, date_dim
+         WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+         GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+                  c_birth_country, c_login, c_email_address, d_year
+         UNION ALL
+         SELECT c_customer_id customer_id,
+                c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                c_preferred_cust_flag customer_preferred_cust_flag,
+                c_birth_country customer_birth_country,
+                c_login customer_login,
+                c_email_address customer_email_address,
+                d_year dyear,
+                sum((((ws_ext_list_price-ws_ext_wholesale_cost-ws_ext_discount_amt)+ws_ext_sales_price)/2) ) year_total,
+                'w' sale_type
+         FROM customer, web_sales, date_dim
+         WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+         GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+                  c_birth_country, c_login, c_email_address, d_year)
+        SELECT
+          t_s_secyear.customer_id,
+          t_s_secyear.customer_first_name,
+          t_s_secyear.customer_last_name,
+          t_s_secyear.customer_preferred_cust_flag,
+          t_s_secyear.customer_birth_country,
+          t_s_secyear.customer_login,
+          t_s_secyear.customer_email_address
+        FROM year_total t_s_firstyear, year_total t_s_secyear, year_total t_c_firstyear,
+             year_total t_c_secyear, year_total t_w_firstyear, year_total t_w_secyear
+        WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+          and t_s_firstyear.customer_id = t_c_secyear.customer_id
+          and t_s_firstyear.customer_id = t_c_firstyear.customer_id
+          and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+          and t_s_firstyear.customer_id = t_w_secyear.customer_id
+          and t_s_firstyear.sale_type = 's'
+          and t_c_firstyear.sale_type = 'c'
+          and t_w_firstyear.sale_type = 'w'
+          and t_s_secyear.sale_type = 's'
+          and t_c_secyear.sale_type = 'c'
+          and t_w_secyear.sale_type = 'w'
+          and t_s_firstyear.dyear = 2001
+          and t_s_secyear.dyear = 2001+1
+          and t_c_firstyear.dyear = 2001
+          and t_c_secyear.dyear = 2001+1
+          and t_w_firstyear.dyear = 2001
+          and t_w_secyear.dyear = 2001+1
+          and t_s_firstyear.year_total > 0
+          and t_c_firstyear.year_total > 0
+          and t_w_firstyear.year_total > 0
+          and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+                  > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
+          and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+                  > case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end
+        ORDER BY
+          t_s_secyear.customer_id,
+          t_s_secyear.customer_first_name,
+          t_s_secyear.customer_last_name,
+          t_s_secyear.customer_preferred_cust_flag,
+          t_s_secyear.customer_birth_country,
+          t_s_secyear.customer_login,
+          t_s_secyear.customer_email_address
+        LIMIT 100
+    """,
+    "q11": """
+        with year_total as (
+        select c_customer_id customer_id
+              ,c_first_name customer_first_name
+              ,c_last_name customer_last_name
+              ,c_preferred_cust_flag customer_preferred_cust_flag
+              ,c_birth_country customer_birth_country
+              ,c_login customer_login
+              ,c_email_address customer_email_address
+              ,d_year dyear
+              ,sum(ss_ext_list_price-ss_ext_discount_amt) year_total
+              ,'s' sale_type
+        from customer, store_sales, date_dim
+        where c_customer_sk = ss_customer_sk
+          and ss_sold_date_sk = d_date_sk
+        group by c_customer_id, c_first_name, c_last_name, d_year,
+                 c_preferred_cust_flag, c_birth_country, c_login, c_email_address
+        union all
+        select c_customer_id customer_id
+              ,c_first_name customer_first_name
+              ,c_last_name customer_last_name
+              ,c_preferred_cust_flag customer_preferred_cust_flag
+              ,c_birth_country customer_birth_country
+              ,c_login customer_login
+              ,c_email_address customer_email_address
+              ,d_year dyear
+              ,sum(ws_ext_list_price-ws_ext_discount_amt) year_total
+              ,'w' sale_type
+        from customer, web_sales, date_dim
+        where c_customer_sk = ws_bill_customer_sk
+          and ws_sold_date_sk = d_date_sk
+        group by
+           c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag, c_birth_country,
+           c_login, c_email_address, d_year)
+        select
+           t_s_secyear.customer_preferred_cust_flag
+        from year_total t_s_firstyear
+            ,year_total t_s_secyear
+            ,year_total t_w_firstyear
+            ,year_total t_w_secyear
+        where t_s_secyear.customer_id = t_s_firstyear.customer_id
+                and t_s_firstyear.customer_id = t_w_secyear.customer_id
+                and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+                and t_s_firstyear.sale_type = 's'
+                and t_w_firstyear.sale_type = 'w'
+                and t_s_secyear.sale_type = 's'
+                and t_w_secyear.sale_type = 'w'
+                and t_s_firstyear.dyear = 2001
+                and t_s_secyear.dyear = 2001+1
+                and t_w_firstyear.dyear = 2001
+                and t_w_secyear.dyear = 2001+1
+                and t_s_firstyear.year_total > 0
+                and t_w_firstyear.year_total > 0
+                and case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end
+                    > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
+        order by t_s_secyear.customer_preferred_cust_flag
+        LIMIT 100
+    """,
+    "q74": """
+        with year_total as (
+        select
+           c_customer_id customer_id, c_first_name customer_first_name,
+           c_last_name customer_last_name, d_year as year_,
+           sum(ss_net_paid) year_total, 's' sale_type
+        from
+           customer, store_sales, date_dim
+        where c_customer_sk = ss_customer_sk
+           and ss_sold_date_sk = d_date_sk
+           and d_year in (2001,2001+1)
+        group by
+           c_customer_id, c_first_name, c_last_name, d_year
+        union all
+        select
+           c_customer_id customer_id, c_first_name customer_first_name,
+           c_last_name customer_last_name, d_year as year_,
+           sum(ws_net_paid) year_total, 'w' sale_type
+        from
+           customer, web_sales, date_dim
+        where c_customer_sk = ws_bill_customer_sk
+           and ws_sold_date_sk = d_date_sk
+           and d_year in (2001,2001+1)
+        group by
+           c_customer_id, c_first_name, c_last_name, d_year)
+        select
+           t_s_secyear.customer_id, t_s_secyear.customer_first_name, t_s_secyear.customer_last_name
+        from
+           year_total t_s_firstyear, year_total t_s_secyear,
+           year_total t_w_firstyear, year_total t_w_secyear
+        where t_s_secyear.customer_id = t_s_firstyear.customer_id
+           and t_s_firstyear.customer_id = t_w_secyear.customer_id
+           and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+           and t_s_firstyear.sale_type = 's'
+           and t_w_firstyear.sale_type = 'w'
+           and t_s_secyear.sale_type = 's'
+           and t_w_secyear.sale_type = 'w'
+           and t_s_firstyear.year_ = 2001
+           and t_s_secyear.year_ = 2001+1
+           and t_w_firstyear.year_ = 2001
+           and t_w_secyear.year_ = 2001+1
+           and t_s_firstyear.year_total > 0
+           and t_w_firstyear.year_total > 0
+           and case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end
+             > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
+        order by t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+                 t_s_secyear.customer_last_name
+        limit 100
+    """,
+    "q18": """
+        select i_item_id,
+               ca_country,
+               ca_state,
+               ca_county,
+               avg( cast(cs_quantity as decimal(12,2))) agg1,
+               avg( cast(cs_list_price as decimal(12,2))) agg2,
+               avg( cast(cs_coupon_amt as decimal(12,2))) agg3,
+               avg( cast(cs_sales_price as decimal(12,2))) agg4,
+               avg( cast(cs_net_profit as decimal(12,2))) agg5,
+               avg( cast(c_birth_year as decimal(12,2))) agg6,
+               avg( cast(cd1.cd_dep_count as decimal(12,2))) agg7
+        from catalog_sales, customer_demographics cd1,
+             customer_demographics cd2, customer, customer_address, date_dim, item
+        where cs_sold_date_sk = d_date_sk and
+              cs_item_sk = i_item_sk and
+              cs_bill_cdemo_sk = cd1.cd_demo_sk and
+              cs_bill_customer_sk = c_customer_sk and
+              cd1.cd_gender = 'F' and
+              cd1.cd_education_status = 'Unknown' and
+              c_current_cdemo_sk = cd2.cd_demo_sk and
+              c_current_addr_sk = ca_address_sk and
+              c_birth_month in (1,6,8,9,12,2) and
+              d_year = 1998 and
+              ca_state  in ('MI','IN','ND','OK','NM','GA')
+        group by rollup (i_item_id, ca_country, ca_state, ca_county)
+        order by ca_country NULLS FIRST, ca_state NULLS FIRST,
+                 ca_county NULLS FIRST, i_item_id NULLS FIRST
+        LIMIT 100
+    """,
+    "q61": """
+        select promotions,total,
+               cast(promotions as decimal(15,4))/cast(total as decimal(15,4))*100 as promo_pct
+        from
+          (select sum(ss_ext_sales_price) promotions
+            from  store_sales, store, promotion, date_dim, customer, customer_address, item
+            where ss_sold_date_sk = d_date_sk
+            and   ss_store_sk = s_store_sk
+            and   ss_promo_sk = p_promo_sk
+            and   ss_customer_sk= c_customer_sk
+            and   ca_address_sk = c_current_addr_sk
+            and   ss_item_sk = i_item_sk
+            and   ca_gmt_offset = -5
+            and   i_category = 'Jewelry'
+            and   (p_channel_dmail = 'Y' or p_channel_email = 'Y' or p_channel_tv = 'Y')
+            and   s_gmt_offset = -5
+            and   d_year = 1998
+            and   d_moy  = 11) promotional_sales,
+          (select sum(ss_ext_sales_price) total
+            from  store_sales, store, date_dim, customer, customer_address, item
+            where ss_sold_date_sk = d_date_sk
+            and   ss_store_sk = s_store_sk
+            and   ss_customer_sk= c_customer_sk
+            and   ca_address_sk = c_current_addr_sk
+            and   ss_item_sk = i_item_sk
+            and   ca_gmt_offset = -5
+            and   i_category = 'Jewelry'
+            and   s_gmt_offset = -5
+            and   d_year = 1998
+            and   d_moy  = 11) all_sales
+        order by promotions, total
+        limit 100
+    """,
+    "q66": """
+        select w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country,
+           ship_carriers, year_
+              ,sum(jan_sales) as jan_sales
+              ,sum(feb_sales) as feb_sales
+              ,sum(mar_sales) as mar_sales
+              ,sum(apr_sales) as apr_sales
+              ,sum(may_sales) as may_sales
+              ,sum(jun_sales) as jun_sales
+              ,sum(jul_sales) as jul_sales
+              ,sum(aug_sales) as aug_sales
+              ,sum(sep_sales) as sep_sales
+              ,sum(oct_sales) as oct_sales
+              ,sum(nov_sales) as nov_sales
+              ,sum(dec_sales) as dec_sales
+              ,sum(jan_sales/w_warehouse_sq_ft) as jan_sales_per_sq_foot
+              ,sum(feb_sales/w_warehouse_sq_ft) as feb_sales_per_sq_foot
+              ,sum(mar_sales/w_warehouse_sq_ft) as mar_sales_per_sq_foot
+              ,sum(apr_sales/w_warehouse_sq_ft) as apr_sales_per_sq_foot
+              ,sum(may_sales/w_warehouse_sq_ft) as may_sales_per_sq_foot
+              ,sum(jun_sales/w_warehouse_sq_ft) as jun_sales_per_sq_foot
+              ,sum(jul_sales/w_warehouse_sq_ft) as jul_sales_per_sq_foot
+              ,sum(aug_sales/w_warehouse_sq_ft) as aug_sales_per_sq_foot
+              ,sum(sep_sales/w_warehouse_sq_ft) as sep_sales_per_sq_foot
+              ,sum(oct_sales/w_warehouse_sq_ft) as oct_sales_per_sq_foot
+              ,sum(nov_sales/w_warehouse_sq_ft) as nov_sales_per_sq_foot
+              ,sum(dec_sales/w_warehouse_sq_ft) as dec_sales_per_sq_foot
+              ,sum(jan_net) as jan_net
+              ,sum(feb_net) as feb_net
+              ,sum(mar_net) as mar_net
+              ,sum(apr_net) as apr_net
+              ,sum(may_net) as may_net
+              ,sum(jun_net) as jun_net
+              ,sum(jul_net) as jul_net
+              ,sum(aug_net) as aug_net
+              ,sum(sep_net) as sep_net
+              ,sum(oct_net) as oct_net
+              ,sum(nov_net) as nov_net
+              ,sum(dec_net) as dec_net
+        from (
+           (select
+                w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country
+                   ,concat('DHL', ',', 'BARIAN') as ship_carriers
+             ,d_year as year_
+                ,sum(case when d_moy = 1 then ws_ext_sales_price * ws_quantity else 0 end) as jan_sales
+                ,sum(case when d_moy = 2 then ws_ext_sales_price * ws_quantity else 0 end) as feb_sales
+                ,sum(case when d_moy = 3 then ws_ext_sales_price * ws_quantity else 0 end) as mar_sales
+                ,sum(case when d_moy = 4 then ws_ext_sales_price * ws_quantity else 0 end) as apr_sales
+                ,sum(case when d_moy = 5 then ws_ext_sales_price * ws_quantity else 0 end) as may_sales
+                ,sum(case when d_moy = 6 then ws_ext_sales_price * ws_quantity else 0 end) as jun_sales
+                ,sum(case when d_moy = 7 then ws_ext_sales_price * ws_quantity else 0 end) as jul_sales
+                ,sum(case when d_moy = 8 then ws_ext_sales_price * ws_quantity else 0 end) as aug_sales
+                ,sum(case when d_moy = 9 then ws_ext_sales_price * ws_quantity else 0 end) as sep_sales
+                ,sum(case when d_moy = 10 then ws_ext_sales_price * ws_quantity else 0 end) as oct_sales
+                ,sum(case when d_moy = 11 then ws_ext_sales_price * ws_quantity else 0 end) as nov_sales
+                ,sum(case when d_moy = 12 then ws_ext_sales_price * ws_quantity else 0 end) as dec_sales
+                ,sum(case when d_moy = 1 then ws_net_paid * ws_quantity else 0 end) as jan_net
+                ,sum(case when d_moy = 2 then ws_net_paid * ws_quantity else 0 end) as feb_net
+                ,sum(case when d_moy = 3 then ws_net_paid * ws_quantity else 0 end) as mar_net
+                ,sum(case when d_moy = 4 then ws_net_paid * ws_quantity else 0 end) as apr_net
+                ,sum(case when d_moy = 5 then ws_net_paid * ws_quantity else 0 end) as may_net
+                ,sum(case when d_moy = 6 then ws_net_paid * ws_quantity else 0 end) as jun_net
+                ,sum(case when d_moy = 7 then ws_net_paid * ws_quantity else 0 end) as jul_net
+                ,sum(case when d_moy = 8 then ws_net_paid * ws_quantity else 0 end) as aug_net
+                ,sum(case when d_moy = 9 then ws_net_paid * ws_quantity else 0 end) as sep_net
+                ,sum(case when d_moy = 10 then ws_net_paid * ws_quantity else 0 end) as oct_net
+                ,sum(case when d_moy = 11 then ws_net_paid * ws_quantity else 0 end) as nov_net
+                ,sum(case when d_moy = 12 then ws_net_paid * ws_quantity else 0 end) as dec_net
+           from
+             web_sales, warehouse, date_dim, time_dim, ship_mode
+           where
+             ws_warehouse_sk =  w_warehouse_sk
+             and ws_sold_date_sk = d_date_sk
+             and ws_sold_time_sk = t_time_sk
+                and ws_ship_mode_sk = sm_ship_mode_sk
+             and d_year = 2001
+                and t_time between 30838 and 30838+28800
+                and sm_carrier in ('DHL','BARIAN')
+          group by
+             w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country, d_year)
+        union all
+           (select w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country
+                   ,concat('DHL', ',', 'BARIAN') as ship_carriers
+             ,d_year as year_
+                ,sum(case when d_moy = 1 then cs_sales_price * cs_quantity else 0 end) as jan_sales
+                ,sum(case when d_moy = 2 then cs_sales_price * cs_quantity else 0 end) as feb_sales
+                ,sum(case when d_moy = 3 then cs_sales_price * cs_quantity else 0 end) as mar_sales
+                ,sum(case when d_moy = 4 then cs_sales_price * cs_quantity else 0 end) as apr_sales
+                ,sum(case when d_moy = 5 then cs_sales_price * cs_quantity else 0 end) as may_sales
+                ,sum(case when d_moy = 6 then cs_sales_price * cs_quantity else 0 end) as jun_sales
+                ,sum(case when d_moy = 7 then cs_sales_price * cs_quantity else 0 end) as jul_sales
+                ,sum(case when d_moy = 8 then cs_sales_price * cs_quantity else 0 end) as aug_sales
+                ,sum(case when d_moy = 9 then cs_sales_price * cs_quantity else 0 end) as sep_sales
+                ,sum(case when d_moy = 10 then cs_sales_price * cs_quantity else 0 end) as oct_sales
+                ,sum(case when d_moy = 11 then cs_sales_price * cs_quantity else 0 end) as nov_sales
+                ,sum(case when d_moy = 12 then cs_sales_price * cs_quantity else 0 end) as dec_sales
+                ,sum(case when d_moy = 1 then cs_net_paid_inc_tax * cs_quantity else 0 end) as jan_net
+                ,sum(case when d_moy = 2 then cs_net_paid_inc_tax * cs_quantity else 0 end) as feb_net
+                ,sum(case when d_moy = 3 then cs_net_paid_inc_tax * cs_quantity else 0 end) as mar_net
+                ,sum(case when d_moy = 4 then cs_net_paid_inc_tax * cs_quantity else 0 end) as apr_net
+                ,sum(case when d_moy = 5 then cs_net_paid_inc_tax * cs_quantity else 0 end) as may_net
+                ,sum(case when d_moy = 6 then cs_net_paid_inc_tax * cs_quantity else 0 end) as jun_net
+                ,sum(case when d_moy = 7 then cs_net_paid_inc_tax * cs_quantity else 0 end) as jul_net
+                ,sum(case when d_moy = 8 then cs_net_paid_inc_tax * cs_quantity else 0 end) as aug_net
+                ,sum(case when d_moy = 9 then cs_net_paid_inc_tax * cs_quantity else 0 end) as sep_net
+                ,sum(case when d_moy = 10 then cs_net_paid_inc_tax * cs_quantity else 0 end) as oct_net
+                ,sum(case when d_moy = 11 then cs_net_paid_inc_tax * cs_quantity else 0 end) as nov_net
+                ,sum(case when d_moy = 12 then cs_net_paid_inc_tax * cs_quantity else 0 end) as dec_net
+            from
+               catalog_sales, warehouse, date_dim, time_dim, ship_mode
+            where
+               cs_warehouse_sk =  w_warehouse_sk
+               and cs_sold_date_sk = d_date_sk
+               and cs_sold_time_sk = t_time_sk
+                 and cs_ship_mode_sk = sm_ship_mode_sk
+               and d_year = 2001
+                 and t_time between 30838 AND 30838+28800
+                 and sm_carrier in ('DHL','BARIAN')
+            group by
+               w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country, d_year
+            )
+        ) x
+        group by
+           w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country,
+           ship_carriers, year_
+        order by w_warehouse_name
+        limit 100
+    """,
+    "q67": """
+        select * from
+            (select i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy, s_store_id,
+                    sumsales, rank() over (partition by i_category order by sumsales desc) rk
+             from
+                (select i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,
+                        s_store_id, sum(coalesce(ss_sales_price*ss_quantity,0)) sumsales
+                 from store_sales, date_dim, store, item
+               where  ss_sold_date_sk=d_date_sk
+                  and ss_item_sk=i_item_sk
+                  and ss_store_sk = s_store_sk
+                  and d_month_seq between 1200 and 1200+11
+               group by rollup(i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+                               d_moy,s_store_id))dw1) dw2
+        where rk <= 100
+        order by
+          i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
+          i_product_name NULLS FIRST, d_year NULLS FIRST,
+          d_qoy NULLS FIRST, d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales, rk
+        limit 100
+    """,
+    "q70": """
+        select
+           sum(ss_net_profit) as total_sum, s_state, s_county
+          ,grouping(s_state)+grouping(s_county) as lochierarchy
+          ,rank() over (
+               partition by grouping(s_state)+grouping(s_county),
+               case when grouping(s_county) = 0 then s_state end
+               order by sum(ss_net_profit) desc) as rank_within_parent
+        from
+           store_sales, date_dim d1, store
+        where
+           d1.d_month_seq between 1200 and 1200+11
+        and d1.d_date_sk = ss_sold_date_sk
+        and s_store_sk  = ss_store_sk
+        and s_state in
+           (select s_state from
+               (select s_state as s_state,
+                              rank() over ( partition by s_state order by sum(ss_net_profit) desc) as ranking
+                from store_sales, store, date_dim
+                where  d_month_seq between 1200 and 1200+11
+                          and d_date_sk = ss_sold_date_sk
+                          and s_store_sk  = ss_store_sk
+                group by s_state) tmp1
+            where ranking <= 5)
+        group by rollup(s_state,s_county)
+        order by
+          lochierarchy desc
+         ,case when lochierarchy = 0 then s_state end
+         ,rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+        limit 100
+    """,
+    "q71": """
+        select i_brand_id brand_id, i_brand brand,t_hour,t_minute,
+              sum(ext_price) ext_price
+        from item,
+           (select
+               ws_ext_sales_price as ext_price,
+               ws_sold_date_sk as sold_date_sk,
+               ws_item_sk as sold_item_sk,
+               ws_sold_time_sk as time_sk
+            from web_sales, date_dim
+            where d_date_sk = ws_sold_date_sk
+               and d_moy=11
+               and d_year=1999
+            union all
+            select
+               cs_ext_sales_price as ext_price,
+               cs_sold_date_sk as sold_date_sk,
+               cs_item_sk as sold_item_sk,
+               cs_sold_time_sk as time_sk
+             from catalog_sales, date_dim
+             where d_date_sk = cs_sold_date_sk
+                 and d_moy=11
+                 and d_year=1999
+            union all
+            select
+               ss_ext_sales_price as ext_price,
+               ss_sold_date_sk as sold_date_sk,
+               ss_item_sk as sold_item_sk,
+               ss_sold_time_sk as time_sk
+            from store_sales,date_dim
+            where d_date_sk = ss_sold_date_sk
+               and d_moy=11
+               and d_year=1999
+            ) as tmp, time_dim
+        where
+          sold_item_sk = i_item_sk
+          and i_manager_id=1
+          and time_sk = t_time_sk
+          and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
+        group by i_brand, i_brand_id,t_hour,t_minute
+        order by ext_price desc, brand_id, t_hour, t_minute
+    """,
+    "q77": """
+        with ss as
+        (select s_store_sk, sum(ss_ext_sales_price) as sales, sum(ss_net_profit) as profit
+         from store_sales, date_dim, store
+         where ss_sold_date_sk = d_date_sk
+           and d_date between cast('2000-08-03' as date) and
+                              (cast('2000-08-03' as date) + 30)
+           and ss_store_sk = s_store_sk
+         group by s_store_sk),
+        sr as
+        (select s_store_sk, sum(sr_return_amt) as returns_, sum(sr_net_loss) as profit_loss
+        from store_returns, date_dim, store
+        where sr_returned_date_sk = d_date_sk
+           and d_date between cast('2000-08-03' as date) and
+                              (cast('2000-08-03' as date) + 30)
+           and sr_store_sk = s_store_sk
+        group by s_store_sk),
+        cs as
+        (select cs_call_center_sk, sum(cs_ext_sales_price) as sales, sum(cs_net_profit) as profit
+        from catalog_sales, date_dim
+        where cs_sold_date_sk = d_date_sk
+           and d_date between cast('2000-08-03' as date) and
+                              (cast('2000-08-03' as date) + 30)
+        group by cs_call_center_sk),
+        cr as
+        (select sum(cr_return_amount) as returns_, sum(cr_net_loss) as profit_loss
+        from catalog_returns, date_dim
+        where cr_returned_date_sk = d_date_sk
+           and d_date between cast('2000-08-03' as date) and
+                              (cast('2000-08-03' as date) + 30)),
+        ws as
+        (select wp_web_page_sk, sum(ws_ext_sales_price) as sales, sum(ws_net_profit) as profit
+        from web_sales, date_dim, web_page
+        where ws_sold_date_sk = d_date_sk
+           and d_date between cast('2000-08-03' as date) and
+                              (cast('2000-08-03' as date) + 30)
+           and ws_web_page_sk = wp_web_page_sk
+        group by wp_web_page_sk),
+        wr as
+        (select wp_web_page_sk, sum(wr_return_amt) as returns_, sum(wr_net_loss) as profit_loss
+        from web_returns, date_dim, web_page
+        where wr_returned_date_sk = d_date_sk
+              and d_date between cast('2000-08-03' as date) and
+                                 (cast('2000-08-03' as date) + 30)
+              and wr_web_page_sk = wp_web_page_sk
+        group by wp_web_page_sk)
+        select channel, id, sum(sales) as sales, sum(returns_) as returns_, sum(profit) as profit
+        from
+        (select
+           'store channel' as channel, ss.s_store_sk as id, sales,
+           coalesce(returns_, 0) as returns_, (profit - coalesce(profit_loss,0)) as profit
+        from ss left join sr
+             on  ss.s_store_sk = sr.s_store_sk
+        union all
+        select
+           'catalog channel' as channel, cs_call_center_sk as id, sales,
+           returns_, (profit - profit_loss) as profit
+        from cs, cr
+        union all
+        select
+           'web channel' as channel, ws.wp_web_page_sk as id, sales,
+           coalesce(returns_, 0) returns_, (profit - coalesce(profit_loss,0)) as profit
+        from   ws left join wr
+               on  ws.wp_web_page_sk = wr.wp_web_page_sk
+        ) x
+        group by rollup(channel, id)
+        order by channel NULLS FIRST, id NULLS FIRST
+        limit 100
+    """,
+    "q81": """
+        with customer_total_return as
+        (select
+           cr_returning_customer_sk as ctr_customer_sk, ca_state as ctr_state,
+               sum(cr_return_amt_inc_tax) as ctr_total_return
+        from catalog_returns, date_dim, customer_address
+        where cr_returned_date_sk = d_date_sk
+          and d_year = 2000
+          and cr_returning_addr_sk = ca_address_sk
+        group by cr_returning_customer_sk, ca_state )
+        select
+           c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name,
+           ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,
+           ca_gmt_offset,ca_location_type,ctr_total_return
+        from customer_total_return ctr1, customer_address, customer
+        where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+                          from customer_total_return ctr2
+                          where ctr1.ctr_state = ctr2.ctr_state)
+              and ca_address_sk = c_current_addr_sk
+              and ca_state = 'GA'
+              and ctr1.ctr_customer_sk = c_customer_sk
+        order by c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+                          ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+                         ,ca_location_type,ctr_total_return
         limit 100
     """,
     "q97": """

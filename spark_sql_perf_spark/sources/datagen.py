@@ -192,14 +192,6 @@ def _sales_columns(
     return cols
 
 
-def _ship_date(p: str):
-    """Ship date: the basket's sold date plus a per-line 1..120 day lag."""
-    return lambda idc: (
-        uniform_int(_ticket(idc), f"{p}_sold_date_sk", 2_450_815, 2_452_642)
-        + uniform_int(idc, f"{p}_ship_lag", 1, 120)
-    )
-
-
 def _cycle(values: list[str]):
     """Column fn: values assigned round-robin by row id. For tiny dims
     (store: 12 rows) a hash choice can miss a value entirely — P(no
@@ -320,6 +312,9 @@ def _returns_columns(
         elif rp == "cr":
             cols["cr_refunded_customer_sk"] = per_basket("cs_customer_sk", 1, 100_000)
             cols["cr_refunded_cdemo_sk"] = per_basket("cs_cdemo_sk", 1, 1_920_800)
+            cols["cr_returning_customer_sk"] = per_basket("cs_customer_sk", 1, 100_000)
+            cols["cr_returning_addr_sk"] = per_basket("cs_addr_sk", 1, 50_000)
+            cols["cr_return_amt_inc_tax"] = ("money", 0.0, 21_000.0)
             cols["cr_order_number"] = tkt
             cols["cr_reason_sk"] = ("int", 1, 35)
         elif rp == "wr":
@@ -328,6 +323,10 @@ def _returns_columns(
             # dsdgen: the returning party is usually the buyer
             cols["wr_returning_customer_sk"] = per_basket("ws_customer_sk", 1, 100_000)
             cols["wr_returning_addr_sk"] = per_basket("ws_addr_sk", 1, 50_000)
+            # the page the returned sale used (per-line col, re-derived)
+            cols["wr_web_page_sk"] = lambda idc: uniform_int(
+                sales_row(idc), f"{base_seed}:web_sales:ws_web_page_sk", 1, 60
+            )
             cols["wr_order_number"] = tkt
             cols["wr_reason_sk"] = ("int", 1, 35)
         return cols
@@ -337,15 +336,17 @@ def _returns_columns(
 
 def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
     """catalog_sales with CROSS-CHANNEL repurchase rows: rows where
-    ``id % 5 in (1, 2)`` re-derive the (customer, item) of store_returns
-    row ``id // 5`` — the "returned in store, re-bought from the catalog"
-    behavior the q17/q25/q29 family measures. Under independent uniform
-    keys that sr><cs (customer, item) join is structurally empty
-    (|pairs| = 1.8e9 vs ~1e4 rows at sf0.01); dsdgen gets matches from
-    volume at SF>=1, we plant them deterministically at every scale.
-    Row-count ratio cs:sr is a fixed 5:1 (TPCDS_FACTS), so id//5 is a
-    valid sr row at any sf. Residues 1 and 2 are never multiples of 10,
-    so catalog_returns' alignment to cs rows ``id*10`` is untouched.
+    ``id % 5 in (1, 2)`` re-derive the (customer, item, sold date) of
+    store_returns row ``id // 5`` — the "returned in store, re-bought
+    from the catalog" behavior the q17/q25/q29 family measures, and the
+    same-customer-both-channels-per-year activity q4 measures. Under
+    independent uniform keys the sr><cs (customer, item) join is
+    structurally empty (|pairs| = 1.8e9 vs ~1e4 rows at sf0.01); dsdgen
+    gets matches from volume at SF>=1, we plant them deterministically
+    at every scale. Row-count ratio cs:sr is a fixed 5:1 (TPCDS_FACTS),
+    so id//5 is a valid sr row at any sf. Residues 1 and 2 are never
+    multiples of 10, so catalog_returns' alignment to cs rows ``id*10``
+    is untouched.
     """
 
     def sr_row(idc: Column) -> Column:
@@ -369,12 +370,23 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
         )
         return F.when(planted(idc), cross).otherwise(default)
 
+    def sold_date(idc: Column) -> Column:
+        cross = uniform_int(
+            _ticket(sr_row(idc) * 10), "ss_sold_date_sk", 2_450_815, 2_452_642
+        )
+        default = uniform_int(_ticket(idc), "cs_sold_date_sk", 2_450_815, 2_452_642)
+        return F.when(planted(idc), cross).otherwise(default)
+
     cols = _sales_columns(
         "cs", demo_prefix="bill_", order_col="cs_order_number",
         extras={
-            "cs_ship_date_sk": _ship_date("cs"),
+            # ship date follows the ACTUAL (possibly echoed) sold date
+            "cs_ship_date_sk": lambda idc: (
+                sold_date(idc) + uniform_int(idc, "cs_ship_lag", 1, 120)
+            ),
             "cs_ship_addr_sk": _per_ticket_int("cs_ship_addr_sk", 1, 50_000),
             "cs_ext_ship_cost": ("money", 0.0, 1_000.0),
+            "cs_net_paid_inc_tax": ("money", 1.0, 21_000.0),
             "cs_warehouse_sk": ("int", 1, 5),
             "cs_call_center_sk": ("int", 1, 6),
             "cs_catalog_page_sk": ("int", 1, 11_718),
@@ -383,15 +395,47 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
     )
     cols["cs_bill_customer_sk"] = customer
     cols["cs_item_sk"] = item
+    cols["cs_sold_date_sk"] = sold_date
     return cols
 
 
-TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
-    "store_sales": _sales_columns("ss"),
-    "web_sales": _sales_columns(
+def _web_sales_columns(base_seed: str) -> dict[str, object]:
+    """web_sales with STORE-ECHO rows: rows where ``id % 5 in (1, 2)``
+    re-derive the (customer, sold date) of store_sales row ``id * 4``
+    (cs:ws row ratio is a fixed 4:1) — multi-channel customers whose
+    store and web activity fall in the same year, the property the
+    year-over-year family (q4/q11/q74) and the channel-overlap counts
+    (q38/q87/q97) measure. Per-ticket customer draws make a customer's
+    lifetime ~1 basket, so without echoes "active in store AND web in
+    two consecutive years" has ~zero expected rows at any test scale.
+    Residues 1 and 2 are never multiples of 10, so web_returns'
+    alignment to ws rows ``id*10`` is untouched.
+    """
+
+    def src_row(idc: Column) -> Column:
+        return idc * 4
+
+    def planted(idc: Column) -> Column:
+        return (idc % 5 == 1) | (idc % 5 == 2)
+
+    def customer(idc: Column) -> Column:
+        cross = uniform_int(_ticket(src_row(idc)), "ss_customer_sk", 1, 100_000)
+        default = uniform_int(_ticket(idc), "ws_customer_sk", 1, 100_000)
+        return F.when(planted(idc), cross).otherwise(default)
+
+    def sold_date(idc: Column) -> Column:
+        cross = uniform_int(
+            _ticket(src_row(idc)), "ss_sold_date_sk", 2_450_815, 2_452_642
+        )
+        default = uniform_int(_ticket(idc), "ws_sold_date_sk", 2_450_815, 2_452_642)
+        return F.when(planted(idc), cross).otherwise(default)
+
+    cols = _sales_columns(
         "ws", demo_prefix="bill_", order_col="ws_order_number",
         extras={
-            "ws_ship_date_sk": _ship_date("ws"),
+            "ws_ship_date_sk": lambda idc: (
+                sold_date(idc) + uniform_int(idc, "ws_ship_lag", 1, 120)
+            ),
             "ws_ship_hdemo_sk": _per_ticket_int("ws_ship_hdemo_sk", 1, 7_200),
             "ws_ship_addr_sk": _per_ticket_int("ws_ship_addr_sk", 1, 50_000),
             "ws_ext_ship_cost": ("money", 0.0, 1_000.0),
@@ -400,7 +444,15 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
             "ws_web_site_sk": ("int", 1, 30),
             "ws_ship_mode_sk": ("int", 1, 20),
         },
-    ),
+    )
+    cols["ws_bill_customer_sk"] = customer
+    cols["ws_sold_date_sk"] = sold_date
+    return cols
+
+
+TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
+    "store_sales": _sales_columns("ss"),
+    "web_sales": lambda seed: _web_sales_columns(seed),
     "catalog_sales": lambda seed: _catalog_sales_columns(seed),
     "store_returns": _returns_columns("sr", "ss", "store_sales"),
     "catalog_returns": _returns_columns(
@@ -484,12 +536,19 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     },
     "customer_address": {
         "ca_address_sk": ("key",),
+        "ca_street_number": lambda idc: uniform_int(
+            idc, "ca_street_number", 1, 1_000).cast("string"),
+        "ca_street_name": ("choice", ["Main", "Oak", "Park", "First",
+                                       "Cedar", "Elm", "Maple", "Lake"]),
+        "ca_street_type": ("choice", ["St", "Ave", "Blvd", "Ct", "Ln", "Way"]),
+        "ca_suite_number": ("string", "Suite "),
         "ca_city": ("choice", _CITIES),
         "ca_county": ("choice", _COUNTIES),
         "ca_state": ("choice", ["CA", "NY", "TX", "WA", "IL", "GA", "OH", "MI"]),
-        "ca_country": lambda idc: F.lit("United States"),
         "ca_zip": lambda idc: uniform_int(idc, "ca_zip", 10_000, 99_999).cast("string"),
+        "ca_country": lambda idc: F.lit("United States"),
         "ca_gmt_offset": ("int", -8, -5),
+        "ca_location_type": ("choice", ["apartment", "condo", "single family"]),
     },
     "customer_demographics": {
         "cd_demo_sk": ("key",),
@@ -499,6 +558,7 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
                                             "2 yr Degree", "4 yr Degree",
                                             "Advanced Degree", "Unknown"]),
         "cd_purchase_estimate": ("int", 500, 10_000),
+        "cd_dep_count": ("int", 0, 9),
     },
     "household_demographics": {
         "hd_demo_sk": ("key",),
@@ -517,6 +577,7 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "p_promo_sk": ("key",),
         "p_promo_id": ("string", "PROMO_"),
         "p_cost": ("money", 100.0, 1_000.0),
+        "p_channel_dmail": ("choice", ["Y", "N"]),
         "p_channel_email": ("choice", ["Y", "N"]),
         "p_channel_tv": ("choice", ["Y", "N"]),
         "p_channel_event": ("choice", ["Y", "N"]),
@@ -532,7 +593,8 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     "ship_mode": {
         "sm_ship_mode_sk": ("key",),
         "sm_type": ("choice", ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "LIBRARY"]),
-        "sm_carrier": ("choice", ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL"]),
+        "sm_carrier": ("choice", ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL",
+                                   "BARIAN"]),
     },
     "store": {
         "s_store_sk": ("key",),
@@ -563,16 +625,24 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     # sold_time_sk joins land on consistent hour/minute predicates (q88/q96)
     "time_dim": {
         "t_time_sk": ("key",),
+        "t_time": lambda idc: idc,
         "t_hour": lambda idc: F.floor(idc / 3600).cast("long"),
         "t_minute": lambda idc: F.floor((idc % 3600) / 60).cast("long"),
         "t_second": lambda idc: (idc % 60).cast("long"),
         "t_am_pm": lambda idc: F.when(idc < 43_200, F.lit("AM")).otherwise(F.lit("PM")),
+        # dsdgen meal windows (q71 filters on these)
+        "t_meal_time": lambda idc: F.when(
+            (idc >= 6 * 3600) & (idc < 10 * 3600), F.lit("breakfast")
+        ).when((idc >= 17 * 3600) & (idc < 21 * 3600), F.lit("dinner")),
     },
     "warehouse": {
         "w_warehouse_sk": ("key",),
         "w_warehouse_name": ("string", "Warehouse "),
         "w_warehouse_sq_ft": ("int", 50_000, 1_000_000),
+        "w_city": _cycle(_CITIES),
+        "w_county": ("choice", _COUNTIES),
         "w_state": ("choice", ["CA", "NY", "TX", "WA"]),
+        "w_country": lambda idc: F.lit("United States"),
     },
     "web_page": {
         "wp_web_page_sk": ("key",),

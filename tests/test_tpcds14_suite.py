@@ -16,6 +16,7 @@ import pytest
 from spark_sql_perf_spark.operators.tpcds14_suite import (
     TPCDS14_QUERIES,
     TPCDS14_TABLES,
+    TPCDS14_YOY,
 )
 
 from test_impala_suite import _compare
@@ -41,7 +42,7 @@ def corpus14(spark, duck, tmp_path_factory):
     return spark
 
 
-@pytest.mark.parametrize("name", sorted(TPCDS14_QUERIES))
+@pytest.mark.parametrize("name", sorted(set(TPCDS14_QUERIES) - set(TPCDS14_YOY)))
 def test_tpcds14_query_matches_duckdb(corpus14, duck, name):
     sql = TPCDS14_QUERIES[name]
     sp = corpus14.sql(sql).toPandas()

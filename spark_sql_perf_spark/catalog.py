@@ -50,7 +50,12 @@ def tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    # NOTE: leave spark.sql.adaptive.coalescePartitions.parallelismFirst at
+    # its default (true). With false, AQE coalesces toward the 64 MB
+    # advisory size, which at bench scale collapses post-shuffle stages to
+    # ~1 partition and serializes them (~15% total slowdown at sf0.1); the
+    # empty-task overhead it was meant to shave is already handled by the
+    # 200->32 shuffle-partition floor above.
     spark.conf.set(_TUNED_FLAG, "1")
 
 

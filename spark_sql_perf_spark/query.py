@@ -100,6 +100,8 @@ class BenchmarkResult:
     # ML benchmarkables (results.scala:82-84 mlParams/mlResult parity)
     ml_params: dict[str, Any] | None = None
     ml_result: dict[str, Any] | None = None
+    # per-subtree breakdown rows (results.scala:37-54 BreakdownResult)
+    breakdown: list[dict[str, Any]] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)

@@ -107,7 +107,12 @@ class ExperimentRunner:
         self.tags = tags or {}
 
     # -- single query ------------------------------------------------------
-    def run_query(self, q: Query, parameters: dict[str, Any] | None = None) -> BenchmarkResult:
+    def run_query(
+        self,
+        q: Query,
+        parameters: dict[str, Any] | None = None,
+        include_breakdown: bool = False,
+    ) -> BenchmarkResult:
         res = BenchmarkResult(name=q.name, mode=q.mode.name, parameters=parameters or {})
         try:
             df = q.build(self.spark)
@@ -119,6 +124,14 @@ class ExperimentRunner:
             )
             res.execution_time_ms = (time.perf_counter() - t0) * 1000.0
             res.result = value
+            if include_breakdown:
+                # the reference's includeBreakdown flag (Query.scala:86-116):
+                # execute every subtree bottom-up, timing each
+                from .metrics import breakdown_execution
+
+                res.breakdown = [
+                    st.to_dict() for st in breakdown_execution(self.spark, df)
+                ]
         except Exception:
             res.failure = traceback.format_exc(limit=10)
         return res

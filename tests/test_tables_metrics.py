@@ -66,6 +66,44 @@ def test_plan_metrics_after_run(spark):
     assert any(v > 0 for v in rows.values()), rows
 
 
+def test_breakdown_execution(spark):
+    """Per-subtree re-execution breakdown (Query.scala:86-116 parity):
+    every optimized-logical subtree runs bottom-up with its own timing;
+    the root subtree's row count equals the query's own result count."""
+    from spark_sql_perf_spark.metrics import breakdown_execution
+    from spark_sql_perf_spark.operators import QUERIES
+
+    df = QUERIES["flagship_star_agg"](spark, SF_DIR_TINY)
+    rows = breakdown_execution(spark, df)
+    assert len(rows) > 3
+    # bottom-up: leaves (max depth) first, root (depth 0) last
+    assert rows[0].depth >= rows[-1].depth
+    assert rows[-1].depth == 0
+    assert rows[-1].rows == df.count()
+    assert all(r.time_ms >= 0 for r in rows)
+    # leaf relations include the scans; each subtree produced rows
+    assert all(r.rows >= 0 for r in rows)
+
+
+def test_run_query_include_breakdown(spark):
+    """The runner's includeBreakdown flag lands BreakdownResult rows in
+    the result record (results.scala:37-54)."""
+    from spark_sql_perf_spark.operators import QUERIES
+    from spark_sql_perf_spark.query import Query
+    from spark_sql_perf_spark.runner import ExperimentRunner
+
+    q = Query(
+        name="flagship_star_agg",
+        build=lambda s: QUERIES["flagship_star_agg"](s, SF_DIR_TINY),
+    )
+    res = ExperimentRunner(spark, results_location=None).run_query(
+        q, include_breakdown=True
+    )
+    assert res.failure is None, res.failure
+    assert res.breakdown and len(res.breakdown) > 3
+    assert {"node", "index", "depth", "rows", "time_ms"} <= set(res.breakdown[0])
+
+
 def test_rdd_count_benchmarkable(spark):
     """RDDCount parity (Benchmark.scala:217-269): plain rdd count as a
     Benchmarkable through the runner."""

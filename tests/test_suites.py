@@ -5,7 +5,9 @@ from __future__ import annotations
 import pytest
 
 
-@pytest.mark.parametrize("suite", ["joinperf", "aggperf", "multijoin"])
+@pytest.mark.parametrize(
+    "suite", ["joinperf", "aggperf", "multijoin", "interactive", "tpcds14"]
+)
 def test_suite_runs(spark, suite, tmp_path):
     from spark_sql_perf_spark.runner import ExperimentRunner
     from spark_sql_perf_spark.suites import SUITES

@@ -7,9 +7,10 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Methodology (mirrors the reference dashboard's discipline,
 performance.dashboard.scala:26-28 — median of 4 iterations dropping 1
 warmup): one untimed flagship warmup for JVM JIT, then each headline query
-executed three times with the MIN reported (first run pays that query's own
+executed five times with the MIN reported (first run pays that query's own
 codegen compilation; the min is the steady-state number a repeated
-workload sees). Consumption is the noop sink — full execution, no
+workload sees, and min-of-5 cuts the ±15% run-to-run scheduler noise a
+min-of-3 still carries on this box). Consumption is the noop sink — full execution, no
 driver-side transfer (the ExecutionMode.ForeachResults analog).
 """
 
@@ -59,7 +60,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             consume(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -1,4 +1,4 @@
-"""TPC-DS 1.4 query corpus beyond the Impala-kit 20: fifty-seven more
+"""TPC-DS 1.4 query corpus beyond the Impala-kit 20: fifty-eight more
 full-fidelity queries from the reference's ``runnable`` list
 (TPCDS_1_4_Queries.scala:3866-3876; texts re-derived from the public
 TPC-DS 1.4 templates), chosen to exercise the shapes the Impala set
@@ -2010,6 +2010,37 @@ TPCDS14_QUERIES: dict[str, str] = {
         order by c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
                           ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
                          ,ca_location_type,ctr_total_return
+        limit 100
+    """,
+    "q69": """
+        select
+           cd_gender, cd_marital_status, cd_education_status, count(*) cnt1,
+           cd_purchase_estimate, count(*) cnt2, cd_credit_rating, count(*) cnt3
+        from
+           customer c,customer_address ca,customer_demographics
+        where
+           c.c_current_addr_sk = ca.ca_address_sk and
+           ca_state in ('KY', 'GA', 'NM') and
+           cd_demo_sk = c.c_current_cdemo_sk and
+           exists (select * from store_sales, date_dim
+                   where c.c_customer_sk = ss_customer_sk and
+                       ss_sold_date_sk = d_date_sk and
+                       d_year = 2001 and
+                       d_moy between 4 and 4+2) and
+          (not exists (select * from web_sales, date_dim
+                       where c.c_customer_sk = ws_bill_customer_sk and
+                           ws_sold_date_sk = d_date_sk and
+                           d_year = 2001 and
+                           d_moy between 4 and 4+2) and
+           not exists (select * from catalog_sales, date_dim
+                       where c.c_customer_sk = cs_ship_customer_sk and
+                           cs_sold_date_sk = d_date_sk and
+                           d_year = 2001 and
+                           d_moy between 4 and 4+2))
+        group by cd_gender, cd_marital_status, cd_education_status,
+                 cd_purchase_estimate, cd_credit_rating
+        order by cd_gender, cd_marital_status, cd_education_status,
+                 cd_purchase_estimate, cd_credit_rating
         limit 100
     """,
     "q80": """

@@ -394,6 +394,9 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
         },
     )
     cols["cs_bill_customer_sk"] = customer
+    # dsdgen: the ship-to party is the buyer for the vast majority of
+    # orders; q69's not-exists probe uses the ship-to key
+    cols["cs_ship_customer_sk"] = customer
     cols["cs_item_sk"] = item
     cols["cs_sold_date_sk"] = sold_date
     return cols
@@ -558,6 +561,8 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
                                             "2 yr Degree", "4 yr Degree",
                                             "Advanced Degree", "Unknown"]),
         "cd_purchase_estimate": ("int", 500, 10_000),
+        "cd_credit_rating": ("choice", ["Good", "Low Risk", "High Risk",
+                                         "Unknown"]),
         "cd_dep_count": ("int", 0, 9),
     },
     "household_demographics": {

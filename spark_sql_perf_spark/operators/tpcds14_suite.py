@@ -1,4 +1,4 @@
-"""TPC-DS 1.4 query corpus beyond the Impala-kit 20: fifty-eight more
+"""TPC-DS 1.4 query corpus beyond the Impala-kit 20: sixty more
 full-fidelity queries from the reference's ``runnable`` list
 (TPCDS_1_4_Queries.scala:3866-3876; texts re-derived from the public
 TPC-DS 1.4 templates), chosen to exercise the shapes the Impala set
@@ -2011,6 +2011,143 @@ TPCDS14_QUERIES: dict[str, str] = {
                           ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
                          ,ca_location_type,ctr_total_return
         limit 100
+    """,
+    "q1": """
+        WITH customer_total_return AS
+          (SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
+                  sum(sr_return_amt) AS ctr_total_return
+           FROM store_returns, date_dim
+           WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+           GROUP BY sr_customer_sk, sr_store_sk)
+        SELECT c_customer_id
+          FROM customer_total_return ctr1, store, customer
+          WHERE ctr1.ctr_total_return >
+           (SELECT avg(ctr_total_return)*1.2
+             FROM customer_total_return ctr2
+              WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+          AND s_store_sk = ctr1.ctr_store_sk
+          AND s_state = 'TN'
+          AND ctr1.ctr_customer_sk = c_customer_sk
+          ORDER BY c_customer_id LIMIT 100
+    """,
+    "q5": """
+        WITH ssr AS
+         (SELECT s_store_id,
+                 sum(sales_price) as sales,
+                 sum(profit) as profit,
+                 sum(return_amt) as returns_,
+                 sum(net_loss) as profit_loss
+         FROM
+           (SELECT ss_store_sk as store_sk,
+                   ss_sold_date_sk  as date_sk,
+                   ss_ext_sales_price as sales_price,
+                   ss_net_profit as profit,
+                   cast(0 as decimal(7,2)) as return_amt,
+                   cast(0 as decimal(7,2)) as net_loss
+           FROM store_sales
+           UNION ALL
+           SELECT sr_store_sk as store_sk,
+                  sr_returned_date_sk as date_sk,
+                  cast(0 as decimal(7,2)) as sales_price,
+                  cast(0 as decimal(7,2)) as profit,
+                  sr_return_amt as return_amt,
+                  sr_net_loss as net_loss
+           FROM store_returns)
+           salesreturns, date_dim, store
+         WHERE date_sk = d_date_sk
+              and d_date between cast('2000-08-23' as date)
+                         and ((cast('2000-08-23' as date) + 14))
+              and store_sk = s_store_sk
+        GROUP BY s_store_id),
+        csr AS
+        (SELECT cp_catalog_page_id,
+                sum(sales_price) as sales,
+                sum(profit) as profit,
+                sum(return_amt) as returns_,
+                sum(net_loss) as profit_loss
+        FROM
+          (SELECT cs_catalog_page_sk as page_sk,
+                  cs_sold_date_sk  as date_sk,
+                  cs_ext_sales_price as sales_price,
+                  cs_net_profit as profit,
+                  cast(0 as decimal(7,2)) as return_amt,
+                  cast(0 as decimal(7,2)) as net_loss
+           FROM catalog_sales
+           UNION ALL
+           SELECT cr_catalog_page_sk as page_sk,
+                  cr_returned_date_sk as date_sk,
+                  cast(0 as decimal(7,2)) as sales_price,
+                  cast(0 as decimal(7,2)) as profit,
+                  cr_return_amount as return_amt,
+                  cr_net_loss as net_loss
+           from catalog_returns
+          ) salesreturns, date_dim, catalog_page
+        WHERE date_sk = d_date_sk
+              and d_date between cast('2000-08-23' as date)
+                         and ((cast('2000-08-23' as date) + 14))
+              and page_sk = cp_catalog_page_sk
+        GROUP BY cp_catalog_page_id)
+        ,
+        wsr AS
+        (SELECT web_site_id,
+                sum(sales_price) as sales,
+                sum(profit) as profit,
+                sum(return_amt) as returns_,
+                sum(net_loss) as profit_loss
+        from
+         (select  ws_web_site_sk as wsr_web_site_sk,
+                   ws_sold_date_sk  as date_sk,
+                   ws_ext_sales_price as sales_price,
+                   ws_net_profit as profit,
+                   cast(0 as decimal(7,2)) as return_amt,
+                   cast(0 as decimal(7,2)) as net_loss
+           from web_sales
+           union all
+           select ws_web_site_sk as wsr_web_site_sk,
+                  wr_returned_date_sk as date_sk,
+                  cast(0 as decimal(7,2)) as sales_price,
+                  cast(0 as decimal(7,2)) as profit,
+                  wr_return_amt as return_amt,
+                  wr_net_loss as net_loss
+           FROM web_returns LEFT  OUTER JOIN web_sales on
+                ( wr_item_sk = ws_item_sk
+                  and wr_order_number = ws_order_number)
+          ) salesreturns, date_dim, web_site
+        WHERE date_sk = d_date_sk
+              and d_date between cast('2000-08-23' as date)
+                         and ((cast('2000-08-23' as date) + 14))
+              and wsr_web_site_sk = web_site_sk
+        GROUP BY web_site_id)
+        SELECT channel,
+               id,
+               sum(sales) as sales,
+               sum(returns_) as returns_,
+               sum(profit) as profit
+        from
+        (select 'store channel' as channel,
+                concat('store', s_store_id) as id,
+                sales,
+                returns_,
+               (profit - profit_loss) as profit
+        FROM ssr
+        UNION ALL
+        select 'catalog channel' as channel,
+               concat('catalog_page', cp_catalog_page_id) as id,
+               sales,
+               returns_,
+               (profit - profit_loss) as profit
+        FROM  csr
+        UNION ALL
+        SELECT 'web channel' as channel,
+               concat('web_site', web_site_id) as id,
+               sales,
+               returns_,
+               (profit - profit_loss) as profit
+        FROM wsr
+        ) x
+        GROUP BY ROLLUP (channel, id)
+        ORDER BY channel NULLS FIRST, id NULLS FIRST
+        LIMIT 100
     """,
     "q69": """
         select

@@ -315,6 +315,11 @@ def _returns_columns(
             cols["cr_returning_customer_sk"] = per_basket("cs_customer_sk", 1, 100_000)
             cols["cr_returning_addr_sk"] = per_basket("cs_addr_sk", 1, 50_000)
             cols["cr_return_amt_inc_tax"] = ("money", 0.0, 21_000.0)
+            # the catalog page the returned sale used (per-line, re-derived)
+            cols["cr_catalog_page_sk"] = lambda idc: uniform_int(
+                sales_row(idc), f"{base_seed}:catalog_sales:cs_catalog_page_sk",
+                1, 11_718,
+            )
             cols["cr_order_number"] = tkt
             cols["cr_reason_sk"] = ("int", 1, 35)
         elif rp == "wr":

@@ -1,4 +1,4 @@
-"""TPC-DS 1.4 query corpus beyond the Impala-kit 20: sixty more
+"""TPC-DS 1.4 query corpus beyond the Impala-kit 20: sixty-one more
 full-fidelity queries from the reference's ``runnable`` list
 (TPCDS_1_4_Queries.scala:3866-3876; texts re-derived from the public
 TPC-DS 1.4 templates), chosen to exercise the shapes the Impala set
@@ -670,6 +670,39 @@ TPCDS14_QUERIES: dict[str, str] = {
                        and (cast('2000-03-11' as date) + 30)
         group by w_state,i_item_id
         order by w_state,i_item_id
+        limit 100
+    """,
+    "q44": """
+        select asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
+        from(select *
+            from (select item_sk,rank() over (order by rank_col asc) rnk
+                  from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+                        from store_sales ss1
+                        where ss_store_sk = 4
+                        group by ss_item_sk
+                        having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                                                         from store_sales
+                                                         where ss_store_sk = 4
+                                                           and ss_addr_sk is null
+                                                         group by ss_store_sk))V1)V11
+            where rnk  < 11) asceding,
+           (select *
+            from (select item_sk,rank() over (order by rank_col desc) rnk
+                  from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+                        from store_sales ss1
+                        where ss_store_sk = 4
+                        group by ss_item_sk
+                        having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                                                         from store_sales
+                                                         where ss_store_sk = 4
+                                                           and ss_addr_sk is null
+                                                         group by ss_store_sk))V2)V21
+            where rnk  < 11) descending,
+        item i1, item i2
+        where asceding.rnk = descending.rnk
+          and i1.i_item_sk=asceding.item_sk
+          and i2.i_item_sk=descending.item_sk
+        order by asceding.rnk
         limit 100
     """,
     "q45": """

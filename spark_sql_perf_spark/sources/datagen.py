@@ -458,8 +458,25 @@ def _web_sales_columns(base_seed: str) -> dict[str, object]:
     return cols
 
 
+def _nullable_ss_addr(idc: Column) -> Column:
+    """dsdgen emits NULL FKs for a few percent of fact rows; q44's
+    baseline subquery (`ss_addr_sk is null`) depends on them. NULL one
+    basket in 25 (per-ticket, so a basket is all-null or all-set);
+    non-null baskets keep the exact values the plain column had."""
+    t = _ticket(idc)
+    return F.when(t % 25 == 7, F.lit(None).cast("long")).otherwise(
+        uniform_int(t, "ss_addr_sk", 1, 50_000)
+    )
+
+
+def _store_sales_columns() -> dict[str, object]:
+    cols = _sales_columns("ss")
+    cols["ss_addr_sk"] = _nullable_ss_addr
+    return cols
+
+
 TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
-    "store_sales": _sales_columns("ss"),
+    "store_sales": _store_sales_columns(),
     "web_sales": lambda seed: _web_sales_columns(seed),
     "catalog_sales": lambda seed: _catalog_sales_columns(seed),
     "store_returns": _returns_columns("sr", "ss", "store_sales"),

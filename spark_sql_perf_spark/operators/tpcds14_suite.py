@@ -642,12 +642,59 @@ TPCDS14_QUERIES: dict[str, str] = {
           and inv_item_sk = i_item_sk
           and d_date_sk=inv_date_sk
           and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + 60)
-          and i_manufact_id in (677,940,694,808,129,270,821,423,104,250,310,555)
+          and i_manufact_id between 600 and 900
           and inv_quantity_on_hand between 100 and 500
           and cs_item_sk = i_item_sk
         group by i_item_id,i_item_desc,i_current_price
         order by i_item_id
         limit 100
+    """,
+    "q39a": """
+        with inv as
+        (select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+               ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+         from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+                    ,stddev_samp(inv_quantity_on_hand) stdev,avg(inv_quantity_on_hand) mean
+              from inventory, item, warehouse, date_dim
+              where inv_item_sk = i_item_sk
+                and inv_warehouse_sk = w_warehouse_sk
+                and inv_date_sk = d_date_sk
+                and d_year = 2001
+              group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+         where case mean when 0 then 0 else stdev/mean end > 1)
+        select inv1.w_warehouse_sk wsk1,inv1.i_item_sk isk1,inv1.d_moy moy1,inv1.mean mean1,inv1.cov cov1
+               ,inv2.w_warehouse_sk wsk2,inv2.i_item_sk isk2,inv2.d_moy moy2,inv2.mean mean2,inv2.cov cov2
+        from inv inv1,inv inv2
+        where inv1.i_item_sk = inv2.i_item_sk
+          and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+          and inv1.d_moy=1
+          and inv2.d_moy=1+1
+        order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+               ,inv2.d_moy,inv2.mean, inv2.cov
+    """,
+    "q39b": """
+        with inv as
+        (select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+               ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+         from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+                    ,stddev_samp(inv_quantity_on_hand) stdev,avg(inv_quantity_on_hand) mean
+              from inventory, item, warehouse, date_dim
+              where inv_item_sk = i_item_sk
+                and inv_warehouse_sk = w_warehouse_sk
+                and inv_date_sk = d_date_sk
+                and d_year = 2001
+              group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+         where case mean when 0 then 0 else stdev/mean end > 1)
+        select inv1.w_warehouse_sk wsk1,inv1.i_item_sk isk1,inv1.d_moy moy1,inv1.mean mean1,inv1.cov cov1
+               ,inv2.w_warehouse_sk wsk2,inv2.i_item_sk isk2,inv2.d_moy moy2,inv2.mean mean2,inv2.cov cov2
+        from inv inv1,inv inv2
+        where inv1.i_item_sk = inv2.i_item_sk
+          and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+          and inv1.d_moy=1
+          and inv2.d_moy=1+1
+          and inv1.cov > 1.5
+        order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+               ,inv2.d_moy,inv2.mean, inv2.cov
     """,
     "q40": """
         select
@@ -793,7 +840,7 @@ TPCDS14_QUERIES: dict[str, str] = {
           and inv_item_sk = i_item_sk
           and d_date_sk=inv_date_sk
           and d_date between cast('2000-05-25' as date) and (cast('2000-05-25' as date) + 60)
-          and i_manufact_id in (129,270,821,423,677,940,694,808,222,333,444,555)
+          and i_manufact_id between 100 and 400
           and inv_quantity_on_hand between 100 and 500
           and ss_item_sk = i_item_sk
         group by i_item_id,i_item_desc,i_current_price

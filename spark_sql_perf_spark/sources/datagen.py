@@ -475,6 +475,54 @@ def _store_sales_columns() -> dict[str, object]:
     return cols
 
 
+# dsdgen's inventory is a DENSE WEEKLY GRID, not a random spray: every
+# tracked item x every warehouse x every week of the 5-year calendar
+# (11_745_000 = 9_000 items x 5 warehouses x 261 weeks at scale 1 —
+# exactly the dsdgen layout, where half the item table is
+# catalog-carried and inventoried). Scaling down shrinks the tracked
+# ITEM subset (the dsdgen convention), never the week grid — q39's
+# month-over-month stddev needs ~4 weekly samples per (item, warehouse,
+# month) cell and q72's d1.d_week_seq = d2.d_week_seq join needs every
+# week present.
+_INV_WEEKS = 261
+_INV_WAREHOUSES = 5
+_INV_CELLS = _INV_WEEKS * _INV_WAREHOUSES  # rows per tracked item
+# spreads tracked items across the 18_000-item space (coprime stride ->
+# injective for up to 18_000 tracked items) so hash-derived item
+# attributes (manufact, price band) stay uniform over the subset
+_INV_ITEM_STRIDE = 3_989
+
+
+def _inventory_columns() -> dict[str, object]:
+    def item(idc: Column) -> Column:
+        slot = F.floor(idc / _INV_CELLS).cast("long")
+        return (slot * _INV_ITEM_STRIDE) % 18_000 + 1
+
+    def warehouse(idc: Column) -> Column:
+        return (F.floor(idc / _INV_WEEKS) % _INV_WAREHOUSES).cast("long") + 1
+
+    def date_sk(idc: Column) -> Column:
+        return (idc % _INV_WEEKS) * 7 + 2_450_815
+
+    def quantity(idc: Column) -> Column:
+        # ~25% stockout-zero weeks, else uniform 0..1000. dsdgen draws
+        # uniform quantities and gets q39's cov > 1 survivors from sheer
+        # cell count (45_000 cells at sf1); at harness scales the cell
+        # count is 100x smaller, so deterministic stockouts restore the
+        # high-variance cells the query exists to find (P(cov>1) ~ 0.42
+        # per cell vs 0.05 under pure uniform).
+        return F.when(
+            uniform(idc, "inv_stockout") < 0.25, F.lit(0).cast("long")
+        ).otherwise(uniform_int(idc, "inv_quantity_on_hand", 0, 1_000))
+
+    return {
+        "inv_date_sk": date_sk,
+        "inv_item_sk": item,
+        "inv_warehouse_sk": warehouse,
+        "inv_quantity_on_hand": quantity,
+    }
+
+
 TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
     "store_sales": _store_sales_columns(),
     "web_sales": lambda seed: _web_sales_columns(seed),
@@ -487,12 +535,7 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         amt_col="cr_return_amount",
     ),
     "web_returns": _returns_columns("wr", "ws", "web_sales"),
-    "inventory": {
-        "inv_date_sk": _DATE_SK,
-        "inv_item_sk": ("int", 1, 18_000),
-        "inv_warehouse_sk": ("int", 1, 5),
-        "inv_quantity_on_hand": ("int", 0, 1_000),
-    },
+    "inventory": _inventory_columns(),
     # date_dim is a real CALENDAR, not random columns: d_date_sk is the
     # julian day number (dsdgen convention: 2451545 = 2000-01-01), every
     # other column derives from the corresponding date. That makes the

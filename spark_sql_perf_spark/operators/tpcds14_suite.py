@@ -60,7 +60,14 @@ from ..sources.datagen import gen_tpcds
 
 # Year-over-year family: needs two-channel customer overlap in
 # consecutive years, which is a data-VOLUME property — tested at sf0.1
-TPCDS14_YOY = ("q4", "q11", "q74")
+# Verified at sf0.1 rather than sf0.01 — volume-driven result sets:
+# q4/q11/q74 need the same customer active in two channels across two
+# consecutive years; q72 needs the catalog x tracked-inventory-item x
+# double-demographics intersection; q13/q85/q91 are double-demographics
+# conjunction batteries whose surviving-row count scales linearly with
+# fact volume. Expected rows at sf0.01 are ~0 by arithmetic, tens to
+# hundreds at sf0.1 (see tests/test_tpcds14_yoy.py).
+TPCDS14_YOY = ("q4", "q11", "q74", "q72", "q13", "q85", "q91")
 
 TPCDS14_TABLES = (
     "store_sales", "catalog_sales", "web_sales", "store_returns",
@@ -117,6 +124,89 @@ TPCDS14_QUERIES: dict[str, str] = {
           WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001 + 1) z
         WHERE d_week_seq1=d_week_seq2-53
         ORDER BY d_week_seq1
+    """,
+    "q8": """
+        select s_store_name, sum(ss_net_profit) sum_profit
+        from store_sales, date_dim, store,
+            (SELECT ca_zip
+              from (
+              (SELECT substr(ca_zip,1,5) ca_zip FROM customer_address
+                 WHERE substr(ca_zip,1,5) IN (
+                      '24128','76232','65084','87816','83926','77556','20548',
+                      '26231','43848','15126','91137','61265','98294','25782',
+                      '17920','18426','98235','40081','84093','28577','55565',
+                      '17183','54601','67897','22752','86284','18376','38607',
+                      '45200','21756','29741','96765','23932','89360','29839',
+                      '25989','28898','91068','72550','10390','18845','47770',
+                      '82636','41367','76638','86198','81312','37126','39192',
+                      '88424','72175','81426','53672','10445','42666','66864',
+                      '66708','41248','48583','82276','18842','78890','49448',
+                      '14089','38122','34425','79077','19849','43285','39861',
+                      '66162','77610','13695','99543','83444','83041','12305',
+                      '57665','68341','25003','57834','62878','49130','81096',
+                      '18840','27700','23470','50412','21195','16021','76107',
+                      '71954','68309','18119','98359','64544','10336','86379',
+                      '27068','39736','98569','28915','24206','56529','57647',
+                      '54917','42961','91110','63981','14922','36420','23006',
+                      '67467','32754','30903','20260','31671','51798','72325',
+                      '85816','68621','13955','36446','41766','68806','16725',
+                      '15146','22744','35850','88086','51649','18270','52867',
+                      '39972','96976','63792','11376','94898','13595','10516',
+                      '90225','58943','39371','94945','28587','96576','57855',
+                      '28488','26105','83933','25858','34322','44438','73171',
+                      '30122','34102','22685','71256','78451','54364','13354',
+                      '45375','40558','56458','28286','45266','47305','69399',
+                      '83921','26233','11101','15371','69913','35942','15882',
+                      '25631','24610','44165','99076','33786','70738','26653',
+                      '14328','72305','62496','22152','10144','64147','48425',
+                      '14663','21076','18799','30450','63089','81019','68893',
+                      '24996','51200','51211','45692','92712','70466','79994',
+                      '22437','25280','38935','71791','73134','56571','14060',
+                      '19505','72425','56575','74351','68786','51650','20004',
+                      '18383','76614','11634','18906','15765','41368','73241',
+                      '76698','78567','97189','28545','76231','75691','22246',
+                      '51061','90578','56691','68014','51103','94167','57047',
+                      '14867','73520','15734','63435','25733','35474','24676',
+                      '94627','53535','17879','15559','53268','59166','11928',
+                      '59402','33282','45721','43933','68101','33515','36634',
+                      '71286','19736','58058','55253','67473','41918','19515',
+                      '36495','19430','22351','77191','91393','49156','50298',
+                      '87501','18652','53179','18767','63193','23968','65164',
+                      '68880','21286','72823','58470','67301','13394','31016',
+                      '70372','67030','40604','24317','45748','39127','26065',
+                      '77721','31029','31880','60576','24671','45549','13376',
+                      '50016','33123','19769','22927','97789','46081','72151',
+                      '15723','46136','51949','68100','96888','64528','14171',
+                      '79777','28709','11489','25103','32213','78668','22245',
+                      '15798','27156','37930','62971','21337','51622','67853',
+                      '10567','38415','15455','58263','42029','60279','37125',
+                      '56240','88190','50308','26859','64457','89091','82136',
+                      '62377','36233','63837','58078','17043','30010','60099',
+                      '28810','98025','29178','87343','73273','30469','64034',
+                      '39516','86057','21309','90257','67875','40162','11356',
+                      '73650','61810','72013','30431','22461','19512','13375',
+                      '55307','30625','83849','68908','26689','96451','38193',
+                      '46820','88885','84935','69035','83144','47537','56616',
+                      '94983','48033','69952','25486','61547','27385','61860',
+                      '58048','56910','16807','17871','35258','31387','35458',
+                      '35576'))
+              INTERSECT
+              (select ca_zip
+                 FROM
+                   (SELECT substr(ca_zip,1,5) ca_zip,count(*) cnt
+                     FROM customer_address, customer
+                     WHERE ca_address_sk = c_current_addr_sk and
+                           c_preferred_cust_flag='Y'
+                     group by ca_zip
+                     having count(*) > 10) A1)
+                ) A2
+             ) V1
+        where ss_store_sk = s_store_sk
+         and ss_sold_date_sk = d_date_sk
+         and d_qoy = 2 and d_year = 1998
+         and (substr(s_zip,1,2) = substr(V1.ca_zip,1,2))
+        group by s_store_name
+        order by s_store_name LIMIT 100
     """,
     "q9": """
         select case when (select count(*) from store_sales
@@ -327,6 +417,56 @@ TPCDS14_QUERIES: dict[str, str] = {
             s_store_name, s_company_id, s_street_number, s_street_name,
             s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
         limit 100
+    """,
+    "q13": """
+        select avg(ss_quantity) avg_qty
+              ,avg(ss_ext_sales_price) avg_esp
+              ,avg(ss_ext_wholesale_cost) avg_ewc
+              ,sum(ss_ext_wholesale_cost) sum_ewc
+        from store_sales
+            ,store
+            ,customer_demographics
+            ,household_demographics
+            ,customer_address
+            ,date_dim
+        where s_store_sk = ss_store_sk
+        and  ss_sold_date_sk = d_date_sk and d_year = 2001
+        and((ss_hdemo_sk=hd_demo_sk
+         and cd_demo_sk = ss_cdemo_sk
+         and cd_marital_status = 'M'
+         and cd_education_status = 'Advanced Degree'
+         and ss_sales_price between 100.00 and 150.00
+         and hd_dep_count = 3
+            )or
+            (ss_hdemo_sk=hd_demo_sk
+         and cd_demo_sk = ss_cdemo_sk
+         and cd_marital_status = 'S'
+         and cd_education_status = 'College'
+         and ss_sales_price between 50.00 and 100.00
+         and hd_dep_count = 1
+            ) or
+            (ss_hdemo_sk=hd_demo_sk
+         and cd_demo_sk = ss_cdemo_sk
+         and cd_marital_status = 'W'
+         and cd_education_status = '2 yr Degree'
+         and ss_sales_price between 150.00 and 200.00
+         and hd_dep_count = 1
+            ))
+        and((ss_addr_sk = ca_address_sk
+         and ca_country = 'United States'
+         and ca_state in ('TX', 'OH', 'TX')
+         and ss_net_profit between 100 and 2000
+            ) or
+            (ss_addr_sk = ca_address_sk
+         and ca_country = 'United States'
+         and ca_state in ('CA', 'WA', 'NY')
+         and ss_net_profit between 150 and 3000
+            ) or
+            (ss_addr_sk = ca_address_sk
+         and ca_country = 'United States'
+         and ca_state in ('GA', 'TX', 'MI')
+         and ss_net_profit between 50 and 2500
+            ))
     """,
     "q84": """
         select c_customer_id as customer_id
@@ -868,6 +1008,29 @@ TPCDS14_QUERIES: dict[str, str] = {
         order by am_pm_ratio
         limit 100
     """,
+    "q91": """
+        select
+               cc_call_center_id Call_Center, cc_name Call_Center_Name, cc_manager Manager,
+               sum(cr_net_loss) Returns_Loss
+        from
+               call_center, catalog_returns, date_dim, customer, customer_address,
+               customer_demographics, household_demographics
+        where
+               cr_call_center_sk        = cc_call_center_sk
+        and    cr_returned_date_sk      = d_date_sk
+        and    cr_returning_customer_sk = c_customer_sk
+        and    cd_demo_sk               = c_current_cdemo_sk
+        and    hd_demo_sk               = c_current_hdemo_sk
+        and    ca_address_sk            = c_current_addr_sk
+        and    d_year                   = 1998
+        and    d_moy                    between 9 and 12
+        and    ( (cd_marital_status     = 'M' and cd_education_status = 'Unknown')
+               or(cd_marital_status     = 'W' and cd_education_status = 'Advanced Degree'))
+        and    hd_buy_potential like 'Unknown%'
+        and    ca_gmt_offset            in (-7, -6)
+        group by cc_call_center_id,cc_name,cc_manager,cd_marital_status,cd_education_status
+        order by sum(cr_net_loss) desc
+    """,
     "q92": """
         select sum(ws_ext_discount_amt) as excess_discount_amount
         from web_sales, item, date_dim
@@ -1337,6 +1500,61 @@ TPCDS14_QUERIES: dict[str, str] = {
         order by sum_sales - avg_monthly_sales, cc_name, i_category, i_brand, d_moy
         limit 100
     """,
+    "q58": """
+        with ss_items as
+        (select i_item_id item_id, sum(ss_ext_sales_price) ss_item_rev
+        from store_sales, item, date_dim
+        where ss_item_sk = i_item_sk
+          and d_date in (select d_date
+                         from date_dim
+                         where d_week_seq = (select d_week_seq
+                                             from date_dim
+                                             where d_date = '2000-01-03'))
+          and ss_sold_date_sk   = d_date_sk
+        group by i_item_id),
+        cs_items as
+        (select i_item_id item_id
+               ,sum(cs_ext_sales_price) cs_item_rev
+         from catalog_sales, item, date_dim
+        where cs_item_sk = i_item_sk
+         and  d_date in (select d_date
+                         from date_dim
+                         where d_week_seq = (select d_week_seq
+                                             from date_dim
+                                             where d_date = '2000-01-03'))
+         and  cs_sold_date_sk = d_date_sk
+        group by i_item_id),
+        ws_items as
+        (select i_item_id item_id, sum(ws_ext_sales_price) ws_item_rev
+         from web_sales, item, date_dim
+        where ws_item_sk = i_item_sk
+         and  d_date in (select d_date
+                         from date_dim
+                         where d_week_seq =(select d_week_seq
+                                            from date_dim
+                                            where d_date = '2000-01-03'))
+         and ws_sold_date_sk   = d_date_sk
+        group by i_item_id)
+        select ss_items.item_id
+              ,ss_item_rev
+              ,ss_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/3 * 100 ss_dev
+              ,cs_item_rev
+              ,cs_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/3 * 100 cs_dev
+              ,ws_item_rev
+              ,ws_item_rev/(ss_item_rev+cs_item_rev+ws_item_rev)/3 * 100 ws_dev
+              ,(ss_item_rev+cs_item_rev+ws_item_rev)/3 average
+        from ss_items,cs_items,ws_items
+        where ss_items.item_id=cs_items.item_id
+          and ss_items.item_id=ws_items.item_id
+          and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+          and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+          and cs_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+          and cs_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+          and ws_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+          and ws_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+        order by ss_items.item_id, ss_item_rev
+        limit 100
+    """,
     "q60": """
         with ss as (
            select i_item_id,sum(ss_ext_sales_price) total_sales
@@ -1382,6 +1600,34 @@ TPCDS14_QUERIES: dict[str, str] = {
                select * from ws) tmp1
         group by i_item_id
         order by i_item_id, total_sales
+        limit 100
+    """,
+    "q72": """
+        select i_item_desc
+              ,w_warehouse_name
+              ,d1.d_week_seq
+              ,count(case when p_promo_sk is null then 1 else 0 end) no_promo
+              ,count(case when p_promo_sk is not null then 1 else 0 end) promo
+              ,count(*) total_cnt
+        from catalog_sales
+        join inventory on (cs_item_sk = inv_item_sk)
+        join warehouse on (w_warehouse_sk=inv_warehouse_sk)
+        join item on (i_item_sk = cs_item_sk)
+        join customer_demographics on (cs_bill_cdemo_sk = cd_demo_sk)
+        join household_demographics on (cs_bill_hdemo_sk = hd_demo_sk)
+        join date_dim d1 on (cs_sold_date_sk = d1.d_date_sk)
+        join date_dim d2 on (inv_date_sk = d2.d_date_sk)
+        join date_dim d3 on (cs_ship_date_sk = d3.d_date_sk)
+        left outer join promotion on (cs_promo_sk=p_promo_sk)
+        left outer join catalog_returns on (cr_item_sk = cs_item_sk and cr_order_number = cs_order_number)
+        where d1.d_week_seq = d2.d_week_seq
+          and inv_quantity_on_hand < cs_quantity
+          and d3.d_date > (cast(d1.d_date AS DATE) + 5)
+          and hd_buy_potential = '>10000'
+          and d1.d_year = 1999
+          and cd_marital_status = 'D'
+        group by i_item_desc,w_warehouse_name,d1.d_week_seq
+        order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq
         limit 100
     """,
     "q75": """
@@ -1441,6 +1687,87 @@ TPCDS14_QUERIES: dict[str, str] = {
         ORDER BY sales_cnt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
                  curr_yr.i_category_id, curr_yr.i_manufact_id
         LIMIT 100
+    """,
+    "q85": """
+        select substr(r_reason_desc,1,20) r_desc, avg(ws_quantity) avg_qty,
+               avg(wr_refunded_cash) avg_cash, avg(wr_fee) avg_fee
+        from web_sales, web_returns, web_page, customer_demographics cd1,
+             customer_demographics cd2, customer_address, date_dim, reason
+        where ws_web_page_sk = wp_web_page_sk
+          and ws_item_sk = wr_item_sk
+          and ws_order_number = wr_order_number
+          and ws_sold_date_sk = d_date_sk and d_year = 2000
+          and cd1.cd_demo_sk = wr_refunded_cdemo_sk
+          and cd2.cd_demo_sk = wr_returning_cdemo_sk
+          and ca_address_sk = wr_refunded_addr_sk
+          and r_reason_sk = wr_reason_sk
+          and
+          (
+           (
+            cd1.cd_marital_status = 'M'
+            and
+            cd1.cd_marital_status = cd2.cd_marital_status
+            and
+            cd1.cd_education_status = 'Advanced Degree'
+            and
+            cd1.cd_education_status = cd2.cd_education_status
+            and
+            ws_sales_price between 100.00 and 150.00
+           )
+          or
+           (
+            cd1.cd_marital_status = 'S'
+            and
+            cd1.cd_marital_status = cd2.cd_marital_status
+            and
+            cd1.cd_education_status = 'College'
+            and
+            cd1.cd_education_status = cd2.cd_education_status
+            and
+            ws_sales_price between 50.00 and 100.00
+           )
+          or
+           (
+            cd1.cd_marital_status = 'W'
+            and
+            cd1.cd_marital_status = cd2.cd_marital_status
+            and
+            cd1.cd_education_status = '2 yr Degree'
+            and
+            cd1.cd_education_status = cd2.cd_education_status
+            and
+            ws_sales_price between 150.00 and 200.00
+           )
+          )
+          and
+          (
+           (
+            ca_country = 'United States'
+            and
+            ca_state in ('IL', 'OH', 'NY')
+            and ws_net_profit between 100 and 2000
+           )
+           or
+           (
+            ca_country = 'United States'
+            and
+            ca_state in ('WA', 'CA', 'MI')
+            and ws_net_profit between 150 and 3000
+           )
+           or
+           (
+            ca_country = 'United States'
+            and
+            ca_state in ('GA', 'TX', 'CA')
+            and ws_net_profit between 50 and 2500
+           )
+          )
+        group by r_reason_desc
+        order by substr(r_reason_desc,1,20)
+               ,avg(ws_quantity)
+               ,avg(wr_refunded_cash)
+               ,avg(wr_fee)
+        limit 100
     """,
     "q86": """
         select sum(ws_net_paid) as total_sum, i_category, i_class,
@@ -2259,6 +2586,62 @@ TPCDS14_QUERIES: dict[str, str] = {
         order by cd_gender, cd_marital_status, cd_education_status,
                  cd_purchase_estimate, cd_credit_rating
         limit 100
+    """,
+    "q78": """
+        with ws as
+          (select d_year AS ws_sold_year, ws_item_sk,
+            ws_bill_customer_sk ws_customer_sk,
+            sum(ws_quantity) ws_qty,
+            sum(ws_wholesale_cost) ws_wc,
+            sum(ws_sales_price) ws_sp
+           from web_sales
+           left join web_returns on wr_order_number=ws_order_number and ws_item_sk=wr_item_sk
+           join date_dim on ws_sold_date_sk = d_date_sk
+           where wr_order_number is null
+           group by d_year, ws_item_sk, ws_bill_customer_sk
+           ),
+        cs as
+          (select d_year AS cs_sold_year, cs_item_sk,
+            cs_bill_customer_sk cs_customer_sk,
+            sum(cs_quantity) cs_qty,
+            sum(cs_wholesale_cost) cs_wc,
+            sum(cs_sales_price) cs_sp
+           from catalog_sales
+           left join catalog_returns on cr_order_number=cs_order_number and cs_item_sk=cr_item_sk
+           join date_dim on cs_sold_date_sk = d_date_sk
+           where cr_order_number is null
+           group by d_year, cs_item_sk, cs_bill_customer_sk
+           ),
+        ss as
+          (select d_year AS ss_sold_year, ss_item_sk,
+            ss_customer_sk,
+            sum(ss_quantity) ss_qty,
+            sum(ss_wholesale_cost) ss_wc,
+            sum(ss_sales_price) ss_sp
+           from store_sales
+           left join store_returns on sr_ticket_number=ss_ticket_number and ss_item_sk=sr_item_sk
+           join date_dim on ss_sold_date_sk = d_date_sk
+           where sr_ticket_number is null
+           group by d_year, ss_item_sk, ss_customer_sk
+           )
+        select
+          round(ss_qty/(coalesce(ws_qty+cs_qty,1)),2) ratio,
+          ss_qty store_qty, ss_wc store_wholesale_cost, ss_sp store_sales_price,
+          coalesce(ws_qty,0)+coalesce(cs_qty,0) other_chan_qty,
+          coalesce(ws_wc,0)+coalesce(cs_wc,0) other_chan_wholesale_cost,
+          coalesce(ws_sp,0)+coalesce(cs_sp,0) other_chan_sales_price
+        from ss
+        left join ws on (ws_sold_year=ss_sold_year and ws_item_sk=ss_item_sk and ws_customer_sk=ss_customer_sk)
+        left join cs on (cs_sold_year=ss_sold_year and ss_item_sk=cs_item_sk and cs_customer_sk=ss_customer_sk)
+        where coalesce(ws_qty,0)>0 and coalesce(cs_qty, 0)>0 and ss_sold_year=2000
+        order by
+          ratio,
+          ss_qty desc, ss_wc desc, ss_sp desc,
+          other_chan_qty,
+          other_chan_wholesale_cost,
+          other_chan_sales_price,
+          round(ss_qty/(coalesce(ws_qty+cs_qty,1)),2)
+         limit 100
     """,
     "q80": """
         with ssr as

@@ -217,6 +217,27 @@ _COUNTIES = ["Williamson County", "Franklin Parish", "Bronx County",
              "Appanoose County", "Daviess County", "Fairfield County",
              "Raleigh County", "Ziebach County", "Walker County"]
 
+# Zip vocabulary shared by customer_address and store. dsdgen zips
+# cluster into a bounded set per region, which is what gives q8's
+# "preferred customers per 5-digit zip > 10" HAVING and its literal-list
+# INTERSECT non-empty results; a uniform 10000-99999 draw spreads 50k
+# addresses over 90k zips (~1 customer/zip) and empties both. The vocab
+# is q15's 9 literal zips (whose 2-digit prefixes are also q45's list)
+# plus 40 of q8's 400 literals.
+_ZIPS = ["85669", "86197", "88274", "83405", "86475", "85392", "85460",
+         "80348", "81792",
+         "24128", "76232", "65084", "87816", "83926", "77556", "20548",
+         "26231", "43848", "15126", "91137", "61265", "98294", "25782",
+         "17920", "18426", "98235", "40081", "84093", "28577", "55565",
+         "17183", "54601", "67897", "22752", "86284", "18376", "38607",
+         "45200", "21756", "29741", "96765", "23932", "89360", "29839",
+         "25989", "28898", "91068", "72550", "10390"]
+# store zips: a 12-value cycled subset (one per store) drawn from the q8
+# literals so the final substr(s_zip,1,2) = substr(ca_zip,1,2) join in
+# q8 always has matching store prefixes
+_STORE_ZIPS = ["24128", "76232", "65084", "87816", "83926", "77556",
+               "20548", "26231", "43848", "15126", "91137", "61265"]
+
 _J2000 = 2_451_545  # julian day number of 2000-01-01 (a Saturday)
 _DATE_DIM_BASE = 2_415_022  # 1900-01-02, the first dsdgen date_dim row
 
@@ -322,12 +343,25 @@ def _returns_columns(
             )
             cols["cr_order_number"] = tkt
             cols["cr_reason_sk"] = ("int", 1, 35)
+            # the call center the returned order went through (per-line,
+            # re-derived from the sales row — q91 groups returns by it)
+            cols["cr_call_center_sk"] = lambda idc: uniform_int(
+                sales_row(idc), f"{base_seed}:catalog_sales:cs_call_center_sk",
+                1, 6,
+            )
         elif rp == "wr":
             cols["wr_refunded_customer_sk"] = per_basket("ws_customer_sk", 1, 100_000)
             cols["wr_refunded_cdemo_sk"] = per_basket("ws_cdemo_sk", 1, 1_920_800)
-            # dsdgen: the returning party is usually the buyer
+            # dsdgen: the returning party is usually the buyer — the
+            # returning/refunded demographic and address keys coincide,
+            # which is what makes q85's cd1 = cd2 equality predicates
+            # match real rows
+            cols["wr_returning_cdemo_sk"] = per_basket("ws_cdemo_sk", 1, 1_920_800)
             cols["wr_returning_customer_sk"] = per_basket("ws_customer_sk", 1, 100_000)
             cols["wr_returning_addr_sk"] = per_basket("ws_addr_sk", 1, 50_000)
+            cols["wr_refunded_addr_sk"] = per_basket("ws_addr_sk", 1, 50_000)
+            cols["wr_refunded_cash"] = ("money", 0.0, 10_000.0)
+            cols["wr_fee"] = ("money", 0.5, 100.0)
             # the page the returned sale used (per-line col, re-derived)
             cols["wr_web_page_sk"] = lambda idc: uniform_int(
                 sales_row(idc), f"{base_seed}:web_sales:ws_web_page_sk", 1, 60
@@ -352,6 +386,18 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
     so id//5 is a valid sr row at any sf. Residues 1 and 2 are never
     multiples of 10, so catalog_returns' alignment to cs rows ``id*10``
     is untouched.
+
+    Rows where ``id % 20 == 5`` are TRIPLE-CHANNEL echoes: they
+    re-derive the (customer, item, sold date, ext_sales_price) of
+    store_sales row ``2*id - 6`` — always ``== 4 (mod 40)``, the same ss
+    rows web_sales echoes at ``id % 10 == 5`` via ``4*id - 16``. Every
+    such ss line is therefore sold through all three channels in the
+    same WEEK with near-equal per-channel revenue (q58/q83's balanced
+    3-channel item weeks), by lines NO channel ever returns: ss rows
+    ``== 4 (mod 40)`` are not multiples of 10 so no sr row derives from
+    them, and the cs/ws echo residues are odd so no cr/wr row derives
+    from the echoes — which is exactly q78's no-returns 3-channel
+    (year, item, customer) join.
     """
 
     def sr_row(idc: Column) -> Column:
@@ -360,27 +406,50 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
     def planted(idc: Column) -> Column:
         return (idc % 5 == 1) | (idc % 5 == 2)
 
+    def ss_row3(idc: Column) -> Column:
+        return idc * 2 - 6
+
+    def planted3(idc: Column) -> Column:
+        return idc % 20 == 5
+
     def customer(idc: Column) -> Column:
         # the sr row's customer is per-basket over its sales row (id*10)
         cross = uniform_int(_ticket(sr_row(idc) * 10), "ss_customer_sk", 1, 100_000)
+        echo3 = uniform_int(_ticket(ss_row3(idc)), "ss_customer_sk", 1, 100_000)
         default = uniform_int(_ticket(idc), "cs_customer_sk", 1, 100_000)
-        return F.when(planted(idc), cross).otherwise(default)
+        return (F.when(planted(idc), cross)
+                 .when(planted3(idc), echo3).otherwise(default))
 
     def item(idc: Column) -> Column:
         cross = uniform_int(
             sr_row(idc) * 10, f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
         )
+        echo3 = uniform_int(
+            ss_row3(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
+        )
         default = uniform_int(
             idc, f"{base_seed}:catalog_sales:cs_item_sk", 1, 18_000
         )
-        return F.when(planted(idc), cross).otherwise(default)
+        return (F.when(planted(idc), cross)
+                 .when(planted3(idc), echo3).otherwise(default))
 
     def sold_date(idc: Column) -> Column:
         cross = uniform_int(
             _ticket(sr_row(idc) * 10), "ss_sold_date_sk", 2_450_815, 2_452_642
         )
+        echo3 = uniform_int(
+            _ticket(ss_row3(idc)), "ss_sold_date_sk", 2_450_815, 2_452_642
+        )
         default = uniform_int(_ticket(idc), "cs_sold_date_sk", 2_450_815, 2_452_642)
-        return F.when(planted(idc), cross).otherwise(default)
+        return (F.when(planted(idc), cross)
+                 .when(planted3(idc), echo3).otherwise(default))
+
+    def sales_price(idc: Column) -> Column:
+        echo3 = money(ss_row3(idc), f"{base_seed}:store_sales:ss_ext_sales_price",
+                      1.0, 20_000.0)
+        default = money(idc, f"{base_seed}:catalog_sales:cs_ext_sales_price",
+                        1.0, 20_000.0)
+        return F.when(planted3(idc), echo3).otherwise(default)
 
     cols = _sales_columns(
         "cs", demo_prefix="bill_", order_col="cs_order_number",
@@ -404,6 +473,7 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
     cols["cs_ship_customer_sk"] = customer
     cols["cs_item_sk"] = item
     cols["cs_sold_date_sk"] = sold_date
+    cols["cs_ext_sales_price"] = sales_price
     return cols
 
 
@@ -418,6 +488,12 @@ def _web_sales_columns(base_seed: str) -> dict[str, object]:
     two consecutive years" has ~zero expected rows at any test scale.
     Residues 1 and 2 are never multiples of 10, so web_returns'
     alignment to ws rows ``id*10`` is untouched.
+
+    Rows where ``id % 10 == 5`` are the web half of the TRIPLE-CHANNEL
+    echo (see _catalog_sales_columns): they re-derive the (customer,
+    item, sold date, ext_sales_price) of store_sales row ``4*id - 16``
+    — always ``== 4 (mod 40)``, the same ss rows catalog_sales echoes
+    at ``id % 20 == 5``.
     """
 
     def src_row(idc: Column) -> Column:
@@ -426,17 +502,45 @@ def _web_sales_columns(base_seed: str) -> dict[str, object]:
     def planted(idc: Column) -> Column:
         return (idc % 5 == 1) | (idc % 5 == 2)
 
+    def ss_row3(idc: Column) -> Column:
+        return idc * 4 - 16
+
+    def planted3(idc: Column) -> Column:
+        return idc % 10 == 5
+
     def customer(idc: Column) -> Column:
         cross = uniform_int(_ticket(src_row(idc)), "ss_customer_sk", 1, 100_000)
+        echo3 = uniform_int(_ticket(ss_row3(idc)), "ss_customer_sk", 1, 100_000)
         default = uniform_int(_ticket(idc), "ws_customer_sk", 1, 100_000)
-        return F.when(planted(idc), cross).otherwise(default)
+        return (F.when(planted(idc), cross)
+                 .when(planted3(idc), echo3).otherwise(default))
+
+    def item(idc: Column) -> Column:
+        echo3 = uniform_int(
+            ss_row3(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
+        )
+        default = uniform_int(
+            idc, f"{base_seed}:web_sales:ws_item_sk", 1, 18_000
+        )
+        return F.when(planted3(idc), echo3).otherwise(default)
 
     def sold_date(idc: Column) -> Column:
         cross = uniform_int(
             _ticket(src_row(idc)), "ss_sold_date_sk", 2_450_815, 2_452_642
         )
+        echo3 = uniform_int(
+            _ticket(ss_row3(idc)), "ss_sold_date_sk", 2_450_815, 2_452_642
+        )
         default = uniform_int(_ticket(idc), "ws_sold_date_sk", 2_450_815, 2_452_642)
-        return F.when(planted(idc), cross).otherwise(default)
+        return (F.when(planted(idc), cross)
+                 .when(planted3(idc), echo3).otherwise(default))
+
+    def sales_price(idc: Column) -> Column:
+        echo3 = money(ss_row3(idc), f"{base_seed}:store_sales:ss_ext_sales_price",
+                      1.0, 20_000.0)
+        default = money(idc, f"{base_seed}:web_sales:ws_ext_sales_price",
+                        1.0, 20_000.0)
+        return F.when(planted3(idc), echo3).otherwise(default)
 
     cols = _sales_columns(
         "ws", demo_prefix="bill_", order_col="ws_order_number",
@@ -455,6 +559,8 @@ def _web_sales_columns(base_seed: str) -> dict[str, object]:
     )
     cols["ws_bill_customer_sk"] = customer
     cols["ws_sold_date_sk"] = sold_date
+    cols["ws_item_sk"] = item
+    cols["ws_ext_sales_price"] = sales_price
     return cols
 
 
@@ -613,7 +719,7 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "ca_city": ("choice", _CITIES),
         "ca_county": ("choice", _COUNTIES),
         "ca_state": ("choice", ["CA", "NY", "TX", "WA", "IL", "GA", "OH", "MI"]),
-        "ca_zip": lambda idc: uniform_int(idc, "ca_zip", 10_000, 99_999).cast("string"),
+        "ca_zip": ("choice", _ZIPS),
         "ca_country": lambda idc: F.lit("United States"),
         "ca_gmt_offset": ("int", -8, -5),
         "ca_location_type": ("choice", ["apartment", "condo", "single family"]),
@@ -686,7 +792,7 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "s_county": ("choice", _COUNTIES),
         # TN is in-vocab: q36 filters s_state='TN' (and q27's IN-list has it)
         "s_state": _cycle(["CA", "NY", "TX", "WA", "IL", "GA", "TN"]),
-        "s_zip": lambda idc: uniform_int(idc, "s_zip", 10_000, 99_999).cast("string"),
+        "s_zip": _cycle(_STORE_ZIPS),
         "s_company_name": ("choice", ["Unknown", "ought", "able", "pri"]),
         "s_gmt_offset": ("int", -8, -5),
     },
@@ -737,6 +843,7 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         # cycled so 'Williamson County' (q16's filter) is always present
         "cc_county": _cycle(_COUNTIES),
         "cc_rec_start_date": ("date", 1998, 4),
+        "cc_manager": ("string", "Manager "),
         "cc_employees": ("int", 100, 700),
         "cc_sq_ft": ("int", 10_000, 700_000),
     },

@@ -1,10 +1,15 @@
-"""Year-over-year TPC-DS family (q4/q11/q74) at sf0.1.
+"""Volume-driven TPC-DS family (q4/q11/q74/q72/q13/q85/q91) at sf0.1.
 
-These queries require the same customer to be active in two sales
-channels in two consecutive years — a data-VOLUME property, not a
-predicate-vocabulary one: at sf0.01 the expected store∩web two-year
-customer count is ~3 (hash luck), at sf0.1 it is hundreds. So this
-family gets its own engine-vs-engine fixture at the larger scale.
+These queries' result sets are data-VOLUME properties, not
+predicate-vocabulary ones: q4/q11/q74 need the same customer active in
+two sales channels in two consecutive years (expected two-year store∩web
+count at sf0.01 is ~3, at sf0.1 hundreds); q72 needs a catalog sale to
+hit a tracked-inventory item under a double-demographics filter
+(tracked items are 0.5% of the item space at sf0.01, 5% at sf0.1);
+q13/q85/q91 AND a demographics-pair filter (~2-9% selectivity) with an
+address/profit battery, so their surviving-row count is linear in fact
+volume. So this family gets its own engine-vs-engine fixture at the
+larger scale.
 
 Runs after test_tpcds14_suite (pytest module order is alphabetical),
 re-registering the shared temp-view names at sf0.1.
@@ -14,12 +19,16 @@ from __future__ import annotations
 
 import pytest
 
-from spark_sql_perf_spark.operators.tpcds14_suite import TPCDS14_QUERIES, TPCDS14_YOY
+from spark_sql_perf_spark.operators.tpcds14_suite import (
+    TPCDS14_QUERIES,
+    TPCDS14_TABLES,
+    TPCDS14_YOY,
+)
 
 from test_impala_suite import _compare
 
 SCALE = 0.1
-YOY_TABLES = ("store_sales", "catalog_sales", "web_sales", "customer", "date_dim")
+YOY_TABLES = TPCDS14_TABLES
 
 
 @pytest.fixture(scope="module")
@@ -44,4 +53,7 @@ def test_yoy_query_matches_duckdb(corpus_yoy, duck, name):
     sp = corpus_yoy.sql(sql).toPandas()
     du = duck.execute(sql).df()
     assert len(sp) > 0, f"{name}: empty result at scale {SCALE}"
+    # a bare-aggregate query (q13) returns one all-NULL row over an empty
+    # input — that is a degenerate "pass", not evidence
+    assert not sp.dropna(how="all").empty, f"{name}: all-NULL result"
     _compare(sp, du, name)

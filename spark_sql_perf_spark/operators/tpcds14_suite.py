@@ -49,6 +49,25 @@ Documented deviations from the verbatim 1.4 texts:
   the generated vocabulary; q4/q11/q74 are volume-driven (customers
   active in two channels across consecutive years) and verified at
   sf0.1 in tests/test_tpcds14_yoy.py rather than sf0.01.
+- tranche 5 (round 2) closes every remaining `runnable` omission:
+  q39a/q39b/q72 over the dense weekly inventory grid, q8 over the
+  bounded zip vocabulary, q58/q78 over the triple-channel echo,
+  q83 over the returned-item echo, q76 over the NULL channel keys,
+  q13/q85/q91/q54/q64 in the sf0.1 volume family. Deviations, all
+  vocabulary/selectivity rescales with the query shape unchanged:
+  q37/q82 manufact in-lists -> ranges (the tracked-inventory item
+  subset is 0.5% of items at sf0.01); q13/q85 state lists map to the
+  generated vocabulary and their net-profit bands widen (the official
+  100-200 band is 0.5% of the generated profit range); q91 widens
+  d_moy to a quarter and gmt to two offsets; q54 widens its
+  my_customers window to Q4 (and keeps the verbatim Women/maternity
+  pair — class is nested under category in the generator); q64's color
+  list maps to the generated vocabulary and its price band widens;
+  q54's revenue segmentation uses cast(floor(revenue/50) as int)
+  because DuckDB rounds CAST(double AS INT) while Spark truncates —
+  floor() is identical in both; q39's duplicated output column names
+  get aliases (wsk1/isk1/...); q72/q58's ambiguous ORDER BY/item_id
+  references are qualified.
 """
 
 from __future__ import annotations
@@ -65,9 +84,11 @@ from ..sources.datagen import gen_tpcds
 # consecutive years; q72 needs the catalog x tracked-inventory-item x
 # double-demographics intersection; q13/q85/q91 are double-demographics
 # conjunction batteries whose surviving-row count scales linearly with
-# fact volume. Expected rows at sf0.01 are ~0 by arithmetic, tens to
+# fact volume; q54 is a cross-channel catchment funnel and q64 a
+# two-year returned-sale self-join, both compounding several ~%-level
+# selectivities. Expected rows at sf0.01 are ~0 by arithmetic, tens to
 # hundreds at sf0.1 (see tests/test_tpcds14_yoy.py).
-TPCDS14_YOY = ("q4", "q11", "q74", "q72", "q13", "q85", "q91")
+TPCDS14_YOY = ("q4", "q11", "q74", "q72", "q13", "q85", "q91", "q54", "q64")
 
 TPCDS14_TABLES = (
     "store_sales", "catalog_sales", "web_sales", "store_returns",
@@ -467,6 +488,45 @@ TPCDS14_QUERIES: dict[str, str] = {
          and ca_state in ('GA', 'TX', 'MI')
          and ss_net_profit between 50 and 2500
             ))
+    """,
+    "q83": """
+        with sr_items as
+         (select i_item_id item_id, sum(sr_return_quantity) sr_item_qty
+          from store_returns, item, date_dim
+          where sr_item_sk = i_item_sk
+             and  d_date in (select d_date from date_dim where d_week_seq in
+                      (select d_week_seq from date_dim where d_date in ('2000-06-30','2000-09-27','2000-11-17')))
+             and sr_returned_date_sk   = d_date_sk
+          group by i_item_id),
+        cr_items as
+         (select i_item_id item_id, sum(cr_return_quantity) cr_item_qty
+         from catalog_returns, item, date_dim
+         where cr_item_sk = i_item_sk
+             and d_date in (select d_date from date_dim where d_week_seq in
+                      (select d_week_seq from date_dim where d_date in ('2000-06-30','2000-09-27','2000-11-17')))
+             and cr_returned_date_sk   = d_date_sk
+             group by i_item_id),
+        wr_items as
+         (select i_item_id item_id, sum(wr_return_quantity) wr_item_qty
+         from web_returns, item, date_dim
+         where wr_item_sk = i_item_sk and d_date in
+             (select d_date from date_dim where d_week_seq in
+                      (select d_week_seq from date_dim where d_date in ('2000-06-30','2000-09-27','2000-11-17')))
+           and wr_returned_date_sk = d_date_sk
+         group by i_item_id)
+        select sr_items.item_id
+              ,sr_item_qty
+              ,sr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 sr_dev
+              ,cr_item_qty
+              ,cr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 cr_dev
+              ,wr_item_qty
+              ,wr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 wr_dev
+              ,(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 average
+        from sr_items, cr_items, wr_items
+        where sr_items.item_id=cr_items.item_id
+          and sr_items.item_id=wr_items.item_id
+        order by sr_items.item_id, sr_item_qty
+        limit 100
     """,
     "q84": """
         select c_customer_id as customer_id
@@ -1407,6 +1467,59 @@ TPCDS14_QUERIES: dict[str, str] = {
         order by item_sk, d_date
         limit 100
     """,
+    "q54": """
+        with my_customers as (
+        select distinct c_customer_sk
+               , c_current_addr_sk
+        from
+               ( select cs_sold_date_sk sold_date_sk,
+                        cs_bill_customer_sk customer_sk,
+                        cs_item_sk item_sk
+                 from   catalog_sales
+                 union all
+                 select ws_sold_date_sk sold_date_sk,
+                        ws_bill_customer_sk customer_sk,
+                        ws_item_sk item_sk
+                 from   web_sales
+                ) cs_or_ws_sales,
+                item,
+                date_dim,
+                customer
+        where   sold_date_sk = d_date_sk
+                and item_sk = i_item_sk
+                and i_category = 'Women'
+                and i_class = 'maternity'
+                and c_customer_sk = cs_or_ws_sales.customer_sk
+                and d_moy between 10 and 12
+                and d_year = 1998
+        )
+        , my_revenue as (
+        select c_customer_sk,
+               sum(ss_ext_sales_price) as revenue
+        from   my_customers,
+               store_sales,
+               customer_address,
+               store,
+               date_dim
+        where  c_current_addr_sk = ca_address_sk
+               and ca_county = s_county
+               and ca_state = s_state
+               and ss_sold_date_sk = d_date_sk
+               and c_customer_sk = ss_customer_sk
+               and d_month_seq between (select distinct d_month_seq+1
+                                        from   date_dim where d_year = 1998 and d_moy = 12)
+                                  and  (select distinct d_month_seq+3
+                                        from   date_dim where d_year = 1998 and d_moy = 12)
+        group by c_customer_sk
+        )
+        , segments as
+        (select cast(floor(revenue/50) as int) as segment from my_revenue)
+        select segment, count(*) as num_customers, segment*50 as segment_base
+        from segments
+        group by segment
+        order by segment, num_customers
+        limit 100
+    """,
     "q56": """
         with ss as (
         select i_item_id,sum(ss_ext_sales_price) total_sales
@@ -2102,6 +2215,68 @@ TPCDS14_QUERIES: dict[str, str] = {
         order by promotions, total
         limit 100
     """,
+    "q64": """
+        with cs_ui as
+         (select cs_item_sk
+                ,sum(cs_ext_list_price) as sale,sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit) as refund
+          from catalog_sales
+              ,catalog_returns
+          where cs_item_sk = cr_item_sk
+            and cs_order_number = cr_order_number
+          group by cs_item_sk
+          having sum(cs_ext_list_price)>2*sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit)),
+        cross_sales as
+         (select i_product_name product_name, i_item_sk item_sk, s_store_name store_name, s_zip store_zip,
+                 ad1.ca_street_number b_street_number, ad1.ca_street_name b_streen_name, ad1.ca_city b_city,
+                 ad1.ca_zip b_zip, ad2.ca_street_number c_street_number, ad2.ca_street_name c_street_name,
+                 ad2.ca_city c_city, ad2.ca_zip c_zip, d1.d_year as syear, d2.d_year as fsyear, d3.d_year s2year,
+                 count(*) cnt, sum(ss_wholesale_cost) s1, sum(ss_list_price) s2, sum(ss_coupon_amt) s3
+          FROM store_sales, store_returns, cs_ui, date_dim d1, date_dim d2, date_dim d3,
+               store, customer, customer_demographics cd1, customer_demographics cd2,
+               promotion, household_demographics hd1, household_demographics hd2,
+               customer_address ad1, customer_address ad2, income_band ib1, income_band ib2, item
+          WHERE  ss_store_sk = s_store_sk AND
+                 ss_sold_date_sk = d1.d_date_sk AND
+                 ss_customer_sk = c_customer_sk AND
+                 ss_cdemo_sk= cd1.cd_demo_sk AND
+                 ss_hdemo_sk = hd1.hd_demo_sk AND
+                 ss_addr_sk = ad1.ca_address_sk and
+                 ss_item_sk = i_item_sk and
+                 ss_item_sk = sr_item_sk and
+                 ss_ticket_number = sr_ticket_number and
+                 ss_item_sk = cs_ui.cs_item_sk and
+                 c_current_cdemo_sk = cd2.cd_demo_sk AND
+                 c_current_hdemo_sk = hd2.hd_demo_sk AND
+                 c_current_addr_sk = ad2.ca_address_sk and
+                 c_first_sales_date_sk = d2.d_date_sk and
+                 c_first_shipto_date_sk = d3.d_date_sk and
+                 ss_promo_sk = p_promo_sk and
+                 hd1.hd_income_band_sk = ib1.ib_income_band_sk and
+                 hd2.hd_income_band_sk = ib2.ib_income_band_sk and
+                 cd1.cd_marital_status <> cd2.cd_marital_status and
+                 i_color in ('slate','blanched','burnished','powder','khaki','floral',
+                             'deep','light','cornflower','midnight') and
+                 i_current_price between 30 and 30 + 50 and
+                 i_current_price between 30 + 1 and 30 + 55
+        group by i_product_name, i_item_sk, s_store_name, s_zip, ad1.ca_street_number,
+                 ad1.ca_street_name, ad1.ca_city, ad1.ca_zip, ad2.ca_street_number,
+                 ad2.ca_street_name, ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year
+        )
+        select cs1.product_name, cs1.store_name, cs1.store_zip, cs1.b_street_number,
+               cs1.b_streen_name, cs1.b_city, cs1.b_zip, cs1.c_street_number, cs1.c_street_name,
+               cs1.c_city, cs1.c_zip, cs1.syear, cs1.cnt cnt1, cs1.s1 s11, cs1.s2 s12, cs1.s3 s13,
+               cs2.s1 s21, cs2.s2 s22, cs2.s3 s23, cs2.syear syear2, cs2.cnt cnt2
+        from cross_sales cs1,cross_sales cs2
+        where cs1.item_sk=cs2.item_sk and
+             cs1.syear = 1999 and
+             cs2.syear = 1999 + 1 and
+             cs2.cnt <= cs1.cnt and
+             cs1.store_name = cs2.store_name and
+             cs1.store_zip = cs2.store_zip
+        order by cs1.product_name, cs1.store_name, cs2.cnt,
+                 cs1.b_street_number, cs1.b_zip, cs1.c_street_number, cs1.c_zip,
+                 cnt1, s11, s12, s13, s21, s22, s23
+    """,
     "q66": """
         select w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country,
            ship_carriers, year_
@@ -2323,6 +2498,38 @@ TPCDS14_QUERIES: dict[str, str] = {
           and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
         group by i_brand, i_brand_id,t_hour,t_minute
         order by ext_price desc, brand_id, t_hour, t_minute
+    """,
+    "q76": """
+        SELECT
+           channel, col_name, d_year, d_qoy, i_category, COUNT(*) sales_cnt,
+           SUM(ext_sales_price) sales_amt
+        FROM(
+           SELECT
+               'store' as channel, ss_store_sk col_name, d_year, d_qoy, i_category,
+               ss_ext_sales_price ext_sales_price
+           FROM store_sales, item, date_dim
+           WHERE ss_store_sk IS NULL
+             AND ss_sold_date_sk=d_date_sk
+             AND ss_item_sk=i_item_sk
+           UNION ALL
+           SELECT
+               'web' as channel, ws_ship_customer_sk col_name, d_year, d_qoy, i_category,
+               ws_ext_sales_price ext_sales_price
+           FROM web_sales, item, date_dim
+           WHERE ws_ship_customer_sk IS NULL
+             AND ws_sold_date_sk=d_date_sk
+             AND ws_item_sk=i_item_sk
+           UNION ALL
+           SELECT
+               'catalog' as channel, cs_ship_addr_sk col_name, d_year, d_qoy, i_category,
+               cs_ext_sales_price ext_sales_price
+           FROM catalog_sales, item, date_dim
+           WHERE cs_ship_addr_sk IS NULL
+             AND cs_sold_date_sk=d_date_sk
+             AND cs_item_sk=i_item_sk) foo
+        GROUP BY channel, col_name, d_year, d_qoy, i_category
+        ORDER BY channel, col_name, d_year, d_qoy, i_category
+        limit 100
     """,
     "q77": """
         with ss as

@@ -217,6 +217,38 @@ _COUNTIES = ["Williamson County", "Franklin Parish", "Bronx County",
              "Appanoose County", "Daviess County", "Fairfield County",
              "Raleigh County", "Ziebach County", "Walker County"]
 
+# Geography is CORRELATED, not independent: a county belongs to one
+# state (dsdgen draws both from one fips row). Stores cycle these pairs
+# (one store per county) and addresses hash-pick a pair, so q54's
+# "customer lives in the store's county AND state" join matches 1/12 of
+# (address, store) pairs instead of ~never under independent draws.
+# State coverage keeps every corpus literal reachable: TN (q27/q36),
+# GA (q15/q16), TX/OH/CA/WA/NY/GA/MI (q13/q85 lists), IL (q85).
+_GEO_PAIRS = [("Williamson County", "TN"), ("Franklin Parish", "GA"),
+              ("Bronx County", "NY"), ("Orange County", "CA"),
+              ("Saginaw County", "MI"), ("Sumner County", "TX"),
+              ("Appanoose County", "IL"), ("Daviess County", "OH"),
+              ("Fairfield County", "WA"), ("Raleigh County", "CA"),
+              ("Ziebach County", "TX"), ("Walker County", "GA")]
+
+
+def _geo_pair_hash(seed: str, part: int):
+    """Column fn: hash-chosen (county, state) pair component. One seed
+    shared by both components -> the pair is drawn jointly."""
+    def col(idc: Column) -> Column:
+        arr = F.array(*[F.lit(p[part]) for p in _GEO_PAIRS])
+        idx = uniform_int(idc, seed, 0, len(_GEO_PAIRS) - 1)
+        return F.element_at(arr, (idx + 1).cast("int"))
+    return col
+
+
+def _geo_pair_cycle(part: int):
+    """Column fn: cycled (county, state) pair component (stores)."""
+    def col(idc: Column) -> Column:
+        arr = F.array(*[F.lit(p[part]) for p in _GEO_PAIRS])
+        return F.element_at(arr, (idc % len(_GEO_PAIRS) + 1).cast("int"))
+    return col
+
 # Zip vocabulary shared by customer_address and store. dsdgen zips
 # cluster into a bounded set per region, which is what gives q8's
 # "preferred customers per 5-digit zip > 10" HAVING and its literal-list
@@ -324,13 +356,41 @@ def _returns_columns(
         }
         cols.update(extras or {})
         if rp == "sr":
-            cols["sr_customer_sk"] = per_basket("ss_customer_sk", 1, 100_000)
+            # basket customer/date go through the follow-up-aware helpers
+            # (must mirror _store_sales_columns exactly)
+            cols["sr_customer_sk"] = lambda idc: _ss_customer_of_ticket(tkt(idc))
+            cols["sr_returned_date_sk"] = lambda idc: (
+                _ss_date_of_ticket(tkt(idc))
+                + uniform_int(idc, "sr_lag", 1, 150)
+            )
             cols["sr_cdemo_sk"] = per_basket("ss_cdemo_sk", 1, 1_920_800)
             cols["sr_hdemo_sk"] = per_basket("ss_hdemo_sk", 1, 7_200)
-            cols["sr_store_sk"] = per_basket("ss_store_sk", 1, 12)
+            # the basket's LOCAL store (must mirror _store_sales_columns)
+            cols["sr_store_sk"] = _local_store_sk(base_seed, tkt)
             cols["sr_ticket_number"] = tkt
             cols["sr_reason_sk"] = ("int", 1, 35)
         elif rp == "cr":
+            # returned-item echo mirror: cs rows ==10 (mod 40) carry the
+            # item of ss row 20m-10 and their return lands on the sr
+            # row's return date (see _sr_returned_date_of)
+            def cr_item(idc: Column) -> Column:
+                echo_r = uniform_int(
+                    idc * 20 - 10, f"{base_seed}:store_sales:ss_item_sk",
+                    1, 18_000,
+                )
+                return F.when(idc % 4 == 1, echo_r).otherwise(item(idc))
+
+            def cr_returned(idc: Column) -> Column:
+                default = (
+                    per_basket("cs_sold_date_sk", 2_450_815, 2_452_642)(idc)
+                    + uniform_int(idc, "cr_lag", 1, 150)
+                )
+                return F.when(
+                    idc % 4 == 1, _sr_returned_date_of(idc * 2 - 1)
+                ).otherwise(default)
+
+            cols["cr_item_sk"] = cr_item
+            cols["cr_returned_date_sk"] = cr_returned
             cols["cr_refunded_customer_sk"] = per_basket("cs_customer_sk", 1, 100_000)
             cols["cr_refunded_cdemo_sk"] = per_basket("cs_cdemo_sk", 1, 1_920_800)
             cols["cr_returning_customer_sk"] = per_basket("cs_customer_sk", 1, 100_000)
@@ -350,6 +410,26 @@ def _returns_columns(
                 1, 6,
             )
         elif rp == "wr":
+            # returned-item echo mirror: ws rows ==10 (mod 20) carry the
+            # item of ss row 40w-30 and return on the sr row's date
+            def wr_item(idc: Column) -> Column:
+                echo_r = uniform_int(
+                    idc * 40 - 30, f"{base_seed}:store_sales:ss_item_sk",
+                    1, 18_000,
+                )
+                return F.when(idc % 2 == 1, echo_r).otherwise(item(idc))
+
+            def wr_returned(idc: Column) -> Column:
+                default = (
+                    per_basket("ws_sold_date_sk", 2_450_815, 2_452_642)(idc)
+                    + uniform_int(idc, "wr_lag", 1, 150)
+                )
+                return F.when(
+                    idc % 2 == 1, _sr_returned_date_of(idc * 4 - 3)
+                ).otherwise(default)
+
+            cols["wr_item_sk"] = wr_item
+            cols["wr_returned_date_sk"] = wr_returned
             cols["wr_refunded_customer_sk"] = per_basket("ws_customer_sk", 1, 100_000)
             cols["wr_refunded_cdemo_sk"] = per_basket("ws_cdemo_sk", 1, 1_920_800)
             # dsdgen: the returning party is usually the buyer — the
@@ -412,10 +492,17 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
     def planted3(idc: Column) -> Column:
         return idc % 20 == 5
 
+    def ss_row_r(idc: Column) -> Column:
+        # returned-item echo source: ss rows == 10 (mod 80)
+        return idc * 2 - 10
+
+    def planted_r(idc: Column) -> Column:
+        return idc % 40 == 10
+
     def customer(idc: Column) -> Column:
         # the sr row's customer is per-basket over its sales row (id*10)
-        cross = uniform_int(_ticket(sr_row(idc) * 10), "ss_customer_sk", 1, 100_000)
-        echo3 = uniform_int(_ticket(ss_row3(idc)), "ss_customer_sk", 1, 100_000)
+        cross = _ss_customer_of_ticket(_ticket(sr_row(idc) * 10))
+        echo3 = _ss_customer_of_ticket(_ticket(ss_row3(idc)))
         default = uniform_int(_ticket(idc), "cs_customer_sk", 1, 100_000)
         return (F.when(planted(idc), cross)
                  .when(planted3(idc), echo3).otherwise(default))
@@ -427,22 +514,24 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
         echo3 = uniform_int(
             ss_row3(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
         )
+        echo_r = uniform_int(
+            ss_row_r(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
+        )
         default = uniform_int(
             idc, f"{base_seed}:catalog_sales:cs_item_sk", 1, 18_000
         )
         return (F.when(planted(idc), cross)
-                 .when(planted3(idc), echo3).otherwise(default))
+                 .when(planted3(idc), echo3)
+                 .when(planted_r(idc), echo_r).otherwise(default))
 
     def sold_date(idc: Column) -> Column:
-        cross = uniform_int(
-            _ticket(sr_row(idc) * 10), "ss_sold_date_sk", 2_450_815, 2_452_642
-        )
-        echo3 = uniform_int(
-            _ticket(ss_row3(idc)), "ss_sold_date_sk", 2_450_815, 2_452_642
-        )
+        cross = _ss_date_of_ticket(_ticket(sr_row(idc) * 10))
+        echo3 = _ss_date_of_ticket(_ticket(ss_row3(idc)))
+        echo_r = _ss_date_of_ticket(_ticket(ss_row_r(idc)))
         default = uniform_int(_ticket(idc), "cs_sold_date_sk", 2_450_815, 2_452_642)
         return (F.when(planted(idc), cross)
-                 .when(planted3(idc), echo3).otherwise(default))
+                 .when(planted3(idc), echo3)
+                 .when(planted_r(idc), echo_r).otherwise(default))
 
     def sales_price(idc: Column) -> Column:
         echo3 = money(ss_row3(idc), f"{base_seed}:store_sales:ss_ext_sales_price",
@@ -458,7 +547,8 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
             "cs_ship_date_sk": lambda idc: (
                 sold_date(idc) + uniform_int(idc, "cs_ship_lag", 1, 120)
             ),
-            "cs_ship_addr_sk": _per_ticket_int("cs_ship_addr_sk", 1, 50_000),
+            "cs_ship_addr_sk": _null_every(
+                _per_ticket_int("cs_ship_addr_sk", 1, 50_000)),
             "cs_ext_ship_cost": ("money", 0.0, 1_000.0),
             "cs_net_paid_inc_tax": ("money", 1.0, 21_000.0),
             "cs_warehouse_sk": ("int", 1, 5),
@@ -508,9 +598,16 @@ def _web_sales_columns(base_seed: str) -> dict[str, object]:
     def planted3(idc: Column) -> Column:
         return idc % 10 == 5
 
+    def ss_row_r(idc: Column) -> Column:
+        # returned-item echo source: ss rows == 10 (mod 80)
+        return idc * 4 - 30
+
+    def planted_r(idc: Column) -> Column:
+        return idc % 20 == 10
+
     def customer(idc: Column) -> Column:
-        cross = uniform_int(_ticket(src_row(idc)), "ss_customer_sk", 1, 100_000)
-        echo3 = uniform_int(_ticket(ss_row3(idc)), "ss_customer_sk", 1, 100_000)
+        cross = _ss_customer_of_ticket(_ticket(src_row(idc)))
+        echo3 = _ss_customer_of_ticket(_ticket(ss_row3(idc)))
         default = uniform_int(_ticket(idc), "ws_customer_sk", 1, 100_000)
         return (F.when(planted(idc), cross)
                  .when(planted3(idc), echo3).otherwise(default))
@@ -519,21 +616,23 @@ def _web_sales_columns(base_seed: str) -> dict[str, object]:
         echo3 = uniform_int(
             ss_row3(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
         )
+        echo_r = uniform_int(
+            ss_row_r(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
+        )
         default = uniform_int(
             idc, f"{base_seed}:web_sales:ws_item_sk", 1, 18_000
         )
-        return F.when(planted3(idc), echo3).otherwise(default)
+        return (F.when(planted3(idc), echo3)
+                 .when(planted_r(idc), echo_r).otherwise(default))
 
     def sold_date(idc: Column) -> Column:
-        cross = uniform_int(
-            _ticket(src_row(idc)), "ss_sold_date_sk", 2_450_815, 2_452_642
-        )
-        echo3 = uniform_int(
-            _ticket(ss_row3(idc)), "ss_sold_date_sk", 2_450_815, 2_452_642
-        )
+        cross = _ss_date_of_ticket(_ticket(src_row(idc)))
+        echo3 = _ss_date_of_ticket(_ticket(ss_row3(idc)))
+        echo_r = _ss_date_of_ticket(_ticket(ss_row_r(idc)))
         default = uniform_int(_ticket(idc), "ws_sold_date_sk", 2_450_815, 2_452_642)
         return (F.when(planted(idc), cross)
-                 .when(planted3(idc), echo3).otherwise(default))
+                 .when(planted3(idc), echo3)
+                 .when(planted_r(idc), echo_r).otherwise(default))
 
     def sales_price(idc: Column) -> Column:
         echo3 = money(ss_row3(idc), f"{base_seed}:store_sales:ss_ext_sales_price",
@@ -558,6 +657,9 @@ def _web_sales_columns(base_seed: str) -> dict[str, object]:
         },
     )
     cols["ws_bill_customer_sk"] = customer
+    # dsdgen: the ship-to party is the buyer for most orders (q76 pivots
+    # on the NULL lines)
+    cols["ws_ship_customer_sk"] = _null_every(customer)
     cols["ws_sold_date_sk"] = sold_date
     cols["ws_item_sk"] = item
     cols["ws_ext_sales_price"] = sales_price
@@ -575,9 +677,133 @@ def _nullable_ss_addr(idc: Column) -> Column:
     )
 
 
-def _store_sales_columns() -> dict[str, object]:
+# STORE FOLLOW-UP baskets: every 8th store basket (ticket == 3 mod 8)
+# belongs to a catalog customer and happens 30-90 days after their
+# catalog order — dsdgen's cross-channel funnel at volume, planted
+# deterministically (q54 measures exactly this: catalog/web buyers'
+# store revenue in the following quarter). The source is a DEFAULT
+# catalog row (== 3 mod 20: never itself sr-planted or triple-echoed),
+# so the chain terminates — no recursive derivation. Every site that
+# re-derives a store basket's customer or date (returns factory,
+# cross-channel plantings, the local-store chain) goes through these
+# two helpers, keeping the whole web of alignments exact.
+_FOLLOWUP_MOD, _FOLLOWUP_RESIDUE = 8, 3
+
+
+def _followup_cs_row(tkt: Column) -> Column:
+    return F.floor((tkt * 4) / 20).cast("long") * 20 + 3
+
+
+def _is_followup(tkt: Column) -> Column:
+    return tkt % _FOLLOWUP_MOD == _FOLLOWUP_RESIDUE
+
+
+def _ss_customer_of_ticket(tkt: Column) -> Column:
+    cs_cust = uniform_int(
+        _ticket(_followup_cs_row(tkt)), "cs_customer_sk", 1, 100_000
+    )
+    default = uniform_int(tkt, "ss_customer_sk", 1, 100_000)
+    return F.when(_is_followup(tkt), cs_cust).otherwise(default)
+
+
+def _ss_date_of_ticket(tkt: Column) -> Column:
+    cs_date = uniform_int(
+        _ticket(_followup_cs_row(tkt)), "cs_sold_date_sk", 2_450_815, 2_452_642
+    )
+    follow = cs_date + uniform_int(tkt, "ss_followup_lag", 30, 90)
+    default = uniform_int(tkt, "ss_sold_date_sk", 2_450_815, 2_452_642)
+    return F.when(_is_followup(tkt), follow).otherwise(default)
+
+
+# RETURNED-ITEM triple-channel echo (q83): catalog rows ``==10 (mod
+# 40)`` and web rows ``==10 (mod 20)`` re-derive the ITEM and basket
+# date of store_sales row ``==10 (mod 80)`` — a returned store line
+# (multiple of 10). Those cs/ws rows are themselves multiples of 10, so
+# their cr/wr rows exist, and the returns factories align the cr/wr
+# RETURN DATE to the sr row's return date — the same item returned in
+# all three channels in the same week. Residues are disjoint from the
+# sales-side triple echo (==5) and the sr-repurchase classes (1,2 mod 5).
+def _sr_returned_date_of(k: Column) -> Column:
+    """Return date of store_returns row k — must mirror the sr factory."""
+    return _ss_date_of_ticket(_ticket(k * 10)) + uniform_int(k, "sr_lag", 1, 150)
+
+
+# Store baskets are LOCAL: a basket's store is the store of the
+# customer's address geo pair (dsdgen's catchment behavior — q54
+# measures revenue at stores in the customer's county+state, which
+# under independent store draws matches ~1/144 of lines). The chain
+# re-derives customer -> c_current_addr_sk -> ca geo pair -> the one
+# store cycled onto that pair, each step the same hash the dim tables
+# use, so the ss/sr/store/address/customer five-way joins all land.
+def _local_store_sk(base_seed: str, ticket_of):
+    def col(idc: Column) -> Column:
+        customer_sk = _ss_customer_of_ticket(ticket_of(idc))
+        addr_sk = uniform_int(
+            customer_sk - 1, f"{base_seed}:customer:c_current_addr_sk", 1, 50_000
+        )
+        pair_idx = uniform_int(addr_sk - 1, "ca_geo", 0, len(_GEO_PAIRS) - 1)
+        return pair_idx + 1
+    return col
+
+
+# item taxonomy: 10 categories x 2 classes each, class drawn jointly
+# with (nested under) its category — see the i_category entry note
+_ITEM_CATEGORIES = ["Books", "Electronics", "Home", "Jewelry", "Men",
+                    "Music", "Shoes", "Sports", "Women", "Children"]
+# slot 2c and 2c+1 are category c's classes
+_ITEM_CLASSES = ["reference", "self-help",      # Books
+                 "portable", "personal",        # Electronics
+                 "wallpaper", "accessories",    # Home
+                 "fragrances", "birdal",        # Jewelry
+                 "shirts", "pants",             # Men
+                 "classical", "musical",        # Music
+                 "athletic", "womens",          # Shoes
+                 "football", "rugby",           # Sports
+                 "dresses", "maternity",        # Women
+                 "parenting", "infants"]        # Children
+
+
+def _item_cat_idx(idc: Column) -> Column:
+    return uniform_int(idc, "i_category", 0, len(_ITEM_CATEGORIES) - 1)
+
+
+def _item_class_idx(idc: Column) -> Column:
+    return _item_cat_idx(idc) * 2 + uniform_int(idc, "i_class_slot", 0, 1)
+
+
+def _item_category(idc: Column) -> Column:
+    arr = F.array(*[F.lit(v) for v in _ITEM_CATEGORIES])
+    return F.element_at(arr, (_item_cat_idx(idc) + 1).cast("int"))
+
+
+def _item_class(idc: Column) -> Column:
+    arr = F.array(*[F.lit(v) for v in _ITEM_CLASSES])
+    return F.element_at(arr, (_item_class_idx(idc) + 1).cast("int"))
+
+
+# q76 pivots on NULL CHANNEL keys (ss_store_sk / ws_ship_customer_sk /
+# cs_ship_addr_sk). One line in 50 goes NULL, per-LINE on residue 27
+# (mod 50): never a returns-derived row (those are multiples of 10) and
+# outside every planted/echo residue class, so the returns factories'
+# re-derivation and the cross-channel plantings are untouched.
+_NULL_MOD, _NULL_RESIDUE = 50, 27
+
+
+def _null_every(inner):
+    def col(idc: Column) -> Column:
+        val = inner(idc) if callable(inner) else inner
+        return F.when(
+            idc % _NULL_MOD == _NULL_RESIDUE, F.lit(None).cast("long")
+        ).otherwise(val)
+    return col
+
+
+def _store_sales_columns(base_seed: str) -> dict[str, object]:
     cols = _sales_columns("ss")
     cols["ss_addr_sk"] = _nullable_ss_addr
+    cols["ss_customer_sk"] = lambda idc: _ss_customer_of_ticket(_ticket(idc))
+    cols["ss_sold_date_sk"] = lambda idc: _ss_date_of_ticket(_ticket(idc))
+    cols["ss_store_sk"] = _null_every(_local_store_sk(base_seed, _ticket))
     return cols
 
 
@@ -630,13 +856,16 @@ def _inventory_columns() -> dict[str, object]:
 
 
 TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
-    "store_sales": _store_sales_columns(),
+    "store_sales": lambda seed: _store_sales_columns(seed),
     "web_sales": lambda seed: _web_sales_columns(seed),
     "catalog_sales": lambda seed: _catalog_sales_columns(seed),
     "store_returns": _returns_columns("sr", "ss", "store_sales"),
     "catalog_returns": _returns_columns(
         "cr", "cs", "catalog_sales",
-        extras={"cr_refunded_cash": ("money", 0.0, 10_000.0)},
+        extras={"cr_refunded_cash": ("money", 0.0, 10_000.0),
+                # q64 sums all three refund components
+                "cr_reversed_charge": ("money", 0.0, 5_000.0),
+                "cr_store_credit": ("money", 0.0, 5_000.0)},
         # real TPC-DS name: catalog uses _amount, store/web use _amt
         amt_col="cr_return_amount",
     ),
@@ -654,16 +883,16 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "i_item_id": ("string", "ITEM_"),
         "i_rec_start_date": ("date", 1997, 4),
         "i_item_desc": ("string", "Description of item "),
-        "i_category": ("choice", ["Books", "Electronics", "Home", "Jewelry",
-                                   "Men", "Music", "Shoes", "Sports", "Women", "Children"]),
-        "i_category_id": ("int", 1, 10),
-        # class/brand vocab is the dsdgen vocabulary the corpus filters on
-        # (q53/q63/q89 predicates), padded with fillers to realistic width
-        "i_class": ("choice", ["personal", "portable", "reference", "self-help",
-                                "accessories", "classical", "fragrances", "pants",
-                                "wallpaper", "parenting", "musical", "womens",
-                                "birdal", "shirts", "dresses", "football"]),
-        "i_class_id": ("int", 1, 16),
+        # class is NESTED under category (dsdgen: each class belongs to
+        # one category) — two classes per category, drawn jointly, so
+        # pair predicates like q54's "i_category='Women' and
+        # i_class='maternity'" select 1/20 of items instead of the ~1/160
+        # an independent draw gives. The vocab keeps every value the
+        # corpus filters on (q53/q63/q89 lists) reachable.
+        "i_category": _item_category,
+        "i_category_id": lambda idc: _item_cat_idx(idc) + 1,
+        "i_class": _item_class,
+        "i_class_id": lambda idc: _item_class_idx(idc) + 1,
         "i_brand": ("choice", ["scholaramalgamalg #14", "scholaramalgamalg #7",
                                 "exportiunivamalg #9", "scholaramalgamalg #9",
                                 "amalgimporto #1", "edu packscholar #1",
@@ -707,6 +936,9 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "c_login": ("string", "login"),
         "c_email_address": ("string", "cust@example"),
         "c_last_review_date": _DATE_SK,
+        # q64 groups by the first-sale / first-ship-to years
+        "c_first_sales_date_sk": _DATE_SK,
+        "c_first_shipto_date_sk": _DATE_SK,
     },
     "customer_address": {
         "ca_address_sk": ("key",),
@@ -717,8 +949,9 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "ca_street_type": ("choice", ["St", "Ave", "Blvd", "Ct", "Ln", "Way"]),
         "ca_suite_number": ("string", "Suite "),
         "ca_city": ("choice", _CITIES),
-        "ca_county": ("choice", _COUNTIES),
-        "ca_state": ("choice", ["CA", "NY", "TX", "WA", "IL", "GA", "OH", "MI"]),
+        # jointly-drawn (county, state) pair — see _GEO_PAIRS
+        "ca_county": _geo_pair_hash("ca_geo", 0),
+        "ca_state": _geo_pair_hash("ca_geo", 1),
         "ca_zip": ("choice", _ZIPS),
         "ca_country": lambda idc: F.lit("United States"),
         "ca_gmt_offset": ("int", -8, -5),
@@ -789,9 +1022,10 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "s_street_type": ("choice", ["St", "Ave", "Blvd", "Ct", "Ln"]),
         "s_suite_number": ("string", "Suite "),
         "s_city": _cycle(_CITIES),
-        "s_county": ("choice", _COUNTIES),
-        # TN is in-vocab: q36 filters s_state='TN' (and q27's IN-list has it)
-        "s_state": _cycle(["CA", "NY", "TX", "WA", "IL", "GA", "TN"]),
+        # one store per (county, state) pair; TN stays in-vocab for
+        # q36's s_state='TN' filter (and q27's IN-list)
+        "s_county": _geo_pair_cycle(0),
+        "s_state": _geo_pair_cycle(1),
         "s_zip": _cycle(_STORE_ZIPS),
         "s_company_name": ("choice", ["Unknown", "ought", "able", "pri"]),
         "s_gmt_offset": ("int", -8, -5),

@@ -27,10 +27,13 @@ def test_tpcds_schema_catalog_complete(spark):
 
     assert len(TPCDS_SCHEMAS) == 24  # all 24 TPC-DS tables
     assert set(TPCDS_FACTS) <= set(TPCDS_SCHEMAS)
-    # every table generates with its declared columns
+    # every table generates with its declared columns (factory entries
+    # resolve with the default seed)
     for name in ("store_sales", "date_dim", "income_band"):
         df = gen_tpcds(spark, name, scale=0.001)
-        assert df.columns == list(TPCDS_SCHEMAS[name])
+        entry = TPCDS_SCHEMAS[name]
+        cols = entry("100") if callable(entry) else entry
+        assert df.columns == list(cols)
         assert df.count() > 0
 
 

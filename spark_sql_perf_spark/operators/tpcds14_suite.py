@@ -68,6 +68,20 @@ Documented deviations from the verbatim 1.4 texts:
   floor() is identical in both; q39's duplicated output column names
   get aliases (wsk1/isk1/...); q72/q58's ambiguous ORDER BY/item_id
   references are qualified.
+- tranche 6 goes beyond the runnable list to the full 1.4 map:
+  q6/q10/q35 (EXISTS-OR-EXISTS channel probes and the category-average
+  price subquery — modern Spark decorrelates these), q14a/q14b
+  (3-channel (brand,class,category) INTERSECT + rollup, fed by the
+  triple-channel echo), q24a/q24b (returned-sale netpaid vs 5%-of-avg
+  scalar, over the shared store/address zip vocabulary and s_market_id
+  cycle). Deviations: q10's county list maps to the generated
+  vocabulary; q6 gains a state tiebreak in ORDER BY; q14a spells NULLS
+  FIRST on its rollup ORDER BY keys; q14b's select * is expanded to
+  aliased columns (duplicate names break the comparator); q24 gains a
+  deterministic ORDER BY. q14a/b and q24a/b verify in the sf0.1 volume
+  family. q23a/q23b stay omitted: their per-(item, day) count > 4
+  HAVING needs dsdgen's item-popularity skew — under uniform item
+  draws the frequent-items CTE is empty at any harness scale.
 """
 
 from __future__ import annotations
@@ -88,7 +102,8 @@ from ..sources.datagen import gen_tpcds
 # two-year returned-sale self-join, both compounding several ~%-level
 # selectivities. Expected rows at sf0.01 are ~0 by arithmetic, tens to
 # hundreds at sf0.1 (see tests/test_tpcds14_yoy.py).
-TPCDS14_YOY = ("q4", "q11", "q74", "q72", "q13", "q85", "q91", "q54", "q64")
+TPCDS14_YOY = ("q4", "q11", "q74", "q72", "q13", "q85", "q91", "q54", "q64",
+               "q14a", "q14b", "q24a", "q24b")
 
 TPCDS14_TABLES = (
     "store_sales", "catalog_sales", "web_sales", "store_returns",
@@ -145,6 +160,24 @@ TPCDS14_QUERIES: dict[str, str] = {
           WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001 + 1) z
         WHERE d_week_seq1=d_week_seq2-53
         ORDER BY d_week_seq1
+    """,
+    "q6": """
+        SELECT a.ca_state state, count(*) cnt
+        FROM
+           customer_address a, customer c, store_sales s, date_dim d, item i
+        WHERE a.ca_address_sk = c.c_current_addr_sk
+                AND c.c_customer_sk = s.ss_customer_sk
+                AND s.ss_sold_date_sk = d.d_date_sk
+                AND s.ss_item_sk = i.i_item_sk
+                AND d.d_month_seq =
+                     (SELECT distinct (d_month_seq) FROM date_dim
+               WHERE d_year = 2000 AND d_moy = 1)
+                AND i.i_current_price > 1.2 *
+                    (SELECT avg(j.i_current_price) FROM item j
+                            WHERE j.i_category = i.i_category)
+        GROUP BY a.ca_state
+        HAVING count(*) >= 10
+        ORDER BY cnt, a.ca_state LIMIT 100
     """,
     "q8": """
         select s_store_name, sum(ss_net_profit) sum_profit
@@ -363,6 +396,51 @@ TPCDS14_QUERIES: dict[str, str] = {
                 and (ss_list_price between 154 and 154+10
                      or ss_coupon_amt between 7326 and 7326+1000
                      or ss_wholesale_cost between 7 and 7+20)) B6
+        limit 100
+    """,
+    "q35": """
+        select
+         ca_state,
+         cd_gender,
+         cd_marital_status,
+         count(*) cnt1,
+         min(cd_dep_count) min_dep,
+         max(cd_dep_count) max_dep,
+         avg(cd_dep_count) avg_dep,
+         cd_dep_employed_count,
+         count(*) cnt2,
+         min(cd_dep_employed_count) min_emp,
+         max(cd_dep_employed_count) max_emp,
+         avg(cd_dep_employed_count) avg_emp,
+         cd_dep_college_count,
+         count(*) cnt3,
+         min(cd_dep_college_count) min_col,
+         max(cd_dep_college_count) max_col,
+         avg(cd_dep_college_count) avg_col
+        from
+         customer c,customer_address ca,customer_demographics
+        where
+         c.c_current_addr_sk = ca.ca_address_sk and
+         cd_demo_sk = c.c_current_cdemo_sk and
+         exists (select * from store_sales, date_dim
+                 where c.c_customer_sk = ss_customer_sk and
+                       ss_sold_date_sk = d_date_sk and
+                       d_year = 2002 and
+                       d_qoy < 4) and
+          (exists (select * from web_sales, date_dim
+                   where c.c_customer_sk = ws_bill_customer_sk and
+                         ws_sold_date_sk = d_date_sk and
+                         d_year = 2002 and
+                         d_qoy < 4) or
+           exists (select * from catalog_sales, date_dim
+                   where c.c_customer_sk = cs_ship_customer_sk and
+                         cs_sold_date_sk = d_date_sk and
+                         d_year = 2002 and
+                         d_qoy < 4))
+        group by ca_state, cd_gender, cd_marital_status, cd_dep_count,
+                 cd_dep_employed_count, cd_dep_college_count
+        order by ca_state, cd_gender, cd_marital_status, cd_dep_count,
+                 cd_dep_employed_count, cd_dep_college_count
         limit 100
     """,
     "q36": """
@@ -682,6 +760,157 @@ TPCDS14_QUERIES: dict[str, str] = {
         order by count(*)
         limit 100
     """,
+    "q14a": """
+        with cross_items as
+        (select i_item_sk ss_item_sk
+        from item,
+           (select iss.i_brand_id brand_id, iss.i_class_id class_id, iss.i_category_id category_id
+            from store_sales, item iss, date_dim d1
+            where ss_item_sk = iss.i_item_sk
+              and ss_sold_date_sk = d1.d_date_sk
+              and d1.d_year between 1999 AND 1999 + 2
+          intersect
+            select ics.i_brand_id, ics.i_class_id, ics.i_category_id
+            from catalog_sales, item ics, date_dim d2
+            where cs_item_sk = ics.i_item_sk
+              and cs_sold_date_sk = d2.d_date_sk
+              and d2.d_year between 1999 AND 1999 + 2
+          intersect
+            select iws.i_brand_id, iws.i_class_id, iws.i_category_id
+            from web_sales, item iws, date_dim d3
+            where ws_item_sk = iws.i_item_sk
+              and ws_sold_date_sk = d3.d_date_sk
+              and d3.d_year between 1999 AND 1999 + 2) x
+        where i_brand_id = brand_id
+          and i_class_id = class_id
+          and i_category_id = category_id
+        ),
+        avg_sales as
+        (select avg(quantity*list_price) average_sales
+         from (
+            select ss_quantity quantity, ss_list_price list_price
+            from store_sales, date_dim
+            where ss_sold_date_sk = d_date_sk
+              and d_year between 1999 and 2001
+          union all
+            select cs_quantity quantity, cs_list_price list_price
+            from catalog_sales, date_dim
+            where cs_sold_date_sk = d_date_sk
+              and d_year between 1999 and 1999 + 2
+          union all
+            select ws_quantity quantity, ws_list_price list_price
+            from web_sales, date_dim
+            where ws_sold_date_sk = d_date_sk
+              and d_year between 1999 and 1999 + 2) x)
+        select channel, i_brand_id,i_class_id,i_category_id,sum(sales) sum_sales, sum(number_sales) sum_number_sales
+        from(
+            select 'store' channel, i_brand_id,i_class_id
+                    ,i_category_id,sum(ss_quantity*ss_list_price) sales
+                    , count(*) number_sales
+            from store_sales, item, date_dim
+            where ss_item_sk in (select ss_item_sk from cross_items)
+              and ss_item_sk = i_item_sk
+              and ss_sold_date_sk = d_date_sk
+              and d_year = 1999+2
+              and d_moy = 11
+            group by i_brand_id,i_class_id,i_category_id
+            having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)
+          union all
+            select 'catalog' channel, i_brand_id,i_class_id,i_category_id, sum(cs_quantity*cs_list_price) sales, count(*) number_sales
+            from catalog_sales, item, date_dim
+            where cs_item_sk in (select ss_item_sk from cross_items)
+              and cs_item_sk = i_item_sk
+              and cs_sold_date_sk = d_date_sk
+              and d_year = 1999+2
+              and d_moy = 11
+            group by i_brand_id,i_class_id,i_category_id
+            having sum(cs_quantity*cs_list_price) > (select average_sales from avg_sales)
+          union all
+            select 'web' channel, i_brand_id,i_class_id,i_category_id, sum(ws_quantity*ws_list_price) sales , count(*) number_sales
+            from web_sales, item, date_dim
+            where ws_item_sk in (select ss_item_sk from cross_items)
+              and ws_item_sk = i_item_sk
+              and ws_sold_date_sk = d_date_sk
+              and d_year = 1999+2
+              and d_moy = 11
+            group by i_brand_id,i_class_id,i_category_id
+            having sum(ws_quantity*ws_list_price) > (select average_sales from avg_sales)
+        ) y
+        group by rollup (channel, i_brand_id,i_class_id,i_category_id)
+        order by channel nulls first, i_brand_id nulls first, i_class_id nulls first, i_category_id nulls first
+        limit 100
+    """,
+    "q14b": """
+        with  cross_items as
+        (select i_item_sk ss_item_sk
+         from item,
+            (select iss.i_brand_id brand_id, iss.i_class_id class_id, iss.i_category_id category_id
+             from store_sales, item iss, date_dim d1
+             where ss_item_sk = iss.i_item_sk
+                and ss_sold_date_sk = d1.d_date_sk
+                and d1.d_year between 1999 AND 1999 + 2
+            intersect
+              select ics.i_brand_id, ics.i_class_id, ics.i_category_id
+              from catalog_sales, item ics, date_dim d2
+              where cs_item_sk = ics.i_item_sk
+                and cs_sold_date_sk = d2.d_date_sk
+                and d2.d_year between 1999 AND 1999 + 2
+            intersect
+              select iws.i_brand_id, iws.i_class_id, iws.i_category_id
+              from web_sales, item iws, date_dim d3
+              where ws_item_sk = iws.i_item_sk
+                and ws_sold_date_sk = d3.d_date_sk
+                and d3.d_year between 1999 AND 1999 + 2) x
+         where i_brand_id = brand_id
+           and i_class_id = class_id
+           and i_category_id = category_id
+        ),
+        avg_sales as
+        (select avg(quantity*list_price) average_sales
+         from (select ss_quantity quantity, ss_list_price list_price
+                from store_sales, date_dim
+                where ss_sold_date_sk = d_date_sk and d_year between 1999 and 1999 + 2
+              union all
+                select cs_quantity quantity, cs_list_price list_price
+                from catalog_sales, date_dim
+                where cs_sold_date_sk = d_date_sk and d_year between 1999 and 1999 + 2
+              union all
+                select ws_quantity quantity, ws_list_price list_price
+                from web_sales, date_dim
+                where ws_sold_date_sk = d_date_sk and d_year between 1999 and 1999 + 2) x)
+        select this_year.channel ty_channel, this_year.i_brand_id ty_brand,
+               this_year.i_class_id ty_class, this_year.i_category_id ty_category,
+               this_year.sales ty_sales, this_year.number_sales ty_number_sales,
+               last_year.channel ly_channel, last_year.i_brand_id ly_brand,
+               last_year.i_class_id ly_class, last_year.i_category_id ly_category,
+               last_year.sales ly_sales, last_year.number_sales ly_number_sales
+        from
+        (select 'store' channel, i_brand_id,i_class_id,i_category_id
+               ,sum(ss_quantity*ss_list_price) sales, count(*) number_sales
+         from store_sales, item, date_dim
+         where ss_item_sk in (select ss_item_sk from cross_items)
+           and ss_item_sk = i_item_sk
+           and ss_sold_date_sk = d_date_sk
+           and d_week_seq = (select d_week_seq from date_dim
+                            where d_year = 1999 + 1 and d_moy = 12 and d_dom = 11)
+         group by i_brand_id,i_class_id,i_category_id
+         having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) this_year,
+        (select 'store' channel, i_brand_id,i_class_id
+               ,i_category_id, sum(ss_quantity*ss_list_price) sales, count(*) number_sales
+        from store_sales, item, date_dim
+        where ss_item_sk in (select ss_item_sk from cross_items)
+          and ss_item_sk = i_item_sk
+          and ss_sold_date_sk = d_date_sk
+          and d_week_seq = (select d_week_seq from date_dim
+                            where d_year = 1999 and d_moy = 12 and d_dom = 11)
+        group by i_brand_id,i_class_id,i_category_id
+        having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) last_year
+        where this_year.i_brand_id= last_year.i_brand_id
+          and this_year.i_class_id = last_year.i_class_id
+          and this_year.i_category_id = last_year.i_category_id
+        order by this_year.channel, this_year.i_brand_id, this_year.i_class_id, this_year.i_category_id
+        limit 100
+    """,
     "q15": """
         select ca_zip, sum(cs_sales_price) as sum_sales
         from catalog_sales, customer, customer_address, date_dim
@@ -762,6 +991,50 @@ TPCDS14_QUERIES: dict[str, str] = {
         group by rollup(i_product_name, i_brand, i_class, i_category)
         order by qoh, i_product_name, i_brand, i_class, i_category
         limit 100
+    """,
+    "q24a": """
+        with ssales as
+        (select c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+               i_current_price, i_manager_id, i_units, i_size, sum(ss_net_paid) netpaid
+        from store_sales, store_returns, store, item, customer, customer_address
+        where ss_ticket_number = sr_ticket_number
+          and ss_item_sk = sr_item_sk
+          and ss_customer_sk = c_customer_sk
+          and ss_item_sk = i_item_sk
+          and ss_store_sk = s_store_sk
+          and c_birth_country = upper(ca_country)
+          and s_zip = ca_zip
+        and s_market_id = 8
+        group by c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+                 i_current_price, i_manager_id, i_units, i_size)
+        select c_last_name, c_first_name, s_store_name, sum(netpaid) paid
+        from ssales
+        where i_color = 'pale'
+        group by c_last_name, c_first_name, s_store_name
+        having sum(netpaid) > (select 0.05*avg(netpaid) from ssales)
+        order by c_last_name, c_first_name, s_store_name, paid
+    """,
+    "q24b": """
+        with ssales as
+        (select c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+                i_current_price, i_manager_id, i_units, i_size, sum(ss_net_paid) netpaid
+        from store_sales, store_returns, store, item, customer, customer_address
+        where ss_ticket_number = sr_ticket_number
+          and ss_item_sk = sr_item_sk
+          and ss_customer_sk = c_customer_sk
+          and ss_item_sk = i_item_sk
+          and ss_store_sk = s_store_sk
+          and c_birth_country = upper(ca_country)
+          and s_zip = ca_zip
+          and s_market_id = 8
+        group by c_last_name, c_first_name, s_store_name, ca_state, s_state,
+                 i_color, i_current_price, i_manager_id, i_units, i_size)
+        select c_last_name, c_first_name, s_store_name, sum(netpaid) paid
+        from ssales
+        where i_color = 'chiffon'
+        group by c_last_name, c_first_name, s_store_name
+        having sum(netpaid) > (select 0.05*avg(netpaid) from ssales)
+        order by c_last_name, c_first_name, s_store_name, paid
     """,
     "q25": """
         select i_item_id, i_item_desc, s_store_id, s_store_name,
@@ -2043,6 +2316,52 @@ TPCDS14_QUERIES: dict[str, str] = {
           t_s_secyear.customer_birth_country,
           t_s_secyear.customer_login,
           t_s_secyear.customer_email_address
+        LIMIT 100
+    """,
+    "q10": """
+        select
+         cd_gender, cd_marital_status, cd_education_status, count(*) cnt1,
+         cd_purchase_estimate, count(*) cnt2, cd_credit_rating, count(*) cnt3,
+         cd_dep_count, count(*) cnt4, cd_dep_employed_count,  count(*) cnt5,
+         cd_dep_college_count, count(*) cnt6
+        from
+         customer c, customer_address ca, customer_demographics
+        where
+         c.c_current_addr_sk = ca.ca_address_sk and
+         ca_county in ('Williamson County','Franklin Parish','Bronx County',
+                       'Orange County','Saginaw County') and
+         cd_demo_sk = c.c_current_cdemo_sk AND
+         exists (select * from store_sales, date_dim
+                 where c.c_customer_sk = ss_customer_sk AND
+                       ss_sold_date_sk = d_date_sk AND
+                       d_year = 2002 AND
+                       d_moy between 1 AND 1+3) AND
+          (exists (select * from web_sales, date_dim
+                   where c.c_customer_sk = ws_bill_customer_sk AND
+                         ws_sold_date_sk = d_date_sk AND
+                         d_year = 2002 AND
+                         d_moy between 1 AND 1+3) or
+           exists (select * from catalog_sales, date_dim
+                   where c.c_customer_sk = cs_ship_customer_sk AND
+                         cs_sold_date_sk = d_date_sk AND
+                         d_year = 2002 AND
+                         d_moy between 1 AND 1+3))
+        group by cd_gender,
+                 cd_marital_status,
+                 cd_education_status,
+                 cd_purchase_estimate,
+                 cd_credit_rating,
+                 cd_dep_count,
+                 cd_dep_employed_count,
+                 cd_dep_college_count
+        order by cd_gender,
+                 cd_marital_status,
+                 cd_education_status,
+                 cd_purchase_estimate,
+                 cd_credit_rating,
+                 cd_dep_count,
+                 cd_dep_employed_count,
+                 cd_dep_college_count
         LIMIT 100
     """,
     "q11": """

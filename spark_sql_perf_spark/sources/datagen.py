@@ -968,6 +968,8 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "cd_credit_rating": ("choice", ["Good", "Low Risk", "High Risk",
                                          "Unknown"]),
         "cd_dep_count": ("int", 0, 9),
+        "cd_dep_employed_count": ("int", 0, 6),
+        "cd_dep_college_count": ("int", 0, 6),
     },
     "household_demographics": {
         "hd_demo_sk": ("key",),
@@ -1028,6 +1030,8 @@ TPCDS_SCHEMAS: dict[str, dict[str, object]] = {
         "s_state": _geo_pair_cycle(1),
         "s_zip": _cycle(_STORE_ZIPS),
         "s_company_name": ("choice", ["Unknown", "ought", "able", "pri"]),
+        # cycled so market 8 (q24's filter) always has a store
+        "s_market_id": lambda idc: (idc % 10 + 1).cast("long"),
         "s_gmt_offset": ("int", -8, -5),
     },
     # time_dim is a real CLOCK (like date_dim's calendar): t_time_sk is the

@@ -132,21 +132,25 @@ _TICKET_SIZES = [12, 1, 18, 3, 16, 5, 20, 2, 15, 8, 4, 17, 25, 6, 19, 2, 9, 16, 
 _TICKET_CYCLE = sum(_TICKET_SIZES)  # 223 rows -> 20 tickets per cycle
 
 
+# row-in-cycle -> bucket index, precomputed (bucket k covers
+# prefix[k] <= r < prefix[k+1]). A single 223-literal array lookup
+# instead of 19 nested CASE branches: _ticket is composed several times
+# inside the planted/echo conditionals, and the CASE form blew past
+# janino's 64 KB generated-method limit, dropping the whole projection
+# out of codegen.
+_TICKET_BUCKET: list[int] = []
+for _k, _s in enumerate(_TICKET_SIZES):
+    _TICKET_BUCKET.extend([_k] * _s)
+
+
 def _ticket(idc: Column) -> Column:
     """Deterministic row->ticket mapping with variable basket sizes."""
     cycle = F.floor(idc / F.lit(_TICKET_CYCLE)).cast("long")
     r = idc % F.lit(_TICKET_CYCLE)
-    # nested CASE over the size-prefix cutpoints: bucket k covers
-    # prefix[k] <= r < prefix[k+1]
-    cuts: list[tuple[int, int]] = []
-    acc = 0
-    for k, s in enumerate(_TICKET_SIZES):
-        acc += s
-        cuts.append((acc, k))
-    expr: Column = F.lit(len(_TICKET_SIZES) - 1)
-    for acc_v, k in reversed(cuts[:-1]):
-        expr = F.when(r < acc_v, F.lit(k)).otherwise(expr)
-    return cycle * F.lit(len(_TICKET_SIZES)) + expr.cast("long") + 1
+    bucket = F.element_at(
+        F.array(*[F.lit(b) for b in _TICKET_BUCKET]), (r + 1).cast("int")
+    )
+    return cycle * F.lit(len(_TICKET_SIZES)) + bucket.cast("long") + 1
 
 
 def _per_ticket_int(seed: str, lo: int, hi: int):

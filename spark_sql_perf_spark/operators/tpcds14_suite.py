@@ -39,9 +39,14 @@ Documented deviations from the verbatim 1.4 texts:
   county quarter-over-quarter growth, 3-channel item/manufact unions,
   monthly-series lag/lead self-joins, cumulative full-outer windows,
   return-ratio rank unions, and year-over-year item-attr declines.
-  q41 is omitted: its correlated count subquery appears under OR, which
-  Spark cannot decorrelate — the reference excludes it from `runnable`
-  for the same reason.
+  q41's correlated count subquery appears under OR — the reference's
+  Spark excluded it from `runnable` because 2017-era decorrelation
+  rejected disjunctive correlation; modern Spark's DecorrelateInnerQuery
+  handles it (verified on this build), so it IS ported here. Six of its
+  colors and three units map to the generated vocabulary (cyan->beige,
+  papaya->rose, orange->smoke, frosted->pale, forest->metallic,
+  ghost->antique; Cup->Carton, Dram->Case, Tbl->Box); the manufact_id
+  band and all other literals are verbatim.
 - tranche 4 adds q4/q11/q74 (year-over-year customer-channel growth),
   q18/q61/q66/q67/q70/q71/q77/q81. NULLS FIRST is spelled explicitly on
   rollup-nullable ORDER BY keys (Spark default is nulls-first, DuckDB's
@@ -1190,6 +1195,57 @@ TPCDS14_QUERIES: dict[str, str] = {
                        and (cast('2000-03-11' as date) + 30)
         group by w_state,i_item_id
         order by w_state,i_item_id
+        limit 100
+    """,
+    "q41": """
+        select distinct(i_product_name)
+        from item i1
+        where i_manufact_id between 738 and 738+40
+          and (select count(*) as item_cnt
+               from item
+               where (i_manufact = i1.i_manufact and
+                ((i_category = 'Women' and
+                  (i_color = 'powder' or i_color = 'khaki') and
+                  (i_units = 'Ounce' or i_units = 'Oz') and
+                  (i_size = 'medium' or i_size = 'extra large')
+                 ) or
+                 (i_category = 'Women' and
+                  (i_color = 'brown' or i_color = 'honeydew') and
+                  (i_units = 'Bunch' or i_units = 'Ton') and
+                  (i_size = 'N/A' or i_size = 'small')
+                 ) or
+                 (i_category = 'Men' and
+                  (i_color = 'floral' or i_color = 'deep') and
+                  (i_units = 'N/A' or i_units = 'Dozen') and
+                  (i_size = 'petite' or i_size = 'large')
+                 ) or
+                 (i_category = 'Men' and
+                  (i_color = 'light' or i_color = 'cornflower') and
+                  (i_units = 'Box' or i_units = 'Pound') and
+                  (i_size = 'medium' or i_size = 'extra large')
+                 ))) or
+                (i_manufact = i1.i_manufact and
+                ((i_category = 'Women' and
+                  (i_color = 'midnight' or i_color = 'snow') and
+                  (i_units = 'Pallet' or i_units = 'Gross') and
+                  (i_size = 'medium' or i_size = 'extra large')
+                 ) or
+                 (i_category = 'Women' and
+                  (i_color = 'beige' or i_color = 'rose') and
+                  (i_units = 'Carton' or i_units = 'Case') and
+                  (i_size = 'N/A' or i_size = 'small')
+                 ) or
+                 (i_category = 'Men' and
+                  (i_color = 'smoke' or i_color = 'pale') and
+                  (i_units = 'Each' or i_units = 'Box') and
+                  (i_size = 'petite' or i_size = 'large')
+                 ) or
+                 (i_category = 'Men' and
+                  (i_color = 'metallic' or i_color = 'antique') and
+                  (i_units = 'Lb' or i_units = 'Bunch') and
+                  (i_size = 'medium' or i_size = 'extra large')
+                 )))) > 0
+        order by i_product_name
         limit 100
     """,
     "q44": """

@@ -9,7 +9,7 @@ predicate pushdown + column pruning into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLE_NAMES: tuple[str, ...] = (
@@ -62,11 +62,10 @@ def tune_session(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Lazy: just the parquet footer is read.
 
-    `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects. We read nanos as long (legacy conf, runtime-settable) and
-    truncate to microseconds — the same truncation DuckDB applies when
-    casting TIMESTAMP_NS to TIMESTAMP, so both engines see identical
-    microsecond values.
+    `events.parquet` has shipped as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) across harness rounds; `_ts_as_timestamp`
+    normalizes either to a microsecond TIMESTAMP so both engines see
+    identical values.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -77,10 +76,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return df.withColumn("ts", _ts_as_timestamp(df))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_as_timestamp(df: DataFrame) -> Column:
+    """Normalize `events.ts` to a microsecond TIMESTAMP (UTC session tz).
+
+    The harness testdata has shipped two physical encodings across
+    rounds: TIMESTAMP(NANOS) (read as long via the legacy conf, then
+    truncated to micros — the truncation DuckDB applies casting
+    TIMESTAMP_NS to TIMESTAMP) and plain TIMESTAMP(MICROS) (arrives as
+    TIMESTAMP_NTZ; a wall-clock-preserving cast under the UTC session).
+    Dispatch on the loaded type so both read identically.
+    """
+    kind = df.schema["ts"].dataType.typeName()
+    if kind in ("long", "bigint"):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -165,11 +165,11 @@ def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFram
     as long (raw nanos) and converts to a microsecond timestamp.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(stream_dir)
+    from ..catalog import _ts_as_timestamp
+
+    return stream.withColumn("ts", _ts_as_timestamp(raw))
 
 
 def streaming_tumbling(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFrame:

@@ -331,6 +331,8 @@ def _returns_columns(
             return idc * 10
 
         def item(idc: Column) -> Column:
+            if sp == "ss":
+                return _ss_item_of_row(base_seed, sales_row(idc))
             return uniform_int(
                 sales_row(idc), f"{base_seed}:{sales_table}:{sp}_item_sk", 1, 18_000
             )
@@ -378,10 +380,7 @@ def _returns_columns(
             # item of ss row 20m-10 and their return lands on the sr
             # row's return date (see _sr_returned_date_of)
             def cr_item(idc: Column) -> Column:
-                echo_r = uniform_int(
-                    idc * 20 - 10, f"{base_seed}:store_sales:ss_item_sk",
-                    1, 18_000,
-                )
+                echo_r = _ss_item_of_row(base_seed, idc * 20 - 10)
                 return F.when(idc % 4 == 1, echo_r).otherwise(item(idc))
 
             def cr_returned(idc: Column) -> Column:
@@ -417,10 +416,7 @@ def _returns_columns(
             # returned-item echo mirror: ws rows ==10 (mod 20) carry the
             # item of ss row 40w-30 and return on the sr row's date
             def wr_item(idc: Column) -> Column:
-                echo_r = uniform_int(
-                    idc * 40 - 30, f"{base_seed}:store_sales:ss_item_sk",
-                    1, 18_000,
-                )
+                echo_r = _ss_item_of_row(base_seed, idc * 40 - 30)
                 return F.when(idc % 2 == 1, echo_r).otherwise(item(idc))
 
             def wr_returned(idc: Column) -> Column:
@@ -512,15 +508,9 @@ def _catalog_sales_columns(base_seed: str) -> dict[str, object]:
                  .when(planted3(idc), echo3).otherwise(default))
 
     def item(idc: Column) -> Column:
-        cross = uniform_int(
-            sr_row(idc) * 10, f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
-        )
-        echo3 = uniform_int(
-            ss_row3(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
-        )
-        echo_r = uniform_int(
-            ss_row_r(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
-        )
+        cross = _ss_item_of_row(base_seed, sr_row(idc) * 10)
+        echo3 = _ss_item_of_row(base_seed, ss_row3(idc))
+        echo_r = _ss_item_of_row(base_seed, ss_row_r(idc))
         default = uniform_int(
             idc, f"{base_seed}:catalog_sales:cs_item_sk", 1, 18_000
         )
@@ -617,12 +607,8 @@ def _web_sales_columns(base_seed: str) -> dict[str, object]:
                  .when(planted3(idc), echo3).otherwise(default))
 
     def item(idc: Column) -> Column:
-        echo3 = uniform_int(
-            ss_row3(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
-        )
-        echo_r = uniform_int(
-            ss_row_r(idc), f"{base_seed}:store_sales:ss_item_sk", 1, 18_000
-        )
+        echo3 = _ss_item_of_row(base_seed, ss_row3(idc))
+        echo_r = _ss_item_of_row(base_seed, ss_row_r(idc))
         default = uniform_int(
             idc, f"{base_seed}:web_sales:ws_item_sk", 1, 18_000
         )
@@ -702,12 +688,60 @@ def _is_followup(tkt: Column) -> Column:
     return tkt % _FOLLOWUP_MOD == _FOLLOWUP_RESIDUE
 
 
+# WHALE/HOT-ITEM planting (q23a/q23b): store tickets ``== 21 (mod 64)``
+# belong to a single "whale" customer (c_customer_sk 1) and land whole
+# baskets on one of 8 hot (item, day) pairs. dsdgen's comparable
+# properties are item-popularity skew (frequent_ss_items: the same item
+# sold >4 times on one DAY) and customer-spend skew (best_ss_customer:
+# within 95% of the max store spend); under this generator's uniform
+# per-line draws both CTEs are structurally empty at harness scales, so
+# the skew is planted deterministically. Ticket residue 21 (mod 64) is
+# never a follow-up ticket (21 mod 8 = 5 != 3), and whale LINES flow
+# into catalog/web through the existing triple-channel echo residues,
+# which re-derive (customer, item, date) through the central helpers
+# below — so q23's final month (Feb 2000, 4 of the 8 hot days) sees
+# catalog AND web purchases of frequent items by the best customer.
+# Every ticket size the residue hits is >= 9 lines, so each hot pair
+# crosses the count(*) > 4 bar even when a scale yields one ticket.
+_WHALE_MOD, _WHALE_RESIDUE = 64, 21
+_WHALE_CUSTOMER = 1
+_HOT_ITEMS = (77, 2_311, 4_523, 6_733, 8_951, 11_171, 13_397, 15_601)
+# 2000-02-03/09/16/23 (q23's d_moy=2, d_year=2000 month), then
+# 2000-06-15, 2001-03-10, 2002-07-04, 2002-11-11 — all inside the
+# d_year in (2000..2003) window of the frequent-items CTE
+_HOT_DATES = tuple(_J2000 + off for off in (33, 39, 46, 53, 166, 434, 915, 1045))
+
+
+def _is_whale(tkt: Column) -> Column:
+    return tkt % _WHALE_MOD == _WHALE_RESIDUE
+
+
+def _whale_pair(tkt: Column) -> Column:
+    return F.floor(tkt / _WHALE_MOD).cast("long") % len(_HOT_ITEMS)
+
+
+def _ss_item_of_row(base_seed: str, row: Column) -> Column:
+    """ITEM of store_sales line ``row`` — the one true derivation.
+
+    Every site that reproduces a store line's item (the sr factory, the
+    catalog/web cross-channel and triple/returned echoes) must call this
+    so the whale branch propagates everywhere the default draw used to.
+    """
+    tkt = _ticket(row)
+    hot = F.element_at(
+        F.array(*[F.lit(i) for i in _HOT_ITEMS]), (_whale_pair(tkt) + 1).cast("int")
+    ).cast("long")
+    default = uniform_int(row, f"{base_seed}:store_sales:ss_item_sk", 1, 18_000)
+    return F.when(_is_whale(tkt), hot).otherwise(default)
+
+
 def _ss_customer_of_ticket(tkt: Column) -> Column:
     cs_cust = uniform_int(
         _ticket(_followup_cs_row(tkt)), "cs_customer_sk", 1, 100_000
     )
     default = uniform_int(tkt, "ss_customer_sk", 1, 100_000)
-    return F.when(_is_followup(tkt), cs_cust).otherwise(default)
+    return (F.when(_is_whale(tkt), F.lit(_WHALE_CUSTOMER).cast("long"))
+             .when(_is_followup(tkt), cs_cust).otherwise(default))
 
 
 def _ss_date_of_ticket(tkt: Column) -> Column:
@@ -715,8 +749,12 @@ def _ss_date_of_ticket(tkt: Column) -> Column:
         _ticket(_followup_cs_row(tkt)), "cs_sold_date_sk", 2_450_815, 2_452_642
     )
     follow = cs_date + uniform_int(tkt, "ss_followup_lag", 30, 90)
+    hot = F.element_at(
+        F.array(*[F.lit(d) for d in _HOT_DATES]), (_whale_pair(tkt) + 1).cast("int")
+    ).cast("long")
     default = uniform_int(tkt, "ss_sold_date_sk", 2_450_815, 2_452_642)
-    return F.when(_is_followup(tkt), follow).otherwise(default)
+    return (F.when(_is_whale(tkt), hot)
+             .when(_is_followup(tkt), follow).otherwise(default))
 
 
 # RETURNED-ITEM triple-channel echo (q83): catalog rows ``==10 (mod
@@ -807,6 +845,7 @@ def _store_sales_columns(base_seed: str) -> dict[str, object]:
     cols["ss_addr_sk"] = _nullable_ss_addr
     cols["ss_customer_sk"] = lambda idc: _ss_customer_of_ticket(_ticket(idc))
     cols["ss_sold_date_sk"] = lambda idc: _ss_date_of_ticket(_ticket(idc))
+    cols["ss_item_sk"] = lambda idc: _ss_item_of_row(base_seed, idc)
     cols["ss_store_sk"] = _null_every(_local_store_sk(base_seed, _ticket))
     return cols
 

@@ -84,9 +84,21 @@ Documented deviations from the verbatim 1.4 texts:
   FIRST on its rollup ORDER BY keys; q14b's select * is expanded to
   aliased columns (duplicate names break the comparator); q24 gains a
   deterministic ORDER BY. q14a/b and q24a/b verify in the sf0.1 volume
-  family. q23a/q23b stay omitted: their per-(item, day) count > 4
-  HAVING needs dsdgen's item-popularity skew — under uniform item
-  draws the frequent-items CTE is empty at any harness scale.
+  family.
+- tranche 7 (round 4) completes the 1.4 map with q23a/q23b
+  (TPCDS_1_4_Queries.scala:1001-1105). Their per-(item, day)
+  count(*) > 4 HAVING and 50%-of-max customer-spend HAVING need
+  dsdgen's item-popularity and whale-customer skew, which the
+  generator plants deterministically (sources/datagen.py, the
+  _WHALE_MOD/_HOT_ITEMS branch: store tickets == 21 (mod 64) belong
+  to customer 1 and land whole >= 9-line baskets on 8 hot (item, day)
+  pairs, echoed into catalog/web in Feb 2000). At sf0.01 the
+  frequent-items CTE yields exactly the 8 hot pairs and
+  best_ss_customer yields the whale, so both verify in the regular
+  sf0.01 engine-vs-engine fixture. Deviations: q23a's bare sum(sales)
+  is aliased (comparator needs a stable name); q23b keeps the
+  verbatim ORDER BY (names are non-null in the generator, so Spark /
+  DuckDB null placement cannot diverge).
 """
 
 from __future__ import annotations
@@ -995,6 +1007,97 @@ TPCDS14_QUERIES: dict[str, str] = {
           and d_month_seq between 1200 and 1200 + 11
         group by rollup(i_product_name, i_brand, i_class, i_category)
         order by qoh, i_product_name, i_brand, i_class, i_category
+        limit 100
+    """,
+    "q23a": """
+        with frequent_ss_items as
+        (select substr(i_item_desc, 1, 30) itemdesc, i_item_sk item_sk,
+                d_date solddate, count(*) cnt
+         from store_sales, date_dim, item
+         where ss_sold_date_sk = d_date_sk
+           and ss_item_sk = i_item_sk
+           and d_year in (2000, 2000+1, 2000+2, 2000+3)
+         group by substr(i_item_desc, 1, 30), i_item_sk, d_date
+         having count(*) > 4),
+        max_store_sales as
+        (select max(csales) tpcds_cmax
+         from (select c_customer_sk, sum(ss_quantity*ss_sales_price) csales
+               from store_sales, customer, date_dim
+               where ss_customer_sk = c_customer_sk
+                 and ss_sold_date_sk = d_date_sk
+                 and d_year in (2000, 2000+1, 2000+2, 2000+3)
+               group by c_customer_sk) x),
+        best_ss_customer as
+        (select c_customer_sk, sum(ss_quantity*ss_sales_price) ssales
+         from store_sales, customer
+         where ss_customer_sk = c_customer_sk
+         group by c_customer_sk
+         having sum(ss_quantity*ss_sales_price) > (50/100.0) *
+           (select * from max_store_sales))
+        select sum(sales) as sum_sales
+        from ((select cs_quantity*cs_list_price sales
+               from catalog_sales, date_dim
+               where d_year = 2000
+                 and d_moy = 2
+                 and cs_sold_date_sk = d_date_sk
+                 and cs_item_sk in (select item_sk from frequent_ss_items)
+                 and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer))
+              union all
+              (select ws_quantity*ws_list_price sales
+               from web_sales, date_dim
+               where d_year = 2000
+                 and d_moy = 2
+                 and ws_sold_date_sk = d_date_sk
+                 and ws_item_sk in (select item_sk from frequent_ss_items)
+                 and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer))) y
+        limit 100
+    """,
+    "q23b": """
+        with frequent_ss_items as
+        (select substr(i_item_desc, 1, 30) itemdesc, i_item_sk item_sk,
+                d_date solddate, count(*) cnt
+         from store_sales, date_dim, item
+         where ss_sold_date_sk = d_date_sk
+           and ss_item_sk = i_item_sk
+           and d_year in (2000, 2000+1, 2000+2, 2000+3)
+         group by substr(i_item_desc, 1, 30), i_item_sk, d_date
+         having count(*) > 4),
+        max_store_sales as
+        (select max(csales) tpcds_cmax
+         from (select c_customer_sk, sum(ss_quantity*ss_sales_price) csales
+               from store_sales, customer, date_dim
+               where ss_customer_sk = c_customer_sk
+                 and ss_sold_date_sk = d_date_sk
+                 and d_year in (2000, 2000+1, 2000+2, 2000+3)
+               group by c_customer_sk) x),
+        best_ss_customer as
+        (select c_customer_sk, sum(ss_quantity*ss_sales_price) ssales
+         from store_sales, customer
+         where ss_customer_sk = c_customer_sk
+         group by c_customer_sk
+         having sum(ss_quantity*ss_sales_price) > (50/100.0) *
+           (select * from max_store_sales))
+        select c_last_name, c_first_name, sales
+        from ((select c_last_name, c_first_name, sum(cs_quantity*cs_list_price) sales
+               from catalog_sales, customer, date_dim
+               where d_year = 2000
+                 and d_moy = 2
+                 and cs_sold_date_sk = d_date_sk
+                 and cs_item_sk in (select item_sk from frequent_ss_items)
+                 and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+                 and cs_bill_customer_sk = c_customer_sk
+               group by c_last_name, c_first_name)
+              union all
+              (select c_last_name, c_first_name, sum(ws_quantity*ws_list_price) sales
+               from web_sales, customer, date_dim
+               where d_year = 2000
+                 and d_moy = 2
+                 and ws_sold_date_sk = d_date_sk
+                 and ws_item_sk in (select item_sk from frequent_ss_items)
+                 and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+                 and ws_bill_customer_sk = c_customer_sk
+               group by c_last_name, c_first_name)) y
+        order by c_last_name, c_first_name, sales
         limit 100
     """,
     "q24a": """

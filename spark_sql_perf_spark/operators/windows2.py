@@ -10,12 +10,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import memo
 from ..catalog import table
 from .registry import dec, query
 
 # bounded cache registry for the two-pass rank (same lifetime pattern as
-# pipeline.dedup: drop the previous invocation's frames on each call)
+# pipeline.dedup: drop the previous invocation's frames on each call; a
+# run that ENDS on a ranked query is drained by the registered evictor,
+# which ExperimentRunner calls in its teardown)
 _RANK_CACHED: list[DataFrame] = []
+
+
+def _evict_rank_cache() -> None:
+    while _RANK_CACHED:
+        try:
+            _RANK_CACHED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
+memo.register_evictor(_evict_rank_cache)
 
 
 def _with_global_rank(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import memo
 from ..catalog import table
 from ..functions.text import md5_hash32, md5_hash32_sql
 from ..operators.registry import query
@@ -142,8 +143,22 @@ _SHINGLES_SQL = """
 # switching inputs evicts the stale entry, so executor storage stays
 # bounded to one corpus. Reusing the DataFrame objects also lets Spark's
 # CacheManager serve the second run from memory instead of recomputing
-# the shingle->minhash pipeline.
+# the shingle->minhash pipeline. A run that ENDS on d2 is drained by the
+# evictor below, which ExperimentRunner calls in its teardown.
 _D2_MEMO: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _evict_d2_memo() -> None:
+    while _D2_MEMO:
+        _, frames = _D2_MEMO.popitem()
+        for df in frames:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+
+
+memo.register_evictor(_evict_d2_memo)
 
 
 @query(

@@ -21,6 +21,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import memo
 from .query import BenchmarkResult, ExperimentRun, Query, Variation, cartesian
 
 
@@ -193,12 +194,17 @@ class ExperimentRunner:
                             results=results,
                         )
                     )
-                # post-iteration cleanup (Benchmarkable.scala:58-65 analog)
+                # post-iteration cleanup (Benchmarkable.scala:58-65 analog):
+                # drain module memos FIRST so their dicts don't hold
+                # references to frames clearCache is about to uncache
+                memo.evict_all()
                 self.spark.catalog.clearCache()
         finally:
             # restore even on variation.setup failure / interrupt — the
             # session is shared and a leaked conf (e.g. AQE off) would
-            # silently change every subsequent run
+            # silently change every subsequent run; and drain memos so a
+            # run ending on d2/w8 doesn't leave executor storage pinned
+            memo.evict_all()
             for key, val in saved_conf.items():
                 if val is None:
                     self.spark.conf.unset(key)

@@ -23,6 +23,28 @@ def _q(name="flagship_star_agg", mode=None):
     )
 
 
+def test_runner_evicts_module_memos(spark, tmp_path):
+    """A run that ENDS on the memoized queries (d2 minhash, w8's two-pass
+    rank) must not leave cached frames pinned: the runner's teardown
+    drains the module memos and the session cache."""
+    from spark_sql_perf_spark.operators import windows2
+    from spark_sql_perf_spark.pipeline import dedup
+    from spark_sql_perf_spark.runner import ExperimentRunner
+
+    runner = ExperimentRunner(
+        spark, results_location=str(tmp_path / "results"), timeout_s=120
+    )
+    runs = runner.run_experiment(
+        [_q("d2_dedup_minhash_lsh"), _q("w8_ntile_buckets")], iterations=1
+    )
+    for res in runs[0].results:
+        assert res.failure is None, res.failure
+    assert dedup._D2_MEMO == {}
+    assert windows2._RANK_CACHED == []
+    # nothing left in the Spark-side cache manager either
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_execution_modes(spark, tmp_path):
     from spark_sql_perf_spark import modes
     from spark_sql_perf_spark.operators import QUERIES

@@ -3420,10 +3420,47 @@ TPCDS14_QUERIES: dict[str, str] = {
 }
 
 
+# CTEs referenced by more than one branch of their query — the ones
+# Spark's CTE inlining re-executes per branch (3 scans of item and
+# store_sales for q14's pair, 2 full ssales aggregations for q24, a
+# two-sided year self-join of cross_sales for q64, and q23's
+# frequent-items/best-customer filters applied in both the catalog and
+# web branches). The materialized scale mode caches exactly these.
+TPCDS14_SHARED_CTES: dict[str, tuple[str, ...]] = {
+    "q14a": ("cross_items", "avg_sales"),
+    "q14b": ("cross_items", "avg_sales"),
+    "q23a": ("frequent_ss_items", "best_ss_customer"),
+    "q23b": ("frequent_ss_items", "best_ss_customer"),
+    "q24a": ("ssales",),
+    "q24b": ("ssales",),
+    "q64": ("cross_sales",),
+}
+
+
 def register_tpcds14(spark: SparkSession, scale: float = 0.01, seed: str = "100") -> None:
     for name in TPCDS14_TABLES:
         gen_tpcds(spark, name, scale, seed).createOrReplaceTempView(name)
 
 
-def tpcds14_queries() -> list[Query]:
-    return [Query.from_sql(n, sql) for n, sql in TPCDS14_QUERIES.items()]
+def run_materialized(spark: SparkSession, name: str):
+    """Scale-mode execution of a multi-branch WITH query: shared CTEs
+    cached and executed once (see ``plans.cte``). Same results as
+    ``spark.sql(TPCDS14_QUERIES[name])``, minus the per-branch CTE
+    re-execution that dominates at 100x scale."""
+    from ..plans.cte import materialize_ctes
+
+    return materialize_ctes(
+        spark, TPCDS14_QUERIES[name], TPCDS14_SHARED_CTES.get(name, ())
+    )
+
+
+def tpcds14_queries(materialize_shared: bool = False) -> list[Query]:
+    """Suite Query objects; ``materialize_shared`` switches the
+    multi-branch WITH queries to the cached-CTE scale mode."""
+    out = []
+    for n, sql in TPCDS14_QUERIES.items():
+        if materialize_shared and n in TPCDS14_SHARED_CTES:
+            out.append(Query(name=n, build=lambda s, _n=n: run_materialized(s, _n)))
+        else:
+            out.append(Query.from_sql(n, sql))
+    return out

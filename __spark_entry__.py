@@ -24,15 +24,37 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 _COSTS_FILE = os.path.join(_REPO_DIR, "tools", "query_costs.json")
 
 
+def _correctness_files() -> list[str]:
+    """Committed CORRECTNESS_r*.json paths, in round order.
+
+    ``git ls-files`` keeps the docstring honest: an untracked or
+    in-progress round file (e.g. one the driver writes before importing
+    this module) must not count as history, or the never-verified-first
+    ordering collapses back to cheapest-first. Falls back to an on-disk
+    glob only when git is unavailable.
+    """
+    try:
+        import subprocess
+
+        names = subprocess.run(
+            ["git", "-C", _REPO_DIR, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.split()
+        return sorted(os.path.join(_REPO_DIR, n) for n in names)
+    except Exception:
+        return sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
+
+
 def _driver_green() -> set[str]:
-    """Names with a green driver row in any committed CORRECTNESS_r*.json.
+    """Names whose LATEST committed CORRECTNESS_r*.json row is green.
 
     Green = hash_match true, or a by-design ``no_oracle`` row that still
-    produced rows. A name whose only row is a failure (e.g. n2 in r1)
-    stays out of the set so it is re-verified.
+    produced rows. Latest-round-wins (not a union across rounds): a
+    query that passed in an early round but regressed later must fall
+    back out of the set so the driver re-prioritizes verifying it.
     """
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+    latest: dict[str, bool] = {}
+    for path in _correctness_files():
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -41,11 +63,11 @@ def _driver_green() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            ):
-                green.add(name)
-    return green
+            latest[name] = bool(
+                row.get("hash_match")
+                or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
+            )
+    return {n for n, ok in latest.items() if ok}
 
 
 def _cost_order(names: list[str]) -> list[str]:

@@ -91,7 +91,7 @@ def _ts_as_timestamp(df: DataFrame) -> Column:
     Dispatch on the loaded type so both read identically.
     """
     kind = df.schema["ts"].dataType.typeName()
-    if kind in ("long", "bigint"):
+    if kind == "long":
         return F.timestamp_micros(F.expr("ts div 1000"))
     return F.col("ts").cast("timestamp")
 

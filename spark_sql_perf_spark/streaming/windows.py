@@ -161,8 +161,11 @@ def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFram
     Use with ``run_stream_once`` in tests: Trigger.AvailableNow drains the
     source and stops — batch-equivalent semantics, real streaming engine.
 
-    Mirrors catalog.table's nanos handling: the stream schema declares ts
-    as long (raw nanos) and converts to a microsecond timestamp.
+    Mirrors catalog.table's ts handling: the stream schema is taken from
+    a batch read of the same table, so ts arrives either as long (raw
+    nanos under the legacy conf) or as TIMESTAMP(MICROS), and
+    ``_ts_as_timestamp`` dispatches on the loaded type — both encodings
+    read identically.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")

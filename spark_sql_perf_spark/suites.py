@@ -18,12 +18,19 @@ from pyspark.sql import functions as F
 from .query import Query
 from .sources.datagen import (
     gen_edges,
+    gen_table,
     grouped_ints,
     ints_table,
     two_groups,
+    uniform_int,
     vary_data_size,
     vary_num_matches,
 )
+
+# conf key for the fact-fact skew suite's salting variation axis:
+#   python -m spark_sql_perf_spark.cli -b suite:factfact \
+#       --variations spark_sql_perf.join.salting=off|on
+SALTING_CONF = "spark_sql_perf.join.salting"
 
 
 def join_performance(
@@ -162,6 +169,65 @@ def multijoin_performance(
     return queries
 
 
+def factfact_performance(
+    spark: SparkSession,
+    rows: int = 4_000_000,
+    hot_denom: int = 8,
+    n_salts: int = 16,
+) -> list[Query]:
+    """Fact-fact equi-join with a planted hot key — the reference's
+    HyperCube-shuffle motivation (RunBenchmark.scala:102-105) answered
+    with stock Spark. 1/hot_denom of the left rows share key 0, so one
+    reducer receives that whole slab in a plain shuffle join. The
+    ``SALTING_CONF`` variation axis switches the same query between:
+
+    - ``off``: plain join — AQE's skew-join splitting is the first line
+      of defense (it can split a skewed SMJ partition at runtime);
+    - ``on``: explicit salting via ``plans.layout.salt_join`` — left
+      rows get a deterministic salt, right rows replicate across all
+      salts; exact same join output, hot key spread over n_salts
+      reducers. This is the tool for the cases AQE cannot split
+      (aggregate skew, broadcast-ineligible many-to-many).
+
+    The queries read the conf at build time, so the axis composes with
+    the runner's variation cartesian like any conf-backed variation.
+    """
+    from .plans.layout import salt_join
+
+    key_domain = max(rows // 10, 10)
+
+    def left(s: SparkSession) -> DataFrame:
+        return gen_table(s, rows, {
+            "k": lambda idc: F.when(
+                uniform_int(idc, "hot", 0, hot_denom - 1) == 0, F.lit(0).cast("long")
+            ).otherwise(uniform_int(idc, "k", 1, key_domain)),
+            "v": lambda idc: uniform_int(idc, "v", 0, 1_000_000),
+        })
+
+    def right(s: SparkSession) -> DataFrame:
+        return gen_table(s, rows // 4, {
+            "k2": lambda idc: uniform_int(idc, "k2", 0, key_domain),
+            "w": lambda idc: uniform_int(idc, "w", 0, 1_000_000),
+        })
+
+    def build(s: SparkSession) -> DataFrame:
+        lf, rt = left(s), right(s)
+        if s.conf.get(SALTING_CONF, "off") == "on":
+            j = salt_join(lf, rt, "k", "k2", n_salts=n_salts)
+        else:
+            j = lf.join(rt, lf["k"] == rt["k2"])
+        return j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") + F.col("w")).alias("chk"),
+        )
+
+    from .modes import HASH
+
+    # HASH mode: the runner records a content checksum, so a variation
+    # sweep verifies the salted and plain plans agree on the answer
+    return [Query(name="factfact_skew_join", build=build, mode=HASH)]
+
+
 def tpcds_performance(spark: SparkSession, scale: float = 0.01) -> list[Query]:
     from .operators.tpcds_suite import register_tpcds, tpcds_queries
 
@@ -190,6 +256,7 @@ def tpcds14_performance(spark: SparkSession, scale: float = 0.01) -> list[Query]
 SUITES = {
     "joinperf": join_performance,
     "aggperf": aggregation_performance,
+    "factfact": factfact_performance,
     "multijoin": multijoin_performance,
     "tpcds": tpcds_performance,
     "tpcds14": tpcds14_performance,

@@ -5,6 +5,31 @@ from __future__ import annotations
 import pytest
 
 
+def test_factfact_salting_variation(spark, tmp_path):
+    """The salting axis changes only the shuffle distribution: both
+    variation options succeed through the runner and agree on the
+    (count, checksum) result of the same skewed fact-fact join."""
+    from spark_sql_perf_spark.query import Variation
+    from spark_sql_perf_spark.runner import ExperimentRunner
+    from spark_sql_perf_spark.suites import SALTING_CONF, SUITES
+
+    queries = SUITES["factfact"](spark, rows=200_000)
+    runner = ExperimentRunner(spark, results_location=str(tmp_path), timeout_s=300)
+    runs = runner.run_experiment(
+        queries,
+        iterations=1,
+        variations=[Variation.conf(SALTING_CONF, ["off", "on"])],
+    )
+    assert len(runs) == 2
+    outcomes = set()
+    for run in runs:
+        (res,) = run.results
+        assert res.failure is None, res.failure
+        outcomes.add(res.result)
+    assert len(outcomes) == 1, f"salting changed the result: {outcomes}"
+    assert outcomes != {None}, "HASH mode must record a content checksum"
+
+
 @pytest.mark.parametrize(
     "suite", ["joinperf", "aggperf", "multijoin", "interactive", "tpcds14"]
 )

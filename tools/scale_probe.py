@@ -150,6 +150,31 @@ def naive_vs_ordered(spark, n_edges: int) -> dict[str, float]:
     return out
 
 
+def factfact_salting_ab(spark, rows: int = 64_000_000) -> dict[str, float]:
+    """The factfact suite's salting variation at 64M rows: plain join
+    (with and without AQE skew-join splitting) vs explicit salting."""
+    from spark_sql_perf_spark.suites import SALTING_CONF, SUITES
+
+    (q,) = SUITES["factfact"](spark, rows=rows)
+    out = {}
+    cells = [
+        ("plain_aqe_skew", "off", "true"),
+        ("plain_no_skewjoin", "off", "false"),
+        ("salted_16", "on", "true"),
+    ]
+    try:
+        for tag, salting, skewjoin in cells:
+            spark.conf.set(SALTING_CONF, salting)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewjoin)
+            t0 = time.perf_counter()
+            q.build(spark).write.format("noop").mode("overwrite").save()
+            out[tag] = round(time.perf_counter() - t0, 2)
+    finally:
+        spark.conf.set(SALTING_CONF, "off")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return out
+
+
 def main() -> None:
     spark = build_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -160,6 +185,8 @@ def main() -> None:
         print(n, results[n], flush=True)
     ab = naive_vs_ordered(spark, 8_000_000)
     print("naive_vs_ordered@8M-skew, no broadcast:", ab, flush=True)
+    salt = factfact_salting_ab(spark)
+    print("factfact_salting@64M:", salt, flush=True)
 
     time_keys = [k for k in results[SCALES[0]] if not k.startswith("wedges_")]
     wedge_keys = [k for k in results[SCALES[0]] if k.startswith("wedges_")]
@@ -215,6 +242,19 @@ def main() -> None:
         "At broadcast-able sizes the engine picks the naive chain instead",
         "(NAIVE_TRIANGLE_MAX_EDGES) because pipelined BHJ wedges never",
         "materialize — strategy choice is stats-driven, like AQE's.",
+        "",
+        "## Fact-fact skew: salting variation (suite:factfact, 64M rows)",
+        "",
+        f"plain + AQE skew-join {salt['plain_aqe_skew']}s | plain, skew-join",
+        f"disabled {salt['plain_no_skewjoin']}s | salted n=16 "
+        f"{salt['salted_16']}s.",
+        "Measured, not assumed: at this multiplicity the hot-key slab",
+        "(rows/8 to one reducer) is cheaper than replicating the right",
+        "side across 16 salts, and AQE's skew-join split already covers",
+        "the SMJ case — explicit salting LOSES here. The variation axis",
+        "(spark_sql_perf.join.salting via cli --variations) exists for",
+        "the regimes AQE cannot split: aggregate skew and hot slabs that",
+        "exceed a single task's memory/time budget at cluster scale.",
         "",
         "## 64M-point decomposition (the steepest cells)",
         "",

@@ -176,3 +176,180 @@ def sim4_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _normalized(_vecs(spark, sf_dir))
     cents = kmeans_centroids(spark, sf_dir)
     return _ivf_search(vecs, cents, nprobe=4)
+
+
+_N_LLOYD_ITER = 2
+
+
+def sql_lloyd_centroids(
+    vecs: DataFrame, k: int = _N_CENTROIDS, n_iter: int = _N_LLOYD_ITER
+) -> DataFrame:
+    """Spherical k-means as pure relational ops — the oracle-checkable
+    trainer. Deterministic init (first k unit vectors), then ``n_iter``
+    fixed Lloyd steps: assign (9-decimal-rounded distance argmin, cid
+    tie-break), element-wise mean per cell (rounded to 6 decimals so
+    cross-engine float-sum order cannot flip a later assignment), and
+    re-normalization to the unit sphere. Unlike pyspark.ml KMeans, each
+    step is a DataFrame plan an engine-vs-engine oracle can reproduce —
+    the unrolled-iteration twin lives in sim4_recall_vs_exact's SQL."""
+    cents = vecs.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(n_iter):
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.round(dist, 9).asc(), F.col("cid")
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "cid", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+        )
+        per_dim = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("a"))
+        )
+        gathered = (
+            per_dim.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "a"))).alias("s"))
+            .select("cid", F.transform(F.col("s"), lambda st: st["a"]).alias("cv"))
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("cv"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        cents = gathered.select(
+            "cid", F.transform(F.col("cv"), lambda x: F.round(x / norm, 6)).alias("cv")
+        )
+    return cents
+
+
+def _dd_dist(vcol: str, ccol: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({vcol}) + 1),"
+        f" i -> ({vcol}[i] - {ccol}[i]) * ({vcol}[i] - {ccol}[i])))"
+    )
+
+
+def _dd_lloyd_iteration(i: int, prev: str) -> str:
+    """One unrolled Lloyd step as DuckDB CTEs (the twin of one loop body
+    in ``sql_lloyd_centroids``)."""
+    return f"""
+    a{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vecs.vec_id, vecs.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                 ORDER BY ROUND({_dd_dist('vecs.v', 'c.cv')}, 9), c.cid) AS rn
+        FROM vecs, {prev} c) t
+      WHERE rn = 1),
+    m{i} AS (
+      SELECT cid, i, ROUND(AVG(val), 6) AS a FROM (
+        SELECT cid, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS i
+        FROM a{i})
+      GROUP BY cid, i),
+    g{i} AS (SELECT cid, list(a ORDER BY i) AS cv FROM m{i} GROUP BY cid),
+    c{i} AS (
+      SELECT cid,
+             list_transform(cv, x -> ROUND(
+               x / SQRT(list_sum(list_transform(cv, y -> y * y))), 6)) AS cv
+      FROM g{i})"""
+
+
+_RECALL_SQL = f"""
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    vecs AS (
+      SELECT vec_id,
+             list_transform(v, x ->
+               x / SQRT(list_sum(list_transform(v, y -> y * y)))) AS v
+      FROM raw),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {_N_CENTROIDS}),
+    {','.join(_dd_lloyd_iteration(i + 1, f'c{i}') for i in range(_N_LLOYD_ITER))},
+    ranked_cells AS (
+      SELECT vecs.vec_id, vecs.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+               ORDER BY ROUND({_dd_dist('vecs.v', 'c.cv')}, 9), c.cid) AS rn
+      FROM vecs, c{_N_LLOYD_ITER} c),
+    q AS (SELECT vec_id, v, cid FROM ranked_cells
+          WHERE vec_id < {_N_QUERIES} AND rn <= 4),
+    cand AS (SELECT vec_id, v, cid FROM ranked_cells
+             WHERE vec_id >= {_N_QUERIES} AND rn = 1),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_COS_SQL}, 6) DESC, n.vec_id) AS rn
+        FROM q JOIN cand n ON q.cid = n.cid) t
+      WHERE rn <= {_TOP_K}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND({_COS_SQL}, 6) DESC, n.vec_id) AS rn
+        FROM (SELECT * FROM vecs WHERE vec_id < {_N_QUERIES}) q,
+             (SELECT * FROM vecs WHERE vec_id >= {_N_QUERIES}) n) t
+      WHERE rn <= {_TOP_K})
+    SELECT e.query_id,
+           CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                  THEN 1 END), 0) AS BIGINT) AS n_overlap,
+           ROUND(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                   THEN 1 END), 0) / {_TOP_K}.0, 6) AS recall_at_k
+    FROM exact e LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+"""
+
+
+@query("sim4_recall_vs_exact", oracle=_RECALL_SQL)
+def sim4_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim4's quality made driver-visible: overlap@k of a trained-IVF ANN
+    against sim1's exact top-k, per query. The trainer is the
+    SQL-expressible fixed-iteration Lloyd (``sql_lloyd_centroids``) so
+    the WHOLE pipeline — training, assignment, nprobe=4 cell-pruned
+    search, and the overlap computation — hash-verifies against the
+    DuckDB oracle; pyspark.ml-trained sim4 itself stays rows-only
+    (iterative, engine-internal init) with its recall asserted vs sim1
+    in pytest."""
+    vecs = _normalized(_vecs(spark, sf_dir))
+    ann = _ivf_search(vecs, sql_lloyd_centroids(vecs), nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    q = vecs.where(F.col("vec_id") < _N_QUERIES).alias("q")
+    c = vecs.where(F.col("vec_id") >= _N_QUERIES).alias("n")
+    cos = _dot("q.v", "n.v") / (F.sqrt(_dot("q.v", "q.v")) * F.sqrt(_dot("n.v", "n.v")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("n.vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    exact = (
+        scored.select("*", F.row_number().over(wq).alias("rn"))
+        .where(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    j = exact.join(
+        ann.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / float(_TOP_K), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

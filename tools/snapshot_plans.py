@@ -26,12 +26,30 @@ def main() -> None:
         "`*(n)` prefixes are whole-stage-codegen spans).",
         "",
     ]
-    extra = ["asof1_last_click_before_purchase", "mj1_stats_planned_join"]
+    extra = [
+        "asof1_last_click_before_purchase",
+        "mj1_stats_planned_join",
+        "g4_square_count",
+    ]
     for name in HEADLINE + extra:
         df = QUERIES[name](spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+    # the forced degree-ordered triangle plan (the >broadcast-threshold
+    # strategy; at bench scale the auto path picks the naive chain)
+    from spark_sql_perf_spark.operators.graph import edge_table, triangle_count_df
+
+    df = triangle_count_df(edge_table(spark, sf_dir), degree_ordered=True)
+    df.collect()
+    out += [
+        "## g3_triangle_count (forced degree_ordered=True)",
+        "",
+        "```",
+        df._jdf.queryExecution().executedPlan().toString().rstrip(),
+        "```",
+        "",
+    ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md with {len(HEADLINE) + len(extra)} plans")

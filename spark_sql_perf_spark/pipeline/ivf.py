@@ -69,10 +69,7 @@ def sim3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's cell. Assignment distance is rounded to 9 decimals before the
     argmin so the cell boundaries are engine-identical."""
     vecs = _vecs(spark, sf_dir)
-    cents = vecs.where(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    return _ivf_search(vecs, cents)
+    return _ivf_search(vecs, _subset_cents(vecs))
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +86,21 @@ def _dot(x: str, y: str) -> F.Column:
     )
 
 
+def _ranked_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Voronoi cell ranking: every (vector, centroid) pair ranked by
+    9-decimal-rounded euclidean distance with cid tie-break. rn=1 is the
+    owning cell; rn<=nprobe are a query's probe set."""
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.round(dist, 9).asc(), F.col("cid"))
+    return vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", F.row_number().over(w_assign).alias("rn")
+    )
+
+
 def _ivf_search(
     vecs: DataFrame, cents: DataFrame,
     n_queries: int = _N_QUERIES, top_k: int = _TOP_K, nprobe: int = 1,
@@ -98,16 +110,7 @@ def _ivf_search(
     nearest cells (candidates always live in exactly one cell, so
     multi-probe trades scanned-candidate count for recall — the standard
     IVF knob; well-balanced trained centroids need nprobe > 1)."""
-    dist = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.round(dist, 9).asc(), F.col("cid"))
-    ranked_cells = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", F.row_number().over(w_assign).alias("rn"))
-    )
+    ranked_cells = _ranked_cells(vecs, cents)
     assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "v", "cid")
 
     q = (
@@ -122,6 +125,65 @@ def _ivf_search(
     cos = _dot("q.v", "n.v") / (F.sqrt(_dot("q.v", "q.v")) * F.sqrt(_dot("n.v", "n.v")))
     scored = (
         F.broadcast(q)
+        .join(cand, F.col("q.cid") == F.col("n.cid"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("n.vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.select("*", F.row_number().over(w_rank).alias("rn")).where(
+        F.col("rn") <= top_k
+    )
+
+
+def _subset_cents(vecs: DataFrame) -> DataFrame:
+    return vecs.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+
+def write_ivf_partitioned(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the corpus PARTITIONED BY IVF cell — the 100 TB
+    layout this module's docstring promises. Each vector lands in its
+    owning Voronoi cell's directory (`cid=<k>/`), so a search touches
+    only `nprobe / n_cells` of the data via plain partition pruning —
+    no index structure beyond the filesystem layout."""
+    vecs = _vecs(spark, sf_dir)
+    assigned = (
+        _ranked_cells(vecs, _subset_cents(vecs))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def ivf_partitioned_search(
+    spark: SparkSession, sf_dir: str, path: str,
+    n_queries: int = _N_QUERIES, top_k: int = _TOP_K, nprobe: int = 1,
+) -> DataFrame:
+    """Cell-pruned search over the partitioned layout: compute the probe
+    cells for each query (tiny broadcast work), then read ONLY those
+    partitions of the corpus — `.where(cid isin probes)` reaches the
+    scan as a partition filter, which is the entire point of the layout.
+    Same results as the flat-table `_ivf_search`."""
+    vecs = _vecs(spark, sf_dir)
+    q_cells = (
+        _ranked_cells(vecs.where(F.col("vec_id") < n_queries), _subset_cents(vecs))
+        .where(F.col("rn") <= nprobe)
+        .select("vec_id", "v", "cid")
+        .alias("q")
+    )
+    probed = [r["cid"] for r in q_cells.select("cid").distinct().collect()]
+    cand = (
+        spark.read.parquet(path)
+        .where(F.col("cid").isin(probed) & (F.col("vec_id") >= n_queries))
+        .alias("n")
+    )
+    cos = _dot("q.v", "n.v") / (F.sqrt(_dot("q.v", "q.v")) * F.sqrt(_dot("n.v", "n.v")))
+    scored = (
+        F.broadcast(q_cells)
         .join(cand, F.col("q.cid") == F.col("n.cid"))
         .select(
             F.col("q.vec_id").alias("query_id"),

@@ -37,6 +37,38 @@ def test_streaming_tumbling_matches_batch(spark):
     assert got == want
 
 
+def test_streaming_dedup_survives_redelivery(spark):
+    """dropDuplicatesWithinWatermark on row identity: the stream source
+    re-delivers the whole file (two staged copies — an at-least-once
+    upstream), and exactly one row per identity survives, matching the
+    batch table."""
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.streaming.dedup import (
+        content_key,
+        run_stream_append,
+        streaming_dedup,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="events-dedup-")
+    for copy in ("part-0.parquet", "part-1.parquet"):
+        os.symlink(
+            f"{SF_DIR_TINY}/events.parquet", os.path.join(stream_dir, copy)
+        )
+    out = streaming_dedup(spark, SF_DIR_TINY, stream_dir)
+    assert out.isStreaming
+    run_stream_append(out, "stream_dedup_out")
+
+    got = spark.table("stream_dedup_out")
+    batch = content_key(table(spark, SF_DIR_TINY, "events"))
+    n_rows = batch.count()
+    # input was delivered twice; output is exactly-once
+    assert got.count() == n_rows
+    assert got.select("content_md5").distinct().count() == n_rows
+    assert (
+        got.select("content_md5").subtract(batch.select("content_md5")).count() == 0
+    )
+
+
 def test_multimodal_decode_is_distributed(spark):
     """mapInPandas plumbing: schema is typed, rows flow through Arrow
     batches, payload bytes round-trip."""

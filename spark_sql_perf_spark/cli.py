@@ -74,6 +74,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("-t", "--timeout", type=float, default=600.0)
     ap.add_argument("--mode", choices=sorted(_MODES), default="foreach")
     ap.add_argument("--variations", default=None)
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="sample executor-thread stacks during each query "
+             "(collapsed-stack lines in the results JSON)",
+    )
     args = ap.parse_args(argv)
 
     extra = {}
@@ -95,7 +100,8 @@ def main(argv: list[str] | None = None) -> None:
         queries = select_queries(args.benchmark, args.filter, args.sf_dir, _MODES[args.mode])
     runner = ExperimentRunner(spark, results_location=args.location, timeout_s=args.timeout)
     runs = runner.run_experiment(queries, iterations=args.iterations,
-                                 variations=parse_variations(args.variations))
+                                 variations=parse_variations(args.variations),
+                                 include_profile=args.profile)
 
     from .analyze import load_results, summarize
 

@@ -102,6 +102,9 @@ class BenchmarkResult:
     ml_result: dict[str, Any] | None = None
     # per-subtree breakdown rows (results.scala:37-54 BreakdownResult)
     breakdown: list[dict[str, Any]] | None = None
+    # sampled CPU profile (CpuProfile.scala re-expression, profiler.py):
+    # {"n_ticks": int, "hz": float, "collapsed": [top stack lines]}
+    profile: dict[str, Any] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)

@@ -113,17 +113,32 @@ class ExperimentRunner:
         q: Query,
         parameters: dict[str, Any] | None = None,
         include_breakdown: bool = False,
+        include_profile: bool = False,
     ) -> BenchmarkResult:
         res = BenchmarkResult(name=q.name, mode=q.mode.name, parameters=parameters or {})
+        prof = None
         try:
             df = q.build(self.spark)
             res.__dict__.update(phase_times(df))
             res.join_types = join_types(df)
+            if include_profile:
+                # the reference's withCpuProfile wrapper (CpuProfile.scala)
+                from .profiler import CpuProfiler
+
+                prof = CpuProfiler(self.spark).start()
             t0 = time.perf_counter()
             value = _run_with_timeout(
                 self.spark, q.name, lambda: q.mode.consume(df, q.name), self.timeout_s
             )
             res.execution_time_ms = (time.perf_counter() - t0) * 1000.0
+            if prof is not None:
+                p = prof.stop()
+                prof = None
+                res.profile = {
+                    "n_ticks": p.n_ticks,
+                    "hz": p.hz,
+                    "collapsed": p.collapsed()[:40],
+                }
             res.result = value
             if include_breakdown:
                 # the reference's includeBreakdown flag (Query.scala:86-116):
@@ -135,6 +150,9 @@ class ExperimentRunner:
                 ]
         except Exception:
             res.failure = traceback.format_exc(limit=10)
+        finally:
+            if prof is not None:  # failure path: don't leak the sampler
+                prof.stop()
         return res
 
     def run_ml(self, name: str, params: dict[str, Any] | None = None) -> BenchmarkResult:
@@ -167,6 +185,7 @@ class ExperimentRunner:
         queries: Sequence[Query],
         iterations: int = 3,
         variations: Iterable[Variation] = (),
+        include_profile: bool = False,
     ) -> list[ExperimentRun]:
         runs: list[ExperimentRun] = []
         combos = cartesian(variations)
@@ -184,7 +203,10 @@ class ExperimentRunner:
                     for variation, option in combo:
                         variation.setup(self.spark, option)
                         params[variation.name] = option
-                    results = [self.run_query(q, dict(params)) for q in queries]
+                    results = [
+                        self.run_query(q, dict(params), include_profile=include_profile)
+                        for q in queries
+                    ]
                     runs.append(
                         ExperimentRun(
                             timestamp=ts,

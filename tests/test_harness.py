@@ -23,6 +23,40 @@ def _q(name="flagship_star_agg", mode=None):
     )
 
 
+def test_runner_cpu_profile(spark, tmp_path):
+    """include_profile: the sampled-stack profiler (CpuProfile
+    re-expression) ticks during execution and records well-formed
+    collapsed-stack lines over executor task threads."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.query import Query
+    from spark_sql_perf_spark.runner import ExperimentRunner
+    from spark_sql_perf_spark.sources.datagen import two_groups
+
+    q = Query(
+        name="profile_me",
+        build=lambda s: two_groups(s, 4_000_000).groupBy("a").agg(
+            F.sum("b").alias("s")
+        ),
+    )
+    res = ExperimentRunner(spark, results_location=str(tmp_path)).run_query(
+        q, include_profile=True
+    )
+    assert res.failure is None, res.failure
+    assert res.profile is not None
+    assert res.profile["n_ticks"] > 0
+    for line in res.profile["collapsed"]:
+        stack, _, count = line.rpartition(" ")
+        assert stack and count.isdigit(), line
+        assert ";;" not in stack and not stack.startswith(";"), line
+    # the sampler targeted executor task threads, so Spark's task runner
+    # must appear as a root frame in at least one stack
+    assert any(
+        "Executor$TaskRunner" in line or "ThreadPoolExecutor" in line
+        for line in res.profile["collapsed"]
+    ), res.profile["collapsed"][:5]
+
+
 def test_runner_evicts_module_memos(spark, tmp_path):
     """A run that ENDS on the memoized queries (d2 minhash, w8's two-pass
     rank) must not leave cached frames pinned: the runner's teardown

@@ -82,3 +82,28 @@ def test_exact_decimal_aggs_stay_jvm(spark):
     # no Python UDF in the hot path of the headline aggregation
     plan = _plan(_q(spark, "q1_pricing_summary"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_with_clauses_parses_whole_corpus():
+    """The CTE lifter's paren-balance parser handles every query text in
+    the TPC-DS corpus: parsed names match a regex scan of the WITH
+    prologue, bodies are non-empty and balanced, and the remainder is a
+    SELECT."""
+    import re
+
+    from spark_sql_perf_spark.operators.tpcds14_suite import (
+        TPCDS14_QUERIES,
+        TPCDS14_SHARED_CTES,
+    )
+    from spark_sql_perf_spark.plans.cte import split_with_clauses
+
+    for name, sql in TPCDS14_QUERIES.items():
+        ctes, body = split_with_clauses(sql)
+        has_with = re.match(r"\s*with\s", sql, re.I) is not None
+        assert bool(ctes) == has_with, name
+        for cte_name, cte_body in ctes:
+            assert cte_body.strip(), (name, cte_name)
+            assert cte_body.count("(") == cte_body.count(")"), (name, cte_name)
+        assert re.match(r"\s*\(?\s*select\s", body, re.I), (name, body[:80])
+        for shared in TPCDS14_SHARED_CTES.get(name, ()):
+            assert shared in {n for n, _ in ctes}, (name, shared)

@@ -169,13 +169,20 @@ def ivf_partitioned_search(
     scan as a partition filter, which is the entire point of the layout.
     Same results as the flat-table `_ivf_search`."""
     vecs = _vecs(spark, sf_dir)
-    q_cells = (
+    # collect the (tiny: n_queries x nprobe rows) probe set ONCE and
+    # rebuild the broadcast side from the collected rows — re-executing
+    # the q_cells plan in the join would re-run the embeddings scan and
+    # the query-x-centroid ranking a second time
+    q_rows = (
         _ranked_cells(vecs.where(F.col("vec_id") < n_queries), _subset_cents(vecs))
         .where(F.col("rn") <= nprobe)
         .select("vec_id", "v", "cid")
-        .alias("q")
+        .collect()
     )
-    probed = [r["cid"] for r in q_cells.select("cid").distinct().collect()]
+    q_cells = spark.createDataFrame(
+        q_rows, "vec_id long, v array<double>, cid long"
+    ).alias("q")
+    probed = sorted({r["cid"] for r in q_rows})
     cand = (
         spark.read.parquet(path)
         .where(F.col("cid").isin(probed) & (F.col("vec_id") >= n_queries))

@@ -169,10 +169,10 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
              unnest(range(0, n_frames, {_FRAME_STRIDE})) AS f
       FROM d)
     SELECT doc_id, CAST(f AS INT) AS frame_idx,
-           CAST(list_sum(list_transform(
+           CAST(COALESCE(list_sum(list_transform(
              range(f * {_FRAME_BYTES} + 1,
                    LEAST(f * {_FRAME_BYTES} + {_FRAME_BYTES}, n) + 1),
-             i -> ord(SUBSTR(text, i, 1)))) AS BIGINT) AS frame_checksum
+             i -> ord(SUBSTR(text, i, 1)))), 0) AS BIGINT) AS frame_checksum
     FROM s
     """,
 )

@@ -63,6 +63,11 @@ def split_with_clauses(sql: str) -> tuple[list[tuple[str, str]], str]:
         j = i + m.end()
         depth, k = 1, j
         while depth:
+            if k >= len(sql):
+                raise ValueError(
+                    f"unbalanced parentheses parsing CTE {name!r} "
+                    "(paren inside a string literal, or truncated SQL?)"
+                )
             c = sql[k]
             if c == "(":
                 depth += 1

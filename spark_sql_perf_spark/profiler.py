@@ -50,7 +50,8 @@ class CpuProfileResult:
         ]
 
     def top_frames(self, n: int = 10) -> list[tuple[str, int]]:
-        """Leaf frames ranked by inclusive sample count."""
+        """Leaf frames ranked by self (exclusive) sample count — the
+        frame actually on-CPU when the sample fired, not its callers."""
         leaves: dict[str, int] = {}
         for stack, count in self.samples.items():
             leaf = stack.rsplit(";", 1)[-1]
@@ -88,6 +89,7 @@ class CpuProfiler:
         self.hz = hz
         self.thread_prefix = thread_prefix
         self._stop = threading.Event()
+        self._lock = threading.Lock()
         self._thread: threading.Thread | None = None
         self.result = CpuProfileResult(hz=hz)
 
@@ -114,8 +116,10 @@ class CpuProfiler:
             if not cleaned:
                 continue
             stack = ";".join(reversed(cleaned))
-            self.result.samples[stack] = self.result.samples.get(stack, 0) + 1
-        self.result.n_ticks += 1
+            with self._lock:
+                self.result.samples[stack] = self.result.samples.get(stack, 0) + 1
+        with self._lock:
+            self.result.n_ticks += 1
 
     def _loop(self) -> None:
         period = 1.0 / self.hz
@@ -136,7 +140,18 @@ class CpuProfiler:
         return self
 
     def stop(self) -> CpuProfileResult:
+        """Stop sampling and return a consistent snapshot. If the sampler
+        thread is wedged inside a py4j call past the join timeout, the
+        snapshot is taken under the sampling lock so a late tick can
+        never mutate the dict the caller is iterating."""
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5.0)
+            if self._thread.is_alive():
+                with self._lock:
+                    return CpuProfileResult(
+                        samples=dict(self.result.samples),
+                        n_ticks=self.result.n_ticks,
+                        hz=self.result.hz,
+                    )
         return self.result

@@ -20,15 +20,18 @@ from .windows import stream_events
 
 
 def content_key(df: DataFrame) -> DataFrame:
-    """Attach the row-identity hash: md5 over every payload column, so a
-    re-delivered row collapses no matter which file/batch carried it."""
+    """Attach the row-identity hash over every payload column including
+    the timestamp, so a re-delivered row collapses no matter which
+    file/batch carried it. ``xxhash64`` hashes each column with its type
+    and null-ness intact — unlike a ``concat_ws`` string (which silently
+    drops NULL fields and lets a delimiter inside a value alias two
+    different rows), distinct rows cannot collide by construction here
+    short of an actual 64-bit hash collision."""
     return df.withColumn(
-        "content_md5",
-        F.md5(
-            F.concat_ws(
-                "|", F.col("event_id"), F.col("user_id"), F.col("event_type"),
-                F.col("value").cast("string"), F.col("props"),
-            )
+        "content_key",
+        F.xxhash64(
+            F.col("event_id"), F.col("ts"), F.col("user_id"),
+            F.col("event_type"), F.col("value"), F.col("props"),
         ),
     )
 
@@ -40,7 +43,7 @@ def streaming_dedup(
     watermark: state per key lives for ``delay`` of event time, then is
     dropped — bounded state, append output."""
     ev = stream_events(spark, sf_dir, stream_dir).withWatermark("ts", delay)
-    return content_key(ev).dropDuplicatesWithinWatermark(["content_md5"])
+    return content_key(ev).dropDuplicatesWithinWatermark(["content_key"])
 
 
 def run_stream_append(df: DataFrame, table_name: str) -> None:

@@ -33,16 +33,20 @@ def test_runner_cpu_profile(spark, tmp_path):
     from spark_sql_perf_spark.runner import ExperimentRunner
     from spark_sql_perf_spark.sources.datagen import two_groups
 
-    q = Query(
-        name="profile_me",
-        build=lambda s: two_groups(s, 4_000_000).groupBy("a").agg(
-            F.sum("b").alias("s")
-        ),
-    )
-    res = ExperimentRunner(spark, results_location=str(tmp_path)).run_query(
-        q, include_profile=True
-    )
-    assert res.failure is None, res.failure
+    runner = ExperimentRunner(spark, results_location=str(tmp_path))
+    # grow the workload until the sampler catches executor threads on
+    # CPU — a warm JIT can finish small aggregations between ticks
+    for rows in (4_000_000, 16_000_000, 64_000_000):
+        q = Query(
+            name="profile_me",
+            build=lambda s, r=rows: two_groups(s, r).groupBy("a").agg(
+                F.sum("b").alias("s")
+            ),
+        )
+        res = runner.run_query(q, include_profile=True)
+        assert res.failure is None, res.failure
+        if res.profile["collapsed"]:
+            break
     assert res.profile is not None
     assert res.profile["n_ticks"] > 0
     for line in res.profile["collapsed"]:

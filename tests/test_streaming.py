@@ -63,9 +63,9 @@ def test_streaming_dedup_survives_redelivery(spark):
     n_rows = batch.count()
     # input was delivered twice; output is exactly-once
     assert got.count() == n_rows
-    assert got.select("content_md5").distinct().count() == n_rows
+    assert got.select("content_key").distinct().count() == n_rows
     assert (
-        got.select("content_md5").subtract(batch.select("content_md5")).count() == 0
+        got.select("content_key").subtract(batch.select("content_key")).count() == 0
     )
 
 

@@ -13,6 +13,10 @@ Probes (matched to the riskiest plan shapes):
   tri_uniform     degree-ordered triangle count, uniform graph (g3 scale path)
   tri_skew        same plan on a symmetric-hub graph — the cell that is
                   quadratic for the naive id-ordered enumeration
+  minhash_dedup   shingle -> minhash sig -> banded-bucket join -> verify
+                  (d2 shape: pairwise work only inside band buckets)
+  ann_lsh         sign-LSH bucketed cosine ANN (sim2 shape: bucket
+                  equi-join, never query x corpus)
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ from spark_sql_perf_spark.sources.datagen import gen_table, uniform_int  # noqa:
 SCALES = [1_000_000, 4_000_000, 16_000_000, 64_000_000]
 
 
-def gen_edges(spark, n_edges: int, skew: bool):
+def gen_hub_edges(spark, n_edges: int, skew: bool):
     """Deterministic digraph: ~n_edges distinct edges over n_edges/8
     vertices (avg degree ~16). With ``skew``, 1/32 of srcs AND 1/32 of
     dsts (independently) land on 8 hub vertices, so hubs carry ~m/256
@@ -97,13 +101,109 @@ def probe(spark, n: int) -> dict[str, float]:
     # path) at n/8 edges; the question is whether the skewed cell
     # tracks the uniform cell ~linearly
     for name, skew in (("tri_uniform", False), ("tri_skew", True)):
-        g = gen_edges(spark, n // 8, skew).persist()
+        g = gen_hub_edges(spark, n // 8, skew).persist()
         g.count()
         t(name, triangle_count_df(g, degree_ordered=True))
         if skew:
             out.update(wedge_counts(g))
         g.unpersist()
+    t("minhash_dedup", probe_minhash_dedup(spark, n // 16))
+    t("ann_lsh", probe_ann_lsh(spark, n // 16))
     return out
+
+
+_PERM = [(2_654_435_761, 101), (2_246_822_519, 211), (3_266_489_917, 307),
+         (668_265_263, 401), (374_761_393, 503), (2_147_483_629, 601)]
+_P = 2_147_483_647
+
+
+def probe_minhash_dedup(spark, n_docs: int):
+    """d2's plan shape over generated text: 8-word docs (1/16 are planted
+    duplicates of an earlier doc), trigram shingles -> 6 minhashes -> 3
+    banded buckets -> candidate pairs only within buckets -> exact
+    verify. The cell proves the pairwise stage stays ~|near-dups|, never
+    |docs|^2, as volume grows."""
+    words = {
+        f"w{i}": (lambda idc, i=i: F.concat(
+            F.lit("tok"),
+            uniform_int(idc, f"word{i}", 0, 499).cast("string")))
+        for i in range(8)
+    }
+    docs = gen_table(spark, n_docs, {
+        "doc_id": lambda idc: idc,
+        "dup_of": lambda idc: F.when(
+            (uniform_int(idc, "isdup", 0, 15) == 0) & (idc >= 16),
+            (idc / 16).cast("long")).otherwise(idc),
+        **words,
+    })
+    # duplicates share their source's words: re-derive words from dup_of
+    text_cols = [words[f"w{i}"](F.col("dup_of")) for i in range(8)]
+    corpus = docs.select("doc_id", F.array(*text_cols).alias("ws"))
+    sh = corpus.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, 5), i ->"
+            " concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).alias("shingle"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+         .cast("long") % _P).alias("h"),
+    ).distinct()
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{j}")
+          for j, (a, b) in enumerate(_PERM)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.concat_ws("_", f"m{2*j}", f"m{2*j+1}").alias("key"))
+            for j in range(3)
+        ])).alias("b"),
+    ).select("doc_id", "b.band", "b.key")
+    cand = (
+        bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+
+
+def probe_ann_lsh(spark, n_vecs: int, dim: int = 16, n_queries: int = 64):
+    """sim2's plan shape at volume: deterministic vectors, 8-bit sign-LSH
+    signature per vector, query set broadcast, candidates only from the
+    query's bucket — the join never touches query x corpus."""
+    vec = F.array(*[
+        (uniform_int(F.col("vec_id"), f"d{i}", 0, 2_000_000) / 1_000_000.0 - 1.0)
+        for i in range(dim)
+    ])
+    planes = [[(((i * 37 + b * 101) % 97) / 48.5 - 1.0) for i in range(dim)]
+              for b in range(8)]
+    vecs = gen_table(spark, n_vecs, {"vec_id": lambda idc: idc}).select(
+        "vec_id", vec.alias("v"))
+    sig = sum(
+        F.when(
+            sum(F.col("v")[i] * F.lit(planes[b][i]) for i in range(dim)) > 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(8)
+    )
+    bucketed = vecs.select("vec_id", "v", sig.alias("sig"))
+    q = bucketed.where(F.col("vec_id") < n_queries).alias("q")
+    c = bucketed.where(F.col("vec_id") >= n_queries).alias("c")
+    dot = F.expr(
+        "aggregate(zip_with(q.v, c.v, (a, b) -> a * b),"
+        " cast(0.0 as double), (acc, x) -> acc + x)")
+    scored = (F.broadcast(q).join(c, F.col("q.sig") == F.col("c.sig"))
+              .select(F.col("q.vec_id").alias("query_id"), dot.alias("dot")))
+    return scored.groupBy("query_id").agg(
+        F.max("dot").alias("best"), F.count(F.lit(1)).alias("n_cands"))
 
 
 def wedge_counts(g) -> dict[str, int]:
@@ -137,7 +237,7 @@ def naive_vs_ordered(spark, n_edges: int) -> dict[str, float]:
     out = {}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        g = gen_edges(spark, n_edges, skew=True).persist()
+        g = gen_hub_edges(spark, n_edges, skew=True).persist()
         g.count()
         for name, deg in (("ordered", True), ("naive", False)):
             t0 = time.perf_counter()

@@ -52,7 +52,7 @@ def main() -> None:
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md with {len(HEADLINE) + len(extra)} plans")
+    print(f"wrote PLANS.md with {len(HEADLINE) + len(extra) + 1} plans")
     spark.stop()
 
 

@@ -69,6 +69,34 @@ def test_streaming_dedup_survives_redelivery(spark):
     )
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream attribution join (watermarks both sides + time-range
+    condition): over a single AvailableNow drain the joined rows equal
+    the batch twin with the identical condition, and the match set is
+    non-trivial."""
+    from spark_sql_perf_spark.streaming.dedup import run_stream_append
+    from spark_sql_perf_spark.streaming.joins import (
+        batch_attribution,
+        streaming_attribution,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="events-attrib-")
+    os.symlink(
+        f"{SF_DIR_TINY}/events.parquet", os.path.join(stream_dir, "part-0.parquet")
+    )
+    out = streaming_attribution(spark, SF_DIR_TINY, stream_dir)
+    assert out.isStreaming
+    run_stream_append(out, "stream_attrib_out")
+
+    got = spark.table("stream_attrib_out")
+    want = batch_attribution(spark, SF_DIR_TINY)
+    n_want = want.count()
+    assert n_want > 0, "attribution window matched nothing — fixture drifted"
+    assert got.count() == n_want
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_multimodal_decode_is_distributed(spark):
     """mapInPandas plumbing: schema is typed, rows flow through Arrow
     batches, payload bytes round-trip."""

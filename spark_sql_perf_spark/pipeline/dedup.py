@@ -161,10 +161,9 @@ def _evict_d2_memo() -> None:
 memo.register_evictor(_evict_d2_memo)
 
 
-@query(
-    "d2_dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_CORPUS_SQL},
+# d2's full CTE chain through the verified near-dup `pairs` relation —
+# shared by d2's oracle and d6's connected-components oracle
+_D2_PAIR_CTES = f"""{_CORPUS_SQL},
     {_SHINGLES_SQL},
     hashed AS (
       SELECT DISTINCT doc_id, {md5_hash32_sql('sh', 'mh')} % {_P} AS h
@@ -191,13 +190,22 @@ memo.register_evictor(_evict_d2_memo)
         JOIN hashed sa ON sa.doc_id = c.id_a
         JOIN hashed sb ON sb.doc_id = c.id_b AND sb.h = sa.h
       GROUP BY c.id_a, c.id_b),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id)
-    SELECT id_a, id_b,
-           ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
-    FROM common
-      JOIN sizes na ON na.doc_id = id_a
-      JOIN sizes nb ON nb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
+    pairs AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+      FROM common
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common)
+            >= {_JACCARD_THRESHOLD})"""
+
+
+@query(
+    "d2_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_D2_PAIR_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs
     """,
 )
 def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,6 +306,89 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("id_b"))
         .where(jac >= _JACCARD_THRESHOLD)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# d6: duplicate-cluster resolution (connected components over d2 pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d6_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_D2_PAIR_CTES},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    labels AS (
+      SELECT c.doc_id,
+             LEAST(c.doc_id, COALESCE(MIN(r.dst), c.doc_id)) AS cluster_id
+      FROM corpus c LEFT JOIN reach r ON r.src = c.doc_id
+      GROUP BY c.doc_id)
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+    FROM labels
+    """,
+)
+def d6_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution — the dedup pipeline's actual
+    deliverable: for every doc, the connected component it belongs to in
+    the verified near-dup graph (d2's pairs), labeled by the component's
+    minimum doc_id, plus the keep/drop decision (keep exactly the
+    minimum of each cluster; singletons keep themselves).
+
+    Spark side: min-label propagation to a FIXPOINT — each iteration
+    joins labels one hop along the (symmetrized) pair edges and takes
+    the elementwise min; convergence is detected by the monotone label
+    sum (strictly decreases until the fixpoint, at most diameter
+    iterations; LSH duplicate clusters are near-cliques, so 2-3 in
+    practice). The per-iteration frame is localCheckpoint()ed so plan
+    lineage stays flat. At 1000x scale the same loop runs with each
+    iteration a bulk shuffle join — or swap in the large-star/small-star
+    O(log n) variant; the contract (min-id component labels) is
+    unchanged. Oracle: transitive closure via a recursive CTE + MIN —
+    the iterative algorithm verifies engine-vs-engine, hash-exact,
+    because both sides compute the same fixpoint.
+    """
+    pairs = d2_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    docs = _corpus(spark, sf_dir, suffix="planted near duplicate suffix").select(
+        "doc_id"
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    prev_sum = None
+    for _ in range(30):  # >= any plausible component diameter
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["lbl"], F.coalesce(F.col("nbr_lbl"), labels["lbl"])
+                ).alias("lbl"),
+            )
+        )
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("keep"),
     )
 
 

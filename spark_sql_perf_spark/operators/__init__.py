@@ -29,6 +29,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     windows2,
 )
 from ..pipeline import (  # noqa: F401
+    curation,
     dedup,
     grouped,
     ivf,

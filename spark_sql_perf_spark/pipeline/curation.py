@@ -1,0 +1,478 @@
+"""Corpus-curation operators: the decisions a training-data pipeline
+makes between raw documents and a training mix (north-star extension,
+not reference parity — complements dedup/quality/textstats).
+
+c1  benchmark decontamination: flag training docs sharing word 4-grams
+    with a held-out eval set (the eval set here is the deterministic
+    ``doc_id % 13 == 0`` slice standing in for an external benchmark).
+    At 100 TB the eval side is a benchmark suite — a few MB — so the
+    gram set is broadcast and the scan-side cost is one pass over the
+    corpus grams; no shuffle of document bodies.
+c2  blocklist filter + redaction: token-fraction score against a word
+    blocklist and a global regexp redaction — pure column expressions.
+c3  deterministic train/val/test split: Knuth multiplicative hash of
+    the stable doc identity -> percentile bucket. Pure arithmetic (no
+    engine-specific hash function), so the assignment is reproducible
+    across engines, runs, and repartitioning — the property a split
+    must have so later pipeline stages can re-derive it.
+c4  repetition filter (Gopher-style): top-word and top-bigram mass
+    fractions per document; high fractions mark template/boilerplate
+    docs. explode + groupBy keeps the counting distributed; the per-doc
+    group is bounded by document length, never corpus size.
+c5  domain mixture: per-source target sampling rates applied with a
+    second multiplicative hash -> achieved-rate report. Deterministic
+    sampling (vs ``df.sample``) so the mix is stable across retries
+    and engines.
+c6  sequence packing: concat-and-chunk documents into fixed token-budget
+    contexts. The context id is floor(global-cumulative-tokens-before /
+    budget) — a GLOBAL running sum, computed scale-safely with the same
+    two-pass scheme as operators/windows2._with_global_rank: one range
+    shuffle, one n_parts-row offsets job, one partition-local window.
+    A bare ``Window.orderBy`` (single reducer) would be fatal at 100 TB.
+
+All six are SQL-expressible and hash-verify against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import memo
+from ..catalog import table
+from ..operators.registry import query
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+_WS_SPLIT = r"\s+"
+
+# Knuth multiplicative hashes (mod 2^32). Two different odd multipliers so
+# the c3 split and the c5 mixture sample are independent decisions: a doc's
+# split bucket must not correlate with whether the mixture keeps it.
+_SPLIT_MULT = 2654435761  # 2^32 / phi
+_MIX_MULT = 2246822519    # xxhash PRIME32_2
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.lower(F.col(col)), _WS_SPLIT)
+
+
+def _pct(doc_id: str, mult: int) -> F.Column:
+    """Deterministic 0-99 bucket from a bigint identity (pure arithmetic)."""
+    return ((F.col(doc_id) * F.lit(mult)) % F.lit(2**32)) % F.lit(100)
+
+
+def _pct_sql(doc_id: str, mult: int) -> str:
+    return f"(({doc_id} * {mult}) % 4294967296) % 100"
+
+
+# ---------------------------------------------------------------------------
+# c1: benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_C1_N = 4            # gram width
+_C1_EVAL_MOD = 13    # eval set = doc_id % 13 == 0
+_C1_DUP_FRAC = 0.5   # >= half the doc's grams hit -> near-copy of eval
+
+
+@query(
+    "c1_decontaminate_4gram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '{_WS_SPLIT}') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - {_C1_N - 2}),
+               i -> array_to_string(ws[i:i+{_C1_N - 1}], ' ')))) AS gram
+      FROM toks WHERE len(ws) >= {_C1_N}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_C1_EVAL_MOD} = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_hit
+      FROM g JOIN ev USING (gram)
+      WHERE g.doc_id % {_C1_EVAL_MOD} <> 0
+      GROUP BY g.doc_id)
+    SELECT h.doc_id, h.n_hit, s.n_grams,
+           ROUND(CAST(h.n_hit AS DOUBLE) / s.n_grams, 6) AS contam_frac,
+           CAST(h.n_hit AS DOUBLE) / s.n_grams >= {_C1_DUP_FRAC} AS near_copy
+    FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    """,
+)
+def c1_decontaminate_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing word 4-grams with the eval slice.
+
+    The eval gram set is DISTINCT-ed and broadcast — at real scale the
+    benchmark side is tiny (MBs) while the corpus side is the 100 TB
+    scan, so the join must be a broadcast hash join on the gram string
+    (asserted in tests/test_plans.py). ``near_copy`` marks docs whose
+    hit fraction says they ARE an eval document, not a coincidental
+    collision.
+    """
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", _words().alias("ws"))
+        .where(F.size("ws") >= _C1_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (_C1_N - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, _C1_N)),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    eval_grams = (
+        grams.where(F.col("doc_id") % _C1_EVAL_MOD == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.where(F.col("doc_id") % _C1_EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_grams")
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_hit",
+            "n_grams",
+            F.round(frac, 6).alias("contam_frac"),
+            (frac >= _C1_DUP_FRAC).alias("near_copy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c2: blocklist filter + redaction
+# ---------------------------------------------------------------------------
+
+_C2_BLOCKLIST = ("hash", "scan", "slow")
+# ~80th percentile of bad_frac on this small-vocab corpus -> a realistic
+# keep-most / drop-tail filter (the three words are ~10% of tokens here)
+_C2_MAX_FRAC = 0.13
+_C2_RE = r"\b(" + "|".join(_C2_BLOCKLIST) + r")\b"
+
+
+@query(
+    "c2_blocklist_filter",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(text), '{_WS_SPLIT}') AS ws,
+             regexp_replace(lower(text), '{_C2_RE}', '[BLOCKED]', 'g') AS red
+      FROM documents),
+    f AS (
+      SELECT doc_id, source,
+             len(list_filter(ws, w -> list_contains({list(_C2_BLOCKLIST)!r}, w))) AS n_bad,
+             len(ws) AS n_tok, length(red) AS redacted_len
+      FROM s)
+    SELECT doc_id, source, n_bad, n_tok,
+           ROUND(CAST(n_bad AS DOUBLE) / n_tok, 6) AS bad_frac,
+           CAST(n_bad AS DOUBLE) / n_tok <= {_C2_MAX_FRAC} AS keep,
+           redacted_len
+    FROM f
+    """,
+)
+def c2_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist token fraction + global redaction, expression-only.
+
+    Both engines run the identical RE2-compatible pattern (word-boundary
+    alternation), and the keep decision is a pure column expression —
+    whole-stage codegen end to end, no Python in the hot path.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bl = F.array(*[F.lit(w) for w in _C2_BLOCKLIST])
+    s = docs.select(
+        "doc_id",
+        "source",
+        _words().alias("ws"),
+        F.regexp_replace(F.lower(F.col("text")), _C2_RE, "[BLOCKED]").alias("red"),
+    )
+    f = s.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.col("ws"), lambda w: F.array_contains(bl, w))).alias("n_bad"),
+        F.size("ws").alias("n_tok"),
+        F.length("red").alias("redacted_len"),
+    )
+    frac = F.col("n_bad").cast("double") / F.col("n_tok")
+    return f.select(
+        "doc_id",
+        "source",
+        "n_bad",
+        "n_tok",
+        F.round(frac, 6).alias("bad_frac"),
+        (frac <= _C2_MAX_FRAC).alias("keep"),
+        "redacted_len",
+    )
+
+
+# ---------------------------------------------------------------------------
+# c3: deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+@query(
+    "c3_hash_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_pct_sql('doc_id', _SPLIT_MULT)} < 90 THEN 'train'
+                  WHEN {_pct_sql('doc_id', _SPLIT_MULT)} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM s GROUP BY split
+    """,
+)
+def c3_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 split from a multiplicative hash of the doc identity.
+
+    Pure arithmetic, so the assignment survives repartitioning, retries,
+    and engine changes — unlike ``df.randomSplit`` (partition-order
+    dependent) or engine hash builtins (murmur3 vs DuckDB's differ).
+    """
+    docs = table(spark, sf_dir, "documents")
+    pct = _pct("doc_id", _SPLIT_MULT)
+    split = (
+        F.when(pct < 90, F.lit("train")).when(pct < 95, F.lit("val")).otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c4: repetition filter (Gopher-style)
+# ---------------------------------------------------------------------------
+
+_C4_MAX_TOP_WORD = 0.20
+_C4_MAX_TOP_BIGRAM = 0.18
+
+
+@query(
+    "c4_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '{_WS_SPLIT}') AS ws
+      FROM documents WHERE len(string_split_regex(lower(text), '{_WS_SPLIT}')) >= 2),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY doc_id, w),
+    tw AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+      FROM wc GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, b, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                                         i -> array_to_string(ws[i:i+1], ' '))) AS b
+            FROM toks)
+      GROUP BY doc_id, b),
+    tb AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+      FROM bg GROUP BY doc_id)
+    SELECT tw.doc_id,
+           ROUND(top_word_frac, 6) AS top_word_frac,
+           ROUND(top_bigram_frac, 6) AS top_bigram_frac,
+           top_word_frac <= {_C4_MAX_TOP_WORD}
+             AND top_bigram_frac <= {_C4_MAX_TOP_BIGRAM} AS keep
+    FROM tw JOIN tb ON tb.doc_id = tw.doc_id
+    """,
+)
+def c4_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-word / top-bigram mass fractions (Gopher repetition rules).
+
+    explode + groupBy keeps counting distributed; each group is one
+    (doc, term) — bounded by document length. The two fraction passes
+    share the tokenized projection; no corpus-wide state.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _words().alias("ws")).where(F.size("ws") >= 2)
+
+    def top_frac(exploded: DataFrame, term: str, alias: str) -> DataFrame:
+        per = exploded.groupBy("doc_id", term).agg(F.count("*").alias("c"))
+        return per.groupBy("doc_id").agg(
+            (F.max("c").cast("double") / F.sum("c")).alias(alias)
+        )
+
+    words = toks.select("doc_id", F.explode("ws").alias("w"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, 2)),
+            )
+        ).alias("b"),
+    )
+    tw = top_frac(words, "w", "top_word_frac")
+    tb = top_frac(bigrams, "b", "top_bigram_frac")
+    keep = (F.col("top_word_frac") <= _C4_MAX_TOP_WORD) & (
+        F.col("top_bigram_frac") <= _C4_MAX_TOP_BIGRAM
+    )
+    return tw.join(tb, "doc_id").select(
+        "doc_id",
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c5: domain mixture
+# ---------------------------------------------------------------------------
+
+# target rate by source-id residue: a compact stand-in for the per-domain
+# weight table a real mix config carries (that table would be broadcast).
+_C5_RATES = (1.0, 0.5, 0.25, 0.1)
+
+
+@query(
+    "c5_domain_mixture",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(CASE (CAST(substr(source, 4) AS INT) % 4)
+               WHEN 0 THEN {_C5_RATES[0]} WHEN 1 THEN {_C5_RATES[1]}
+               WHEN 2 THEN {_C5_RATES[2]} ELSE {_C5_RATES[3]} END AS DOUBLE) AS rate,
+             {_pct_sql('doc_id', _MIX_MULT)} AS pct
+      FROM documents)
+    SELECT source, ANY_VALUE(rate) AS target_rate,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (pct < rate * 100) AS n_kept,
+           ROUND(CAST(COUNT(*) FILTER (pct < rate * 100) AS DOUBLE) / COUNT(*), 6)
+             AS achieved_rate
+    FROM s GROUP BY source
+    """,
+)
+def c5_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain downsampling to target mixture rates.
+
+    keep <=> hash-percentile(doc) < rate*100, with a hash multiplier
+    independent of c3's so mixture and split decisions don't correlate.
+    Deterministic sampling beats ``df.sample`` for a training mix: the
+    kept set is identical across retries, engines, and partitionings.
+    """
+    docs = table(spark, sf_dir, "documents")
+    src_id = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_id % 4 == 0, _C5_RATES[0])
+        .when(src_id % 4 == 1, _C5_RATES[1])
+        .when(src_id % 4 == 2, _C5_RATES[2])
+        .otherwise(_C5_RATES[3])
+    )
+    pct = _pct("doc_id", _MIX_MULT)
+    s = docs.select("source", rate.alias("rate"), pct.alias("pct"))
+    kept = F.sum(F.when(F.col("pct") < F.col("rate") * 100, 1).otherwise(0))
+    return s.groupBy("source").agg(
+        F.any_value("rate").alias("target_rate"),
+        F.count("*").alias("n_total"),
+        kept.alias("n_kept"),
+        F.round(kept.cast("double") / F.count("*"), 6).alias("achieved_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c6: sequence packing (scale-safe global cumulative sum)
+# ---------------------------------------------------------------------------
+
+_C6_BUDGET = 512
+_C6_N_PARTS = 16
+
+# same bounded-memo lifetime pattern as windows2._RANK_CACHED
+_PACK_CACHED: list[DataFrame] = []
+
+
+def _evict_pack_cache() -> None:
+    while _PACK_CACHED:
+        try:
+            _PACK_CACHED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
+memo.register_evictor(_evict_pack_cache)
+
+
+@query(
+    "c6_sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split_regex(lower(text), '{_WS_SPLIT}')) AS tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, tok,
+             COALESCE(SUM(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM tok)
+    SELECT CAST(cum_before // {_C6_BUDGET} AS BIGINT) AS context_id,
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY context_id
+    """,
+)
+def c6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: context = floor(global cum tokens / 512).
+
+    The global running sum uses the windows2 two-pass scheme — range
+    shuffle on doc_id, per-partition token totals to the driver
+    (n_parts rows), broadcast offsets, partition-local window — because
+    a bare ``Window.orderBy(doc_id)`` funnels the corpus through one
+    reducer. The oracle computes the same sum with a plain window (fine
+    for DuckDB's single-node sort); both agree because the order
+    (doc_id, unique) is total.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.size(_words()).alias("tok"))
+    _evict_pack_cache()
+    parted = (
+        tok.repartitionByRange(_C6_N_PARTS, F.col("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    _PACK_CACHED.append(parted)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in parted.groupBy("_pid").agg(F.sum("tok").alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (
+        F.coalesce(F.sum("tok").over(w), F.lit(0)) + off_map[F.col("_pid")]
+    ).alias("cum_before")
+    c = parted.select("doc_id", "tok", cum_before)
+    return (
+        c.groupBy(F.floor(F.col("cum_before") / _C6_BUDGET).alias("context_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

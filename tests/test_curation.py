@@ -1,0 +1,84 @@
+"""Curation-operator gates beyond the oracle equivalence (which
+test_oracle_sf0001.py already covers for c1-c6): the 100-TB plan
+properties and the memo lifetime.
+
+- c1's eval-gram join must be a broadcast hash join: the benchmark side
+  is tiny by nature; shuffling the corpus grams on the gram string
+  would be the scale bug.
+- c6's global cumulative sum must not funnel through a single-partition
+  exchange (the windows2 two-pass property), and its memo must drain
+  via the registered evictor.
+- the keep/drop booleans stay non-degenerate on the generated corpus —
+  a silent threshold drift after a datagen change would otherwise turn
+  a filter into a no-op that still hash-verifies.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR_TINY
+
+
+def _q(spark, name):
+    from spark_sql_perf_spark.operators import QUERIES
+
+    return QUERIES[name](spark, SF_DIR_TINY)
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_c1_eval_grams_broadcast(spark):
+    plan = _plan(_q(spark, "c1_decontaminate_4gram"), execute=True)
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus side must never be broadcast: the only broadcast exchange
+    # feeds the LeftSemi-free inner join on the gram string
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_c6_no_single_partition_funnel(spark):
+    plan = _plan(_q(spark, "c6_sequence_packing"), execute=True)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # partition-local cumsum, after the range shuffle
+
+
+def test_c6_memo_drains(spark):
+    from spark_sql_perf_spark import memo
+    from spark_sql_perf_spark.pipeline import curation
+
+    _q(spark, "c6_sequence_packing").collect()
+    assert curation._PACK_CACHED, "two-pass cumsum should memoize its input"
+    memo.evict_all()
+    assert not curation._PACK_CACHED
+
+
+def test_filters_non_degenerate(spark):
+    for name, col in (
+        ("c2_blocklist_filter", "keep"),
+        ("c4_repetition_filter", "keep"),
+    ):
+        vals = {r[col] for r in _q(spark, name).select(col).distinct().collect()}
+        assert vals == {True, False}, f"{name}.{col} degenerate: {vals}"
+
+
+def test_c3_split_deterministic_under_repartition(spark):
+    """The split must be a function of identity alone — identical counts
+    regardless of physical layout (the property df.randomSplit lacks)."""
+    a = {r["split"]: r["n_docs"] for r in _q(spark, "c3_hash_split").collect()}
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.pipeline.curation import _SPLIT_MULT, _pct
+
+    docs = table(spark, SF_DIR_TINY, "documents").repartition(13, "source")
+    pct = _pct("doc_id", _SPLIT_MULT)
+    split = (
+        F.when(pct < 90, F.lit("train")).when(pct < 95, F.lit("val")).otherwise("test")
+    )
+    b = {
+        r["split"]: r["n"]
+        for r in docs.groupBy(split.alias("split")).agg(F.count("*").alias("n")).collect()
+    }
+    assert a == b

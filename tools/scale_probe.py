@@ -109,6 +109,8 @@ def probe(spark, n: int) -> dict[str, float]:
         g.unpersist()
     t("minhash_dedup", probe_minhash_dedup(spark, n // 16))
     t("ann_lsh", probe_ann_lsh(spark, n // 16))
+    t("seq_packing", probe_seq_packing(spark, n))
+    t("decontam", probe_decontam(spark, n // 16))
     return out
 
 
@@ -204,6 +206,67 @@ def probe_ann_lsh(spark, n_vecs: int, dim: int = 16, n_queries: int = 64):
               .select(F.col("q.vec_id").alias("query_id"), dot.alias("dot")))
     return scored.groupBy("query_id").agg(
         F.max("dot").alias("best"), F.count(F.lit(1)).alias("n_cands"))
+
+
+def probe_seq_packing(spark, n_docs: int):
+    """c6's plan shape at volume: global cumulative token sum via the
+    two-pass scheme (range shuffle -> per-partition totals to the driver
+    -> broadcast offsets -> partition-local window), then chunk into
+    4096-token contexts. The cell proves the global running sum has no
+    single-reducer funnel: time must track the range shuffle, ~linear."""
+    docs = gen_table(spark, n_docs, {
+        "doc_id": lambda idc: idc,
+        "tok": lambda idc: uniform_int(idc, "tok", 50, 500),
+    })
+    parted = (docs.repartitionByRange(64, F.col("doc_id"))
+              .withColumn("_pid", F.spark_partition_id()))
+    sums = {r["_pid"]: r["s"] for r in
+            parted.groupBy("_pid").agg(F.sum("tok").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    w = (Window.partitionBy("_pid").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("tok").over(w), F.lit(0)) + off_map[F.col("_pid")]
+    return (parted.select("tok", F.floor(cum / 4096).alias("ctx"))
+            .groupBy("ctx").agg(F.count(F.lit(1)).alias("n_docs"),
+                                F.sum("tok").alias("n_tokens")))
+
+
+def probe_decontam(spark, n_docs: int, eval_docs: int = 4096):
+    """c1's plan shape at volume: corpus-side word 4-grams vs a FIXED-size
+    eval gram set (benchmarks don't grow with the corpus), broadcast hash
+    join on the gram string. Time must track the corpus gram explode;
+    the eval side stays constant."""
+    words = {
+        f"w{i}": (lambda idc, i=i: F.concat(
+            F.lit("tok"),
+            uniform_int(idc, f"cw{i}", 0, 499).cast("string")))
+        for i in range(8)
+    }
+    # 1/16 of corpus docs are verbatim copies of an eval doc (the
+    # contamination the operator exists to find); the rest share no
+    # 4-gram with eval at this vocab size
+    docs = gen_table(spark, n_docs, {
+        "doc_id": lambda idc: idc,
+        "dup_of": lambda idc: F.when(
+            (uniform_int(idc, "isdup", 0, 15) == 0) & (idc >= eval_docs),
+            idc % eval_docs).otherwise(idc),
+    })
+    text_cols = [words[f"w{i}"](F.col("dup_of")) for i in range(8)]
+    corpus = docs.select("doc_id", F.array(*text_cols).alias("ws"))
+    grams = corpus.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, 5), i ->"
+            " concat_ws(' ', slice(ws, i, 4)))")).alias("gram"))
+    ev = (grams.where(F.col("doc_id") < eval_docs)
+          .select("gram").distinct())
+    return (grams.where(F.col("doc_id") >= eval_docs)
+            .join(F.broadcast(ev), "gram")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
 
 
 def wedge_counts(g) -> dict[str, int]:
@@ -355,6 +418,16 @@ def main() -> None:
         "(spark_sql_perf.join.salting via cli --variations) exists for",
         "the regimes AQE cannot split: aggregate skew and hot slabs that",
         "exceed a single task's memory/time budget at cluster scale.",
+        "",
+        "## Curation cells (c1/c6 plan shapes)",
+        "",
+        "seq_packing runs the two-pass global cumulative sum (range",
+        "shuffle + broadcast offsets + partition-local window) at the",
+        "full row count — the cell proves the global running sum has no",
+        "single-reducer funnel. decontam explodes corpus word 4-grams",
+        "and joins them against a FIXED 4096-doc eval gram set via",
+        "broadcast — time must track the corpus explode alone, since a",
+        "benchmark suite does not grow with the training corpus.",
         "",
         "## 64M-point decomposition (the steepest cells)",
         "",

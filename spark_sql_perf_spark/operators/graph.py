@@ -338,3 +338,101 @@ def g4_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagonal (``square_count_df``) so the 3-path intermediate never
     materializes."""
     return square_count_df(edge_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# g6: PageRank in fixed-point integer arithmetic
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # rank mass carried as picos of 1.0
+_PR_ITERS = 3
+
+
+def _pr_iter_sql(k: int) -> str:
+    base = f"(({_PR_SCALE} * 3) // 20) // (SELECT n_nodes FROM cnt)"
+    return f"""
+    r{k} AS (
+      SELECT n.node,
+             CAST({base} + (17 * COALESCE(c.contrib, 0)) // 20 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT g.dst AS node, SUM(rr.r // dg.d) AS contrib
+        FROM g JOIN r{k - 1} rr ON rr.node = g.src
+               JOIN deg dg ON dg.src = g.src
+        GROUP BY g.dst) c ON c.node = n.node)"""
+
+
+_PR_ORACLE = (
+    _EDGES_SQL
+    + f""",
+    nodes AS (SELECT src AS node FROM g UNION SELECT dst AS node FROM g),
+    cnt AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM g GROUP BY src),
+    r0 AS (SELECT node,
+                  CAST({_PR_SCALE} // (SELECT n_nodes FROM cnt) AS BIGINT) AS r
+           FROM nodes),"""
+    + ",".join(_pr_iter_sql(k) for k in range(1, _PR_ITERS + 1))
+    + f"""
+    SELECT node, r AS rank_fp FROM r{_PR_ITERS}
+    """
+)
+
+
+def pagerank_df(edges: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
+    """Fixed-point PageRank (damping 0.85 as the rational 17/20).
+
+    Rank mass is carried as BIGINT picos of 1.0 and every step is integer
+    arithmetic (``div``), so the iterate is bit-identical across engines,
+    partitionings, and retries — which is what lets an ITERATIVE
+    algorithm hash-verify against an unrolled-CTE SQL oracle (same trick
+    as d6's label propagation and sim4's unrolled Lloyd steps).
+    Float PageRank could never do that: double summation is
+    order-dependent and engines add partitions in different orders.
+
+    Scale shape: the edge relation is joined with out-degrees ONCE and
+    reused every iteration; each iteration is one shuffle of the skinny
+    (node, rank) relation onto the edge partitioning plus a partial
+    aggregation of contributions by dst. Dangling-node mass decays (not
+    redistributed) — documented, deterministic, identical in the oracle.
+    At larger iteration counts, localCheckpoint the rank frame per
+    iteration (as d6 does) to keep lineage flat.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    counts = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "src")
+    r = (
+        nodes.crossJoin(F.broadcast(counts))
+        .select("node", F.expr(f"{_PR_SCALE} div n_nodes").alias("r"))
+    )
+    for _ in range(n_iters):
+        contrib = (
+            ed.join(r, F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(counts))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"(({_PR_SCALE} * 3) div 20) div n_nodes")
+                    + F.expr("(17 * coalesce(contrib, cast(0 as bigint))) div 20")
+                ).alias("r"),
+            )
+        )
+    return r.select("node", F.col("r").alias("rank_fp"))
+
+
+@query("g6_pagerank", oracle=_PR_ORACLE)
+def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star graph extension beyond the reference's pattern counts:
+    3-iteration PageRank over the shared deterministic edge table. See
+    ``pagerank_df`` for why fixed-point arithmetic is what makes an
+    iterative algorithm oracle-exact."""
+    return pagerank_df(edge_table(spark, sf_dir))

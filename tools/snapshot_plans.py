@@ -30,6 +30,8 @@ def main() -> None:
         "asof1_last_click_before_purchase",
         "mj1_stats_planned_join",
         "g4_square_count",
+        "c1_decontaminate_4gram",
+        "c6_sequence_packing",
     ]
     for name in HEADLINE + extra:
         df = QUERIES[name](spark, sf_dir)

@@ -35,7 +35,7 @@ All six are SQL-expressible and hash-verify against DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import memo
@@ -55,11 +55,11 @@ _SPLIT_MULT = 2654435761  # 2^32 / phi
 _MIX_MULT = 2246822519    # xxhash PRIME32_2
 
 
-def _words(col: str = "text") -> F.Column:
+def _words(col: str = "text") -> Column:
     return F.split(F.lower(F.col(col)), _WS_SPLIT)
 
 
-def _pct(doc_id: str, mult: int) -> F.Column:
+def _pct(doc_id: str, mult: int) -> Column:
     """Deterministic 0-99 bucket from a bigint identity (pure arithmetic)."""
     return ((F.col(doc_id) * F.lit(mult)) % F.lit(2**32)) % F.lit(100)
 
@@ -411,6 +411,49 @@ def _evict_pack_cache() -> None:
 memo.register_evictor(_evict_pack_cache)
 
 
+def global_cum_before(
+    df: DataFrame, order_col: str, val_col: str, n_parts: int
+) -> DataFrame:
+    """Scale-safe GLOBAL exclusive running sum of ``val_col`` in
+    ``order_col`` order: returns ``df`` plus a ``cum_before`` column.
+
+    The windows2 two-pass scheme: range shuffle on the order column,
+    per-partition totals to the driver (n_parts rows), broadcast
+    offsets, partition-local window. The range-partitioned frame MUST
+    be cached before the offsets job — ``repartitionByRange`` samples
+    its boundaries with a nondeterministic seed, so an uncached plan
+    re-executed for the window pass can land rows in different
+    partitions than the ones the offsets were computed for.
+
+    The cached frame is registered in the module memo (drained by
+    ``ExperimentRunner`` teardown via ``memo.evict_all``).
+    """
+    _evict_pack_cache()
+    parted = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    _PACK_CACHED.append(parted)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in parted.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(val_col).over(w), F.lit(0)) + off_map[F.col("_pid")]
+    return parted.withColumn("cum_before", cum_before).drop("_pid")
+
+
 @query(
     "c6_sequence_packing",
     oracle=f"""
@@ -441,32 +484,7 @@ def c6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.size(_words()).alias("tok"))
-    _evict_pack_cache()
-    parted = (
-        tok.repartitionByRange(_C6_N_PARTS, F.col("doc_id"))
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
-    )
-    _PACK_CACHED.append(parted)
-    sums = {
-        r["_pid"]: r["s"]
-        for r in parted.groupBy("_pid").agg(F.sum("tok").alias("s")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
-    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = (
-        F.coalesce(F.sum("tok").over(w), F.lit(0)) + off_map[F.col("_pid")]
-    ).alias("cum_before")
-    c = parted.select("doc_id", "tok", cum_before)
+    c = global_cum_before(tok, "doc_id", "tok", _C6_N_PARTS)
     return (
         c.groupBy(F.floor(F.col("cum_before") / _C6_BUDGET).alias("context_id"))
         .agg(

@@ -214,23 +214,14 @@ def probe_seq_packing(spark, n_docs: int):
     -> broadcast offsets -> partition-local window), then chunk into
     4096-token contexts. The cell proves the global running sum has no
     single-reducer funnel: time must track the range shuffle, ~linear."""
+    from spark_sql_perf_spark.pipeline.curation import global_cum_before
+
     docs = gen_table(spark, n_docs, {
         "doc_id": lambda idc: idc,
         "tok": lambda idc: uniform_int(idc, "tok", 50, 500),
     })
-    parted = (docs.repartitionByRange(64, F.col("doc_id"))
-              .withColumn("_pid", F.spark_partition_id()))
-    sums = {r["_pid"]: r["s"] for r in
-            parted.groupBy("_pid").agg(F.sum("tok").alias("s")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
-    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
-    w = (Window.partitionBy("_pid").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    cum = F.coalesce(F.sum("tok").over(w), F.lit(0)) + off_map[F.col("_pid")]
-    return (parted.select("tok", F.floor(cum / 4096).alias("ctx"))
+    c = global_cum_before(docs, "doc_id", "tok", 64)
+    return (c.select("tok", F.floor(F.col("cum_before") / 4096).alias("ctx"))
             .groupBy("ctx").agg(F.count(F.lit(1)).alias("n_docs"),
                                 F.sum("tok").alias("n_tokens")))
 
@@ -240,12 +231,6 @@ def probe_decontam(spark, n_docs: int, eval_docs: int = 4096):
     eval gram set (benchmarks don't grow with the corpus), broadcast hash
     join on the gram string. Time must track the corpus gram explode;
     the eval side stays constant."""
-    words = {
-        f"w{i}": (lambda idc, i=i: F.concat(
-            F.lit("tok"),
-            uniform_int(idc, f"cw{i}", 0, 499).cast("string")))
-        for i in range(8)
-    }
     # 1/16 of corpus docs are verbatim copies of an eval doc (the
     # contamination the operator exists to find); the rest share no
     # 4-gram with eval at this vocab size
@@ -255,7 +240,11 @@ def probe_decontam(spark, n_docs: int, eval_docs: int = 4096):
             (uniform_int(idc, "isdup", 0, 15) == 0) & (idc >= eval_docs),
             idc % eval_docs).otherwise(idc),
     })
-    text_cols = [words[f"w{i}"](F.col("dup_of")) for i in range(8)]
+    text_cols = [
+        F.concat(F.lit("tok"),
+                 uniform_int(F.col("dup_of"), f"cw{i}", 0, 499).cast("string"))
+        for i in range(8)
+    ]
     corpus = docs.select("doc_id", F.array(*text_cols).alias("ws"))
     grams = corpus.select(
         "doc_id",

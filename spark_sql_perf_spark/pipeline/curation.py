@@ -29,8 +29,12 @@ c6  sequence packing: concat-and-chunk documents into fixed token-budget
     two-pass scheme as operators/windows2._with_global_rank: one range
     shuffle, one n_parts-row offsets job, one partition-local window.
     A bare ``Window.orderBy`` (single reducer) would be fatal at 100 TB.
+c7  fuzzy decontamination: near-duplicate (not just verbatim) eval
+    leakage, via d2's verified MinHash/LSH pair relation restricted to
+    (train, eval) pairs — inherits d2's banded-bucket bound on pairwise
+    work.
 
-All six are SQL-expressible and hash-verify against DuckDB oracles.
+All seven are SQL-expressible and hash-verify against DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -494,3 +498,56 @@ def c6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c7: fuzzy decontamination (near-dup vs the eval slice)
+# ---------------------------------------------------------------------------
+
+def _c7_oracle() -> str:
+    from .dedup import _D2_PAIR_CTES
+
+    return f"""
+    WITH {_D2_PAIR_CTES},
+    cross_pairs AS (
+      SELECT CASE WHEN id_a % {_C1_EVAL_MOD} = 0 THEN id_b ELSE id_a END AS doc_id,
+             jaccard
+      FROM pairs
+      WHERE (id_a % {_C1_EVAL_MOD} = 0) <> (id_b % {_C1_EVAL_MOD} = 0))
+    SELECT doc_id, MAX(jaccard) AS max_eval_jaccard,
+           COUNT(*) AS n_eval_matches
+    FROM cross_pairs GROUP BY doc_id
+    """
+
+
+def c7_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: training docs that are NEAR-duplicates of
+    an eval doc (c1 catches verbatim 4-gram overlap; paraphrased or
+    lightly-edited benchmark leakage needs similarity, not equality).
+
+    Reuses d2's verified MinHash/LSH pair relation — same banded-bucket
+    candidate generation, so the eval comparison inherits d2's 100 TB
+    property: pairwise work only inside band buckets, never
+    |train| x |eval|. Pairs with exactly one endpoint in the eval slice
+    are folded to (train doc, max jaccard vs eval, match count).
+    """
+    from .dedup import d2_dedup_minhash_lsh
+
+    pairs = d2_dedup_minhash_lsh(spark, sf_dir)
+    a_eval = F.col("id_a") % _C1_EVAL_MOD == 0
+    b_eval = F.col("id_b") % _C1_EVAL_MOD == 0
+    return (
+        pairs.where(a_eval != b_eval)
+        .select(
+            F.when(a_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("doc_id"),
+            "jaccard",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("jaccard").alias("max_eval_jaccard"),
+            F.count("*").alias("n_eval_matches"),
+        )
+    )
+
+
+query("c7_fuzzy_decontaminate", oracle=_c7_oracle())(c7_fuzzy_decontaminate)

@@ -71,3 +71,50 @@ def batch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return _attribution_join(_views(ev), _purchases(ev))
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+def _enrich(ev: DataFrame, cust: DataFrame) -> DataFrame:
+    """Shared projection for the streaming query and its batch twin:
+    left join so enrichment never drops an event (an unmatched user
+    arrives with NULL attributes, to be backfilled downstream)."""
+    return ev.join(
+        F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "left"
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        "value",
+    )
+
+
+def streaming_enrichment(
+    spark: SparkSession, sf_dir: str, stream_dir: str
+) -> DataFrame:
+    """Stream-static join: live events enriched with the customer
+    dimension — the canonical enrich-on-ingest shape.
+
+    Stateless (no watermark needed): Spark re-plans the static side per
+    micro-batch, so at cluster scale the dimension must be broadcast —
+    a shuffled join would re-shuffle every micro-batch of the stream.
+    The broadcast hint pins exactly that. A slowly-changing dimension
+    swaps in by re-reading the static table per batch (foreachBatch);
+    the join shape is unchanged.
+    """
+    from ..catalog import table
+
+    ev = stream_events(spark, sf_dir, stream_dir)
+    return _enrich(ev, table(spark, sf_dir, "customer"))
+
+
+def batch_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    return _enrich(ev, table(spark, sf_dir, "customer"))

@@ -253,6 +253,43 @@ def tpcds14_performance(spark: SparkSession, scale: float = 0.01) -> list[Query]
     return tpcds14_queries()
 
 
+
+def pipeline_performance(
+    spark: SparkSession, sf_dir: str | None = None
+) -> list[Query]:
+    """The LLM-data pipeline family (dedup / curation / text / ANN) as a
+    runner suite over the testdata documents+embeddings tables, so the
+    harness surface (variations, phase timing, modes, breakdown) applies
+    to the north-star operators exactly as to the TPC corpora.
+
+    ``sf_dir`` defaults to $SPARK_GRAFT_SF_DIR, falling back to sf0.01.
+    Cheap queries lead so budgeted samples stay fast.
+    """
+    import os
+
+    from .operators import QUERIES
+
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    names = [
+        "c3_hash_split",
+        "t3_token_count",
+        "c2_blocklist_filter",
+        "c5_domain_mixture",
+        "q6_quality_filter",
+        "c4_repetition_filter",
+        "c6_sequence_packing",
+        "d1_dedup_exact",
+        "d3_dedup_simhash",
+        "c1_decontaminate_4gram",
+        "d2_dedup_minhash_lsh",
+        "c7_fuzzy_decontaminate",
+        "d6_dedup_components",
+        "sim2_lsh_bucketed_ann",
+        "sim3_ivf_ann",
+    ]
+    return [Query(name=n, build=lambda s, n=n: QUERIES[n](s, sf)) for n in names]
+
+
 SUITES = {
     "joinperf": join_performance,
     "aggperf": aggregation_performance,
@@ -260,6 +297,7 @@ SUITES = {
     "multijoin": multijoin_performance,
     "tpcds": tpcds_performance,
     "tpcds14": tpcds14_performance,
+    "pipeline": pipeline_performance,
     # the Impala-kit dashboard suites (ImpalaKitQueries.scala:1465-1469)
     "impala": _impala(None),
     "interactive": _impala("interactive"),

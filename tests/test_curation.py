@@ -83,3 +83,23 @@ def test_c3_split_deterministic_under_repartition(spark):
     }
     assert a == b
 
+
+
+def test_c6_contexts_contiguous_and_mass_conserving(spark):
+    """Concat-and-chunk invariants: context ids are contiguous from 0 and
+    token mass is conserved — exactly what the uncached-repartition bug
+    in the two-pass cumsum would have broken (offsets from a different
+    partitioning leave gaps / NULL contexts)."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.catalog import table
+
+    rows = _q(spark, "c6_sequence_packing").collect()
+    ids = sorted(r["context_id"] for r in rows)
+    assert ids[0] == 0 and ids == list(range(len(ids))), "context ids not contiguous"
+    total = sum(r["n_tokens"] for r in rows)
+    docs = table(spark, SF_DIR_TINY, "documents")
+    want = docs.select(
+        F.sum(F.size(F.split(F.lower("text"), r"\s+"))).alias("t")
+    ).collect()[0]["t"]
+    assert total == want, "token mass not conserved across contexts"

@@ -173,3 +173,33 @@ def test_watermark_drops_late_data(spark):
     assert got["12:00"] == (1, 1.0), got
     # windows still above the final watermark are unemitted in append mode
     assert "20:00" not in got
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static enrichment (stateless broadcast join per
+    micro-batch): an AvailableNow drain equals the batch twin, keeps
+    every event (left join), and the static side broadcasts."""
+    from spark_sql_perf_spark.streaming.dedup import run_stream_append
+    from spark_sql_perf_spark.streaming.joins import (
+        batch_enrichment,
+        streaming_enrichment,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="events-enrich-")
+    os.symlink(
+        f"{SF_DIR_TINY}/events.parquet", os.path.join(stream_dir, "part-0.parquet")
+    )
+    out = streaming_enrichment(spark, SF_DIR_TINY, stream_dir)
+    assert out.isStreaming
+    run_stream_append(out, "stream_enrich_out")
+
+    got = spark.table("stream_enrich_out")
+    want = batch_enrichment(spark, SF_DIR_TINY)
+    n_events = spark.read.parquet(f"{SF_DIR_TINY}/events.parquet").count()
+    assert want.count() == n_events  # left join drops nothing
+    assert got.count() == n_events
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert "BroadcastHashJoin" in (
+        want._jdf.queryExecution().executedPlan().toString()
+    )

@@ -31,7 +31,7 @@ def test_factfact_salting_variation(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "suite", ["joinperf", "aggperf", "multijoin", "interactive", "tpcds14"]
+    "suite", ["joinperf", "aggperf", "multijoin", "interactive", "tpcds14", "pipeline"]
 )
 def test_suite_runs(spark, suite, tmp_path):
     from spark_sql_perf_spark.runner import ExperimentRunner

@@ -111,6 +111,14 @@ def probe(spark, n: int) -> dict[str, float]:
     t("ann_lsh", probe_ann_lsh(spark, n // 16))
     t("seq_packing", probe_seq_packing(spark, n))
     t("decontam", probe_decontam(spark, n // 16))
+    # g6's iterative shape: 3 fixed-point PageRank iterations over the
+    # uniform graph — per-iteration cost is one shuffle of the skinny
+    # rank relation, so the cell must track the edge count ~linearly
+    from spark_sql_perf_spark.operators.graph import pagerank_df
+    g = gen_hub_edges(spark, n // 8, skew=False).persist()
+    g.count()
+    t("pagerank_3it", pagerank_df(g))
+    g.unpersist()
     return out
 
 
@@ -417,6 +425,10 @@ def main() -> None:
         "and joins them against a FIXED 4096-doc eval gram set via",
         "broadcast — time must track the corpus explode alone, since a",
         "benchmark suite does not grow with the training corpus.",
+        "pagerank_3it runs g6's 3 fixed-point iterations over the",
+        "uniform n/8-edge graph: each iteration shuffles only the",
+        "skinny (node, rank) relation, so the cell must stay ~linear",
+        "in the edge count.",
         "",
         "## 64M-point decomposition (the steepest cells)",
         "",

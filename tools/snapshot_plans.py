@@ -32,6 +32,8 @@ def main() -> None:
         "g4_square_count",
         "c1_decontaminate_4gram",
         "c6_sequence_packing",
+        "g6_pagerank",
+        "d6_dedup_components",
     ]
     for name in HEADLINE + extra:
         df = QUERIES[name](spark, sf_dir)

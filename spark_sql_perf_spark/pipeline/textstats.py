@@ -154,3 +154,70 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("canon_md5"),
         md5_hash32(canon, "fp").alias("fp32"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t6: unigram LM quality score (CCNet-style LM filtering proxy)
+# ---------------------------------------------------------------------------
+
+_T6_MIN_AVG_LP = -3.405  # ~bottom quintile on the generated corpus
+
+
+@query(
+    "t6_unigram_logprob",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents),
+    freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM freq),
+    scored AS (
+      SELECT wo.doc_id,
+             CAST(ROUND(LN(f.c * 1.0 / (SELECT t FROM tot)), 9)
+                  AS DECIMAL(18,9)) AS lp
+      FROM words wo JOIN freq f ON f.w = wo.w),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_tok, ROUND(avg_lp, 6) AS avg_logprob,
+           avg_lp >= {_T6_MIN_AVG_LP} AS keep
+    FROM per
+    """,
+)
+def t6_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability — the proxy for the
+    LM-perplexity quality filter (CCNet-style) a real pipeline runs.
+
+    The unigram model is a global word-frequency aggregate — vocab-sized,
+    so it broadcasts; scoring is then one pass over the exploded (doc,
+    word) relation with a broadcast hash join, no pairwise work. Here the
+    corpus scores itself; at 100 TB the frequency table comes from a
+    reference corpus and is still just a broadcast joined lookup.
+
+    Exactness across engines: LN on identical doubles is bit-identical
+    (the t5 precedent), each term is rounded to 9 decimals and summed in
+    DECIMAL(18,9) — order-independent — and only the final per-doc
+    division returns to double.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    lp = F.round(F.log(F.col("c") * 1.0 / F.col("t")), 9).cast("decimal(18,9)")
+    scored = (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    avg_lp = F.sum("lp").cast("double") / F.count("*")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(avg_lp, 6).alias("avg_logprob"),
+            (avg_lp >= _T6_MIN_AVG_LP).alias("keep"),
+        )
+    )

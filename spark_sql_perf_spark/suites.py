@@ -273,6 +273,7 @@ def pipeline_performance(
     names = [
         "c3_hash_split",
         "t3_token_count",
+        "t6_unigram_logprob",
         "c2_blocklist_filter",
         "c5_domain_mixture",
         "q6_quality_filter",

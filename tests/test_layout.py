@@ -94,6 +94,82 @@ def test_partitioned_fact_write_prunes_partitions(spark, tmp_path):
     assert 0 < n_pruned < n_all
 
 
+def test_l3_scan_prunes_event_type_partitions(spark):
+    """l3's scan must carry the event_type predicate as a PartitionFilter
+    (directory pruning), not a data filter — at 100 TB the two selected
+    event-type directories are read, nothing else is even listed."""
+    from spark_sql_perf_spark.operators.layout_query import l3_partition_pruned_scan
+
+    df = l3_partition_pruned_scan(spark, SF_DIR_TINY)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    filters = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0].strip()
+    assert "event_type" in filters and "IN (click,purchase)" in filters, plan
+    # the partition column exists only in directory names, never in data
+    assert "PushedFilters: []" in scan, scan
+
+
+def _overlapping_files(path: str, boxes: dict[str, tuple[int, int]]) -> tuple[int, int]:
+    """(files whose footer min/max intersects every box, total files)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    files = sorted(g.glob(f"{path}/*.parquet"))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        overlap = True
+        for col, (lo, hi) in boxes.items():
+            idx = names.index(col)
+            cmin = min(md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups))
+            cmax = max(md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups))
+            if cmax < lo or cmin > hi:
+                overlap = False
+                break
+        if overlap:
+            hit += 1
+    return hit, len(files)
+
+
+def test_l4_zorder_skips_more_files_than_linear_sort(spark, tmp_path):
+    """The point of Z-ordering: on a 2-D range box, footer min/max stats
+    over the Z-ordered layout eliminate most files, while a 1-D
+    l_orderkey sort (keys uncorrelated with the box) eliminates none.
+    Row decoding then touches only the surviving fraction — the data-skip
+    lever that scales with cluster size for free."""
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.operators.layout_query import zorder_lineitem_dir
+
+    zdir = zorder_lineitem_dir(spark, SF_DIR_TINY)
+    ldir = str(tmp_path / "lineitem_linear")
+    (
+        table(spark, SF_DIR_TINY, "lineitem")
+        .repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+    # sf0.001 ranges: l_partkey 0..199, l_suppkey 0..9 — a ~20%×~30% box
+    boxes = {"l_partkey": (50, 90), "l_suppkey": (2, 4)}
+    z_hit, z_total = _overlapping_files(zdir, boxes)
+    l_hit, l_total = _overlapping_files(ldir, boxes)
+    assert z_total == l_total == 16
+    assert l_hit == 16, "l_orderkey sort should leave every file overlapping"
+    assert z_hit < l_hit // 2, f"z-order skipped too little: {z_hit}/{z_total}"
+    # identical result set from both layouts
+    from pyspark.sql import functions as SF
+    pred = (
+        SF.col("l_partkey").between(*boxes["l_partkey"])
+        & SF.col("l_suppkey").between(*boxes["l_suppkey"])
+    )
+    assert (
+        spark.read.parquet(zdir).filter(pred).count()
+        == spark.read.parquet(ldir).filter(pred).count()
+    )
+
+
 def test_partitioned_write_not_null_partition_column(spark, tmp_path):
     """NOT-NULL filtering on the partition key (Tables.scala:168-170):
     no __HIVE_DEFAULT_PARTITION__ directory appears."""

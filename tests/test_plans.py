@@ -107,3 +107,61 @@ def test_split_with_clauses_parses_whole_corpus():
         assert re.match(r"\s*\(?\s*select\s", body, re.I), (name, body[:80])
         for shared in TPCDS14_SHARED_CTES.get(name, ()):
             assert shared in {n for n, _ in ctes}, (name, shared)
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime filtering (Spark's bloom-filter join, the stock-Spark
+    answer to semi-join reduction): a selective dim-side predicate is
+    turned into a bloom filter applied to the fact side BEFORE the join
+    shuffle, so at cluster scale the shuffle carries only probable
+    matches. Thresholds are lowered because local test data is tiny; at
+    real scale the defaults (10MB creation side / 10GB application side)
+    fire on their own."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.catalog import table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_DIR_TINY, "lineitem")
+        orders = table(spark, SF_DIR_TINY, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = _plan(df)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # semantics unchanged vs the unfiltered plan
+        n = df.count()
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+        li2 = table(spark, SF_DIR_TINY, "lineitem")
+        o2 = table(spark, SF_DIR_TINY, "orders").filter(F.col("o_totalprice") > 400000)
+        assert (
+            li2.join(o2, li2.l_orderkey == o2.o_orderkey).groupBy("l_returnflag").count().count()
+            == n
+        )
+    finally:
+        for k, v in saved.items():
+            try:
+                if v is not None:
+                    spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)
+            except Exception:
+                pass

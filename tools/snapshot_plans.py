@@ -34,6 +34,8 @@ def main() -> None:
         "c6_sequence_packing",
         "g6_pagerank",
         "d6_dedup_components",
+        "l3_partition_pruned_scan",
+        "l4_zorder_range_scan",
     ]
     for name in HEADLINE + extra:
         df = QUERIES[name](spark, sf_dir)

@@ -1,0 +1,126 @@
+"""Exactly-once-effective streaming upsert sink over plain parquet.
+
+The reference's harness only appends results (results sink,
+Benchmark.scala resultsLocation); a continuously-ingesting training-data
+pipeline also needs MERGE/upsert — late corrections, re-crawled
+documents, profile updates. Without a table format (no Delta/Iceberg in
+this container) the scalable parquet-only construction is:
+
+- target partitioned by a hash bucket of the merge key, so
+- a micro-batch only touches the buckets its keys fall in, and
+- ``partitionOverwriteMode=dynamic`` rewrites exactly those buckets
+  atomically (merge existing bucket rows with the batch, last version
+  per key wins).
+
+Cost per batch is O(touched buckets), not O(target): at 100 TB the
+bucket count is sized so a bucket ~ a few GB, and a batch touching k
+distinct buckets rewrites k·(bucket size) — the same asymptotics as a
+copy-on-write MERGE in Delta/Iceberg (Delta's OPTIMIZE/partition
+rewrite does exactly this underneath).
+
+Replaying a batch (Structured Streaming's failure mode: foreachBatch
+re-delivers the last uncommitted batch id) recomputes byte-identical
+bucket contents — the merge is deterministic in (existing rows, batch
+rows) — so at-least-once delivery becomes exactly-once table state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .windows import stream_events
+
+_BUCKET = "_bucket"
+
+
+def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+
+
+def upsert_parquet_batch(
+    batch_df: DataFrame,
+    target_dir: str,
+    key: str,
+    version_col: str,
+    n_buckets: int = 16,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> None:
+    """MERGE ``batch_df`` into the bucket-partitioned parquet target:
+    per key, the row with the highest ``version_col`` wins (ties break
+    toward the incoming batch, then by ``tiebreak_cols`` descending —
+    pass a unique column there so equal-version replays stay
+    deterministic). Only buckets containing batch keys are read or
+    rewritten."""
+    spark = batch_df.sparkSession
+    batch = _with_bucket(batch_df, key, n_buckets).withColumn(
+        "_is_new", F.lit(1)
+    )
+    if os.path.isdir(target_dir) and any(
+        e.startswith(f"{_BUCKET}=") for e in os.listdir(target_dir)
+    ):
+        touched = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
+        existing = (
+            spark.read.parquet(target_dir)
+            .where(F.col(_BUCKET).isin(touched))
+            .withColumn("_is_new", F.lit(0))
+        )
+        merged = existing.unionByName(batch)
+    else:
+        merged = batch
+    w = Window.partitionBy(key).orderBy(
+        F.col(version_col).desc(),
+        F.col("_is_new").desc(),
+        *[F.col(c).desc() for c in tiebreak_cols],
+    )
+    winners = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_is_new")
+    )
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            winners.repartition(max(1, min(n_buckets, 8)), _BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(target_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+
+def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Current table state (bucket column dropped)."""
+    return spark.read.parquet(target_dir).drop(_BUCKET)
+
+
+def streaming_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str,
+    target_dir: str,
+    n_buckets: int = 16,
+) -> None:
+    """Drain the events stream into the upsert target keyed by user_id:
+    the table converges to each user's latest event by event time, no
+    matter how batches are sliced or replayed."""
+    ev = stream_events(spark, sf_dir, stream_dir)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_parquet_batch(
+            batch_df, target_dir, key="user_id", version_col="ts",
+            n_buckets=n_buckets, tiebreak_cols=("event_id",),
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{target_dir}_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)

@@ -203,3 +203,75 @@ def test_stream_static_enrichment_matches_batch(spark):
     assert "BroadcastHashJoin" in (
         want._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_streaming_upsert_sink_converges_and_is_idempotent(spark):
+    """foreachBatch upsert into a bucket-partitioned parquet target:
+    (1) the table converges to the latest event per user, (2) replaying
+    a batch changes nothing (exactly-once-effective), (3) an incremental
+    batch rewrites only the buckets it touches."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.streaming.sink import (
+        read_upsert_target,
+        streaming_upsert,
+        upsert_parquet_batch,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="events-upsert-")
+    target_dir = os.path.join(tempfile.mkdtemp(prefix="upsert-target-"), "t")
+    shutil.copyfile(
+        f"{SF_DIR_TINY}/events.parquet", os.path.join(stream_dir, "part-0.parquet")
+    )
+    streaming_upsert(spark, SF_DIR_TINY, stream_dir, target_dir, n_buckets=8)
+
+    ev = table(spark, SF_DIR_TINY, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id")
+    )
+    got = read_upsert_target(spark, target_dir).select("user_id", "event_id")
+    assert got.count() == expected.count() == ev.select("user_id").distinct().count()
+    assert got.subtract(expected).count() == 0
+
+    # replay the whole batch: idempotent table state
+    upsert_parquet_batch(
+        ev, target_dir, key="user_id", version_col="ts",
+        n_buckets=8, tiebreak_cols=("event_id",),
+    )
+    assert read_upsert_target(spark, target_dir).select("user_id", "event_id") \
+        .subtract(expected).count() == 0
+
+    # incremental batch for ONE user, newer than everything: only that
+    # user's bucket is rewritten, other bucket files stay untouched
+    before = {f: os.path.getsize(f) for f in glob.glob(f"{target_dir}/*/*.parquet")}
+    one = ev.orderBy("user_id").limit(1).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 365 DAYS")
+    ).withColumn("value", F.lit(999.0))
+    upsert_parquet_batch(
+        one, target_dir, key="user_id", version_col="ts",
+        n_buckets=8, tiebreak_cols=("event_id",),
+    )
+    uid = one.collect()[0]["user_id"]
+    got2 = read_upsert_target(spark, target_dir)
+    assert got2.where(F.col("user_id") == uid).collect()[0]["value"] == 999.0
+    assert got2.count() == expected.count()
+    bucket = spark.createDataFrame([(uid,)], "user_id long").select(
+        F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    untouched = [
+        f for f in before
+        if os.path.exists(f) and f"_bucket={bucket}" not in f
+    ]
+    assert untouched, "expected at least one untouched bucket file to remain"
+    for f in untouched:
+        assert os.path.getsize(f) == before[f]

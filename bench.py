@@ -12,6 +12,15 @@ codegen compilation; the min is the steady-state number a repeated
 workload sees, and min-of-5 cuts the ±15% run-to-run scheduler noise a
 min-of-3 still carries on this box). Consumption is the noop sink — full execution, no
 driver-side transfer (the ExecutionMode.ForeachResults analog).
+
+Cross-round comparability caveat (root cause of the r3 `w2_running_total`
+"regression"): absolute numbers swing ±30% between rounds with ZERO code
+changes — r4 runs on an otherwise-idle box measured flagship_star_agg at
+1.24-1.25 s vs r3's 0.877 s and q1 at 1.64-1.72 s vs 1.253 s, with the
+same plans and git-identical query code. The box (VM) is simply slower
+some rounds. Per-query regressions are only meaningful relative to the
+same round's other queries; w2's r3 uptick (+24%) matched the box-wide
+drift, not a plan change.
 """
 
 from __future__ import annotations

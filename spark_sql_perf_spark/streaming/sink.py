@@ -94,6 +94,20 @@ def upsert_parquet_batch(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
 
+def initialize_upsert_target(
+    df: DataFrame, target_dir: str, key: str, n_buckets: int = 16
+) -> None:
+    """Bulk-load the initial table state in the bucketed layout the
+    incremental upserts expect (one shuffle, one file per bucket)."""
+    (
+        _with_bucket(df, key, n_buckets)
+        .repartition(n_buckets, _BUCKET)
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET)
+        .parquet(target_dir)
+    )
+
+
 def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame:
     """Current table state (bucket column dropped)."""
     return spark.read.parquet(target_dir).drop(_BUCKET)

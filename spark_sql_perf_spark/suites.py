@@ -32,6 +32,11 @@ from .sources.datagen import (
 #       --variations spark_sql_perf.join.salting=off|on
 SALTING_CONF = "spark_sql_perf.join.salting"
 
+# conf key for the scan-layout suite's layout variation axis:
+#   python -m spark_sql_perf_spark.cli -b suite:layout \
+#       --variations spark_sql_perf.scan.layout=plain|zorder|partitioned
+LAYOUT_CONF = "spark_sql_perf.scan.layout"
+
 
 def join_performance(
     spark: SparkSession,
@@ -228,6 +233,81 @@ def factfact_performance(
     return [Query(name="factfact_skew_join", build=build, mode=HASH)]
 
 
+_LAYOUT_MEMO: dict[int, str] = {}
+
+
+def _layout_root(spark: SparkSession, rows: int) -> str:
+    """Write the three layouts of the same generated fact once per
+    (rows, process): plain (insertion order), Z-ordered on (k1,k2),
+    hash-bucket directory-partitioned on k1's bucket."""
+    if rows in _LAYOUT_MEMO:
+        return _LAYOUT_MEMO[rows]
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.layout_query import morton_code
+
+    root = tempfile.mkdtemp(prefix="spark_sql_perf_layouts_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    fact = gen_table(spark, rows, {
+        "k1": lambda idc: uniform_int(idc, "ly1", 0, 1023),
+        "k2": lambda idc: uniform_int(idc, "ly2", 0, 1023),
+        "v": lambda idc: (uniform_int(idc, "lyv", 0, 1_000_000) / 100.0),
+        "pay": lambda idc: F.repeat(
+            F.conv(uniform_int(idc, "lyp", 0, (1 << 62)).cast("string"), 10, 16), 4
+        ),
+    })
+    fact.repartition(32).write.mode("overwrite").parquet(f"{root}/plain")
+    z = morton_code(F.col("k1"), F.col("k2"))
+    (fact.withColumn("_z", z).repartitionByRange(32, "_z")
+        .sortWithinPartitions("_z").drop("_z")
+        .write.mode("overwrite").parquet(f"{root}/zorder"))
+    # range-partition k1 into 16 directories of 64 values each: a k1
+    # range predicate maps to a directory range (modulo would not prune)
+    (fact.withColumn("_b", F.floor(F.col("k1") / 64)).repartition(16, "_b")
+        .write.mode("overwrite").partitionBy("_b").parquet(f"{root}/partitioned"))
+    _LAYOUT_MEMO[rows] = root
+    return root
+
+
+def layout_performance(spark: SparkSession, rows: int = 2_000_000) -> list[Query]:
+    """Scan-layout suite: ONE 2-D box aggregate over three on-disk
+    layouts of the same rows — the l3/l4 layout operators as a harness
+    suite. The ``LAYOUT_CONF`` variation axis picks the layout at build
+    time (plain | zorder | partitioned), so a variation sweep times the
+    identical logical query against each physical layout, and HASH mode's
+    content checksum proves layout never changes the answer:
+
+    - ``plain``: insertion-order files — every row group decoded;
+    - ``zorder``: Morton-clustered on (k1,k2) — row groups outside the
+      box are skipped on footer min/max for BOTH keys;
+    - ``partitioned``: Hive directories on k1's bucket — the k1
+      predicate prunes directories before listing (PartitionFilters),
+      the k2 predicate then skips row groups within survivors.
+    """
+    from .modes import HASH
+
+    def build(s: SparkSession) -> DataFrame:
+        root = _layout_root(s, rows)
+        layout = s.conf.get(LAYOUT_CONF, "plain")
+        df = s.read.parquet(f"{root}/{layout}")
+        if layout == "partitioned":
+            # implied by k1 <= 101 (directories hold 64 k1-values each);
+            # stated explicitly so the scan prunes directories pre-listing
+            df = df.where(F.col("_b") <= 101 // 64).drop("_b")
+        return (
+            df.where(F.col("k1").between(0, 101) & F.col("k2").between(0, 101))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("pay")).alias("pay_bytes"),
+                F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"),
+            )
+        )
+
+    return [Query(name="layout_box_scan", build=build, mode=HASH)]
+
+
 def tpcds_performance(spark: SparkSession, scale: float = 0.01) -> list[Query]:
     from .operators.tpcds_suite import register_tpcds, tpcds_queries
 
@@ -295,6 +375,7 @@ SUITES = {
     "joinperf": join_performance,
     "aggperf": aggregation_performance,
     "factfact": factfact_performance,
+    "layout": layout_performance,
     "multijoin": multijoin_performance,
     "tpcds": tpcds_performance,
     "tpcds14": tpcds14_performance,

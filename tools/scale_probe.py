@@ -82,9 +82,15 @@ def probe(spark, n: int) -> dict[str, float]:
     out = {}
 
     def t(name, df):
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 2)
+        # min-of-2: a single shot at 64M rows can catch a GC/disk hiccup
+        # and misreport a cell by 2-3x (observed on window_running);
+        # min is the same steady-state estimator bench.py uses
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
 
     t("star_join_agg",
       fact.join(F.broadcast(dim), "dim_k").groupBy("grp")
@@ -119,6 +125,8 @@ def probe(spark, n: int) -> dict[str, float]:
     g.count()
     t("pagerank_3it", pagerank_df(g))
     g.unpersist()
+    out.update(probe_zorder_scan(spark, n))
+    out.update(probe_upsert(spark, n))
     return out
 
 
@@ -266,6 +274,123 @@ def probe_decontam(spark, n_docs: int, eval_docs: int = 4096):
             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
 
 
+def _rowgroups_overlapping(path: str, boxes: dict) -> tuple[int, int]:
+    """(row groups whose min/max stats intersect every box, total)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for r in range(md.num_row_groups):
+            total += 1
+            ok = True
+            for col, (lo, hi) in boxes.items():
+                st = md.row_group(r).column(names.index(col)).statistics
+                if st.max < lo or st.min > hi:
+                    ok = False
+                    break
+            hit += ok
+    return hit, total
+
+
+def probe_zorder_scan(spark, n: int) -> dict[str, float]:
+    """l4's layout at volume: the same rows written (a) Z-ordered on
+    (k1, k2), (b) sorted on an uncorrelated key, then a 2-D box scan
+    (~1% of rows) with pushed range predicates. Parquet's reader skips
+    row groups whose min/max miss the box, so z_scan must stay well
+    under lin_scan, and the gap is the data-skip payoff a cluster gets
+    for free on every box query."""
+    import shutil
+    import tempfile
+
+    from spark_sql_perf_spark.operators.layout_query import morton_code
+
+    # the payload column is what makes skipping matter: a real fact/doc
+    # table is wide, and a row group that can't be skipped must decode
+    # its payload pages even for rows the filter then drops
+    fact = gen_table(spark, n, {
+        "k1": lambda idc: uniform_int(idc, "z1", 0, 1023),
+        "k2": lambda idc: uniform_int(idc, "z2", 0, 1023),
+        "v": lambda idc: (uniform_int(idc, "zv", 0, 1_000_000) / 100.0),
+        "pay": lambda idc: F.repeat(
+            F.conv(uniform_int(idc, "zp", 0, (1 << 62)).cast("string"), 10, 16), 4
+        ),
+    })
+    root = tempfile.mkdtemp(prefix="probe_zorder_")
+    out = {}
+    try:
+        zdf = fact.withColumn("_z", morton_code(F.col("k1"), F.col("k2")))
+        (zdf.repartitionByRange(64, "_z").sortWithinPartitions("_z")
+            .drop("_z").write.mode("overwrite").parquet(f"{root}/z"))
+        (fact.repartitionByRange(64, "v").sortWithinPartitions("v")
+            .write.mode("overwrite").parquet(f"{root}/lin"))
+        for tag, sub in (("z_scan", "z"), ("lin_scan", "lin")):
+            df = (spark.read.parquet(f"{root}/{sub}")
+                  .where(F.col("k1").between(0, 101) & F.col("k2").between(0, 101))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(F.length("pay")).alias("pay_bytes"),
+                       F.sum(F.col("v").cast("decimal(18,2)")).alias("s")))
+            best = float("inf")
+            for _ in range(2):  # min-of-2: first scan pays codegen/footer warmup
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[tag] = round(best, 2)
+            # durable evidence, independent of the local job-overhead
+            # floor: row groups whose footer min/max intersect the box
+            # (what the reader decodes) out of the total
+            hit, total = _rowgroups_overlapping(
+                f"{root}/{sub}", {"k1": (0, 101), "k2": (0, 101)}
+            )
+            out[f"rg_{tag}"] = hit
+            out[f"rg_total_{tag}"] = total
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def probe_upsert(spark, n: int) -> dict[str, float]:
+    """The streaming upsert sink at volume, in its deployment shape:
+    bucket count scales with the table (bucket ~ 62.5k rows stays
+    constant), so an 8-key batch touches <= 8 buckets ~ 500k rows no
+    matter how big the table is. The timed MERGE must stay ~flat in n —
+    O(batch), not O(table)."""
+    import shutil
+    import tempfile
+
+    from spark_sql_perf_spark.streaming.sink import (
+        initialize_upsert_target,
+        upsert_parquet_batch,
+    )
+
+    n_buckets = max(16, n // 62_500)
+    target = gen_table(spark, n, {
+        "key": lambda idc: idc,
+        "ver": lambda idc: F.lit(1).cast("long"),
+        "v": lambda idc: (uniform_int(idc, "uv", 0, 1_000_000) / 100.0),
+    })
+    root = tempfile.mkdtemp(prefix="probe_upsert_")
+    tdir = f"{root}/t"
+    out = {}
+    try:
+        initialize_upsert_target(target, tdir, key="key", n_buckets=n_buckets)
+        step = max(1, n // 8)
+        batch = spark.createDataFrame(
+            [(i * step, 2, 999.0) for i in range(8)], "key long, ver long, v double"
+        )
+        t0 = time.perf_counter()
+        upsert_parquet_batch(
+            batch, tdir, key="key", version_col="ver", n_buckets=n_buckets
+        )
+        out["upsert_8keys"] = round(time.perf_counter() - t0, 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def wedge_counts(g) -> dict[str, int]:
     """Measured cardinality of each plan's wedge intermediate on a graph.
 
@@ -348,14 +473,19 @@ def main() -> None:
     salt = factfact_salting_ab(spark)
     print("factfact_salting@64M:", salt, flush=True)
 
-    time_keys = [k for k in results[SCALES[0]] if not k.startswith("wedges_")]
+    time_keys = [
+        k for k in results[SCALES[0]]
+        if not k.startswith(("wedges_", "rg_"))
+    ]
     wedge_keys = [k for k in results[SCALES[0]] if k.startswith("wedges_")]
     lines = [
         "# SCALE_PROBE — wall time vs generated data size (local[32])",
         "",
         "Plans must scale ~linearly; a super-linear jump flags a shuffle",
         "explosion that would bite at cluster scale. Generated with the",
-        "deterministic datagen (tools/scale_probe.py).",
+        "deterministic datagen (tools/scale_probe.py); timed cells are",
+        "min-of-2 (a one-shot 64M cell can catch a GC/disk hiccup and",
+        "misreport by 2-3x).",
         "",
         "| rows | " + " | ".join(time_keys) + " |",
         "|---|" + "---|" * len(time_keys),
@@ -429,6 +559,29 @@ def main() -> None:
         "uniform n/8-edge graph: each iteration shuffles only the",
         "skinny (node, rank) relation, so the cell must stay ~linear",
         "in the edge count.",
+        "",
+        "## Layout & sink cells (l4 / streaming upsert shapes)",
+        "",
+        "z_scan vs lin_scan: the same rows (with a ~64-byte payload),",
+        "Z-ordered on (k1,k2) vs sorted on an uncorrelated key, scanned",
+        "with a ~1% 2-D box predicate. The decisive column is row groups",
+        "DECODED (footer min/max intersecting the box) — wall time on",
+        "this box sits on the fixed job-overhead floor at probe sizes,",
+        "but decoded-row-group count is what scales to a cluster:",
+        "",
+        "| rows | rg decoded (z) | rg decoded (linear) |",
+        "|---|---|---|",
+        *[
+            f"| {n:,} | {results[n]['rg_z_scan']}/{results[n]['rg_total_z_scan']}"
+            f" | {results[n]['rg_lin_scan']}/{results[n]['rg_total_lin_scan']} |"
+            for n in SCALES
+        ],
+        "",
+        "upsert_8keys MERGEs a fixed 8-key batch into a",
+        "bucket-partitioned target whose bucket count scales with the",
+        "table (constant ~62.5k-row buckets — the deployment shape):",
+        "cost is O(touched buckets) = O(batch), so the cell must stay",
+        "~flat while the table grows 64x.",
         "",
         "## 64M-point decomposition (the steepest cells)",
         "",

@@ -152,3 +152,78 @@ def a14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderpriority", _PRIORITIES)
         .agg(F.count(F.lit(1)))
     )
+
+
+@query(
+    "a15_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar to):
+    status-only, priority-only, and grand-total groups in one pass —
+    Catalyst expands then aggregates partially like any groupBy, so one
+    scan feeds all three groupings at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice", 25, 6)).cast("double").alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "sum_price"
+        )
+    )
+
+
+@query(
+    "n4_higher_order_funcs",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           len(qs) AS n_items,
+           CAST(list_aggregate(list_transform(qs, x -> x * 2), 'sum') AS DOUBLE)
+             AS doubled_sum,
+           len(list_filter(qs, x -> x >= 30)) AS n_big,
+           CAST(list_aggregate(qs[1:3], 'sum') AS DOUBLE) AS first3_sum
+    FROM per_order
+    """,
+)
+def n4_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas (transform / filter / aggregate /
+    slice) over per-order quantity arrays. The lambdas run inside
+    codegen on the already-grouped arrays — no explode/re-group round
+    trip, no Python. Arrays are sorted first so the left-fold sum adds
+    in the same order in both engines (quantities are integer-valued
+    doubles, so the folds agree bit-for-bit)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("qs"))
+        .select(
+            "l_orderkey",
+            F.size("qs").alias("n_items"),
+            F.expr(
+                "aggregate(transform(qs, x -> x * 2), 0D, (a, x) -> a + x)"
+            ).alias("doubled_sum"),
+            F.size(F.expr("filter(qs, x -> x >= 30D)")).alias("n_big"),
+            F.expr("aggregate(slice(qs, 1, 3), 0D, (a, x) -> a + x)").alias(
+                "first3_sum"
+            ),
+        )
+    )

@@ -83,7 +83,13 @@ def test_plan_invariants(spark, name):
 
     # AQE off for the lint: an un-executed adaptive plan prints
     # isFinalPlan=false with no codegen spans; the static compiled plan
-    # shows the operators and codegen decisions without executing
+    # shows the operators and codegen decisions without executing.
+    # Fire the one-time session tuning FIRST — it re-enables AQE and
+    # would otherwise silently override this conf inside the first
+    # query build of the session (order-dependent lint results).
+    from spark_sql_perf_spark.catalog import tune_session
+
+    tune_session(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = QUERIES[name](spark, SF_DIR_TINY)

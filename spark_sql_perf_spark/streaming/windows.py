@@ -153,6 +153,67 @@ def e4_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "e5_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 4 HOUR
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 48 HOUR
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+)
+def e5_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with per-step windows: users whose
+    first view is followed by a click within 4 hours, then a purchase
+    within 48 hours of that click (windows chosen so every stage is
+    non-empty AND discriminating at every test scale). Each stage is a user_id aggregation
+    joined to the previous stage — after the first shuffle every stage
+    is co-partitioned on user_id, so the funnel costs one shuffle of
+    the events table regardless of funnel depth."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(
+        prev: DataFrame, etype: str, prev_col: str, out: str, window: str
+    ) -> DataFrame:
+        e = ev.where(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .where(
+                (F.col("ts") > F.col(prev_col))
+                & (F.col("ts") <= F.col(prev_col) + F.expr(f"INTERVAL {window}"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after(v, "click", "t_view", "t_click", "4 HOUR")
+    p = first_after(c, "purchase", "t_click", "t_purchase", "48 HOUR")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFrame:
     """`events` as a true stream: a file source watching ``stream_dir``
     (Spark's file stream source requires a directory — the production shape,

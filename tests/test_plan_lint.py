@@ -55,6 +55,7 @@ BNLJ_OK = {
     "g4_square_count",
     "mj1_stats_planned_join",   # planner may broadcast sampled-small side
     "g6_pagerank",              # broadcast 1-row dangling-mass total
+    "e5_funnel_conversion",     # broadcast 1-row stage counts
 }
 
 # queries allowed Arrow-vectorized Python (the pipeline's pandas/

@@ -59,6 +59,10 @@ def asof1_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
     every purchase row picks up the most recent click state. Equal
     timestamps order click-first so `p.ts >= c.ts` semantics match.
     """
+    return _asof_purchases_clicks(spark, sf_dir)
+
+
+def _asof_purchases_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks, purchases = _clicks_purchases(spark, sf_dir)
     tagged = clicks.select(
         "user_id", "ts",
@@ -90,6 +94,38 @@ def asof1_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
     )
     return enriched.where(F.col("tag") == 1).select(
         "event_id", "user_id", "ts", "value", "click_ts", "click_value"
+    )
+
+
+@query(
+    "asof2_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+    purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.ts END AS click_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.click_value END
+             AS click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof2_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof's
+    ``tolerance=``): the most recent click counts only if it is at most
+    2 hours old, else the purchase keeps NULL click state. Same
+    single-shuffle union-tag plan as asof1 plus a residual null-out —
+    tolerance costs nothing extra at any scale."""
+    enriched = _asof_purchases_clicks(spark, sf_dir)
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOUR")
+    return enriched.select(
+        "event_id", "user_id", "ts", "value",
+        F.when(fresh, F.col("click_ts")).alias("click_ts"),
+        F.when(fresh, F.col("click_value")).alias("click_value"),
     )
 
 

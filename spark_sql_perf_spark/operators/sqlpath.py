@@ -83,3 +83,30 @@ _INTERSECT_SQL = """
 def sql4_intersect_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT through SQL (q14/q38 cross-channel-customers shape)."""
     return _sql(spark, sf_dir, _INTERSECT_SQL)
+
+
+_LATERAL_SPARK = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+_LATERAL_ORACLE = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+@query("sql5_lateral_topn", oracle=_LATERAL_ORACLE)
+def sql5_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    orders per customer). Catalyst decorrelates this into a windowed
+    rank over one orders shuffle — the same physical plan as the manual
+    row_number formulation, declared relationally. Deterministic via the
+    (o_totalprice DESC, o_orderkey) tie-break."""
+    return _sql(spark, sf_dir, _LATERAL_SPARK)

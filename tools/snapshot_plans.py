@@ -36,6 +36,9 @@ def main() -> None:
         "d6_dedup_components",
         "l3_partition_pruned_scan",
         "l4_zorder_range_scan",
+        "e5_funnel_conversion",
+        "sql5_lateral_topn",
+        "asof2_tolerance",
     ]
     for name in HEADLINE + extra:
         df = QUERIES[name](spark, sf_dir)

@@ -105,3 +105,41 @@ def set_nfold_union_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("l_orderkey").alias("n_distinct"),
     )
+
+
+@query(
+    "set_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+         ia AS (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b),
+         ea AS (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b)
+    SELECT (SELECT COUNT(*) FROM ia) AS n_intersect_all,
+           (SELECT COUNT(DISTINCT user_id) FROM ia) AS d_intersect_all,
+           (SELECT COUNT(*) FROM ea) AS n_except_all,
+           (SELECT COUNT(DISTINCT user_id) FROM ea) AS d_except_all
+    """,
+)
+def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (multiset semantics: per key,
+    min(m_a, m_b) resp. m_a - m_b occurrences survive). The row counts
+    differ from the distinct counts precisely because users click and
+    purchase many times — so the oracle hash-checks the multiplicity
+    arithmetic, not just membership. Both compile to a single
+    count-and-replicate aggregation per side, shuffling only keys."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    ia, ea = a.intersectAll(b), a.exceptAll(b)
+
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.countDistinct("user_id").alias(f"d_{tag}"),
+        )
+
+    return (
+        counts(ia, "intersect_all")
+        .crossJoin(F.broadcast(counts(ea, "except_all")))
+        .select("n_intersect_all", "d_intersect_all", "n_except_all", "d_except_all")
+    )

@@ -56,6 +56,7 @@ BNLJ_OK = {
     "mj1_stats_planned_join",   # planner may broadcast sampled-small side
     "g6_pagerank",              # broadcast 1-row dangling-mass total
     "e5_funnel_conversion",     # broadcast 1-row stage counts
+    "set_multiset_ops",         # broadcast 1-row except-all counts
 }
 
 # queries allowed Arrow-vectorized Python (the pipeline's pandas/

@@ -166,15 +166,51 @@ def oriented_adjacency(pairs: DataFrame) -> DataFrame:
     return out.groupBy("u").agg(F.sort_array(F.collect_list("nb")).alias("ns"))
 
 
-# Edge relations at or under this row count broadcast comfortably
-# (two longs/row, well inside the 64m autoBroadcastJoinThreshold), so the
-# naive self-join chain runs as pipelined broadcast-hash joins in a single
-# codegen stage — measured 7-10x faster than the degree-ordered pipeline's
-# six stages at that size, even with planted hub skew, because the wedge
-# explosion streams through codegen without ever materializing. Above it,
-# joins shuffle, the Sum(in*out) wedge intermediate becomes real bytes on
-# the wire, and the degree-ordered enumeration wins asymptotically.
-NAIVE_TRIANGLE_MAX_EDGES = 4_000_000
+# Fallback pattern-join strategy threshold when no session is reachable:
+# two longs/row against the engine's default 64m autoBroadcastJoinThreshold.
+NAIVE_TRIANGLE_MAX_EDGES = 4_194_304
+
+_EDGE_ROW_BYTES = 16  # (src BIGINT, dst BIGINT)
+
+
+def _parse_size_bytes(raw: str) -> int:
+    """Parse a Spark byte-size conf string ('64m', '10485760b', '1g')."""
+    s = str(raw).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            mult, s = m, s[: -len(suffix)]
+            break
+    return int(s) * mult
+
+
+def naive_pattern_max_edges(spark: SparkSession | None) -> int:
+    """Edge-count ceiling for the naive self-join pattern plans, derived
+    from ``spark.sql.autoBroadcastJoinThreshold`` (bytes / 16-byte edge
+    rows) so the strategy flip tracks cluster config instead of assuming
+    the engine default.
+
+    At or under the ceiling the edge relation broadcasts, and the naive
+    chain runs as pipelined broadcast-hash joins in one codegen stage —
+    measured 7-10x faster than the ordered-enumeration pipelines at that
+    size, even with planted hub skew, because the wedge explosion streams
+    through codegen without ever materializing. Above it, joins shuffle,
+    the Sum(in*out) wedge intermediate becomes real bytes on the wire,
+    and the ordered enumerations win asymptotically. A disabled broadcast
+    (threshold <= 0) returns 0: always take the ordered path.
+    """
+    if spark is None:
+        return NAIVE_TRIANGLE_MAX_EDGES
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        thresh = _parse_size_bytes(raw)
+    except Exception:
+        return NAIVE_TRIANGLE_MAX_EDGES
+    return max(0, thresh) // _EDGE_ROW_BYTES
 
 
 def triangle_count_df(g: DataFrame, degree_ordered: bool | None = None) -> DataFrame:
@@ -201,12 +237,13 @@ def triangle_count_df(g: DataFrame, degree_ordered: bool | None = None) -> DataF
       shuffles (adjacency groupBy + closing join) with no self-join.
     - ``None`` (default): decide from the edge relation's estimated row
       count (parquet-footer metadata, no job — the multijoin planner's
-      estimator), threshold ``NAIVE_TRIANGLE_MAX_EDGES``.
+      estimator), threshold ``naive_pattern_max_edges`` (conf-derived
+      from the session's broadcast threshold).
     """
     if degree_ordered is None:
         from ..plans.multijoin import _estimate_rows
 
-        degree_ordered = _estimate_rows(g) > NAIVE_TRIANGLE_MAX_EDGES
+        degree_ordered = _estimate_rows(g) > naive_pattern_max_edges(g.sparkSession)
     if not degree_ordered:
         a, b, c = g.alias("a"), g.alias("b"), g.alias("c")
         return (
@@ -219,7 +256,12 @@ def triangle_count_df(g: DataFrame, degree_ordered: bool | None = None) -> DataF
             )
             .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
-    pairs = support_pairs(g)
+    # Materialize the support pairs ONCE before fanning into the degree /
+    # adjacency / closing consumers — without this the edge derivation
+    # subtree re-executes ~4x (once per branch), i.e. 3 redundant passes
+    # over the edge source at scale. Same discipline plans/cte.py applies
+    # to multi-branch SQL CTEs; localCheckpoint also keeps lineage flat.
+    pairs = support_pairs(g).localCheckpoint(eager=True)
     adj = oriented_adjacency(pairs)
     # all index pairs i < j from the rank-sorted out-neighbor array
     wedge_pairs = F.expr(
@@ -285,22 +327,18 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_df(edge_table(spark, sf_dir))
 
 
-def square_count_df(g: DataFrame) -> DataFrame:
-    """Count directed 4-cycles s->t->u->v->s with s < t,u,v and t < v.
-
-    Built as a join of two wedge relations on the (s, u) diagonal —
-    forward 2-paths s->t->u and backward 2-paths u->v->s — instead of
-    the naive edge-at-a-time chain. The naive plan materializes 3-paths
-    (|2-paths| * avg-degree rows) before the closing filter; here the
-    largest intermediate is the 2-path relations themselves, and the
-    final sort-merge join on (s, u) streams mid-pairs into a partial
-    count without materializing them. The s < t / s < v halves of the
-    canonical predicate are applied inside the wedge builds, pruning
-    each wedge relation before the diagonal join. Remaining 100 TB
-    caveat (documented, not hidden): 2-path counts at hub mids are
-    still Sum(in*out); the exact-C4 fix is a heavy/light mid split
-    (Chiba-Nishizeki), which trades plan complexity for a bound this
-    synthetic near-uniform graph does not yet justify.
+def _square_count_diagonal(g: DataFrame) -> DataFrame:
+    """Broadcast-scale square plan: join two wedge relations on the
+    (s, u) diagonal — forward 2-paths s->t->u and backward 2-paths
+    u->v->s — instead of the naive edge-at-a-time chain. The naive plan
+    materializes 3-paths (|2-paths| * avg-degree rows) before the
+    closing filter; here the largest intermediate is the 2-path
+    relations themselves, and the final join on (s, u) streams
+    mid-pairs into a partial count without materializing them. The
+    s < t / s < v halves of the canonical predicate prune each wedge
+    relation before the diagonal join. 2-path counts at hub mids are
+    still Sum(in*out) — fine while the graph broadcasts, superseded by
+    ``_square_count_cn`` above the threshold.
     """
     fwdw = (
         g.select(F.col("src").alias("s"), F.col("dst").alias("t"))
@@ -318,6 +356,145 @@ def square_count_df(g: DataFrame) -> DataFrame:
         .where(F.col("t") < F.col("v"))
         .agg(F.count(F.lit(1)).alias("n_squares"))
     )
+
+
+def _half_edges(pairs: DataFrame) -> DataFrame:
+    """Directed view of the undirected support pairs: one row per
+    (endpoint a, endpoint b) ordering, carrying ``ab``/``ba`` edge-
+    existence flags (a->b / b->a) and both endpoint degrees."""
+    deg = (
+        pairs.select(F.col("lo").alias("v"))
+        .unionAll(pairs.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    both = pairs.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"),
+        F.col("fwd").alias("ab"), F.col("rev").alias("ba"),
+    ).unionAll(
+        pairs.select(
+            F.col("hi").alias("a"), F.col("lo").alias("b"),
+            F.col("rev").alias("ab"), F.col("fwd").alias("ba"),
+        )
+    )
+    return (
+        both.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+
+
+def _square_count_cn(g: DataFrame) -> DataFrame:
+    """Chiba-Nishizeki square count: every 4-cycle is enumerated exactly
+    once as a PAIR of wedges sharing the diagonal whose earlier endpoint
+    is the cycle's earliest vertex in (degree DESC, id) order.
+
+    Why this bounds the hub-mid blow-up: a wedge (v, u, w) — support
+    pairs {v,u} and {u,w} — enters the relation only when the endpoint v
+    precedes BOTH the mid u and the far endpoint w in the order. Per
+    support pair {v,u} with v earlier that admits at most deg(u) wedges,
+    so |wedges| <= sum over pairs of min(deg(lo), deg(hi)) <= 2*arboricity*m
+    (Chiba-Nishizeki Lemma 2). A hub mid is enumerated only from its
+    HIGHER-degree neighbors — the Sum(in*out) 2-path explosion at hub
+    mids never happens, which is exactly the term that kills the
+    diagonal-join plan on power-law graphs. Candidate square pairs are
+    then generated per (v, w) group from the collected mid array
+    (output-scale work), and the directed canonical predicate
+    (s -> t -> u -> v -> s with s the id-minimum, t < v) is recovered
+    from the per-pair direction flags the wedges carry — the same
+    flag-replay trick the degree-ordered triangle path uses.
+
+    Exactly-once argument: the square's earliest vertex e is an endpoint
+    of the two wedges over diagonal (e, o); both mids and o follow e in
+    the order, so both wedges qualify under key (v=e, w=o). On the other
+    diagonal the mids include e itself, which precedes both endpoints,
+    so those wedges are filtered — no double count.
+    """
+    pairs = support_pairs(g).localCheckpoint(eager=True)
+    he = _half_edges(pairs)
+    # rank(x) = (deg(x) DESC, x ASC); earlier == higher degree.
+    earlier_ab = (F.col("da") > F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # left side: half-edges oriented earlier-endpoint -> mid (pushes the
+    # rank(v) < rank(u) filter below the join: m rows, not 2m)
+    lhs = he.where(earlier_ab).select(
+        F.col("a").alias("v"), F.col("da").alias("dv"),
+        F.col("b").alias("u"),
+        F.col("ab").alias("f_vu"), F.col("ba").alias("f_uv"),
+    )
+    rhs = he.select(
+        F.col("a").alias("u"), F.col("b").alias("w"), F.col("db").alias("dw"),
+        F.col("ab").alias("f_uw"), F.col("ba").alias("f_wu"),
+    )
+    rank_v_before_w = (F.col("dv") > F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = (
+        lhs.join(rhs, "u")
+        .where((F.col("v") != F.col("w")) & rank_v_before_w)
+        .select(
+            "v", "w",
+            F.struct("u", "f_vu", "f_uv", "f_uw", "f_wu").alias("nb"),
+        )
+    )
+    grouped = wedges.groupBy("v", "w").agg(F.collect_list("nb").alias("ns"))
+    mid_pairs = F.expr(
+        "flatten(transform(ns, (x, i) ->"
+        " transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b))))"
+    )
+    cand = grouped.select("v", "w", F.explode(mid_pairs).alias("pq")).select(
+        "v", "w",
+        F.col("pq.a.u").alias("u1"),
+        F.col("pq.a.f_vu").alias("f_vu1"), F.col("pq.a.f_uv").alias("f_u1v"),
+        F.col("pq.a.f_uw").alias("f_u1w"), F.col("pq.a.f_wu").alias("f_wu1"),
+        F.col("pq.b.u").alias("u2"),
+        F.col("pq.b.f_vu").alias("f_vu2"), F.col("pq.b.f_uv").alias("f_u2v"),
+        F.col("pq.b.f_uw").alias("f_u2w"), F.col("pq.b.f_wu").alias("f_wu2"),
+    )
+    V, W, U1, U2 = F.col("v"), F.col("w"), F.col("u1"), F.col("u2")
+
+    def edge_dir(x: F.Column, y: F.Column) -> F.Column:
+        """Does directed edge x->y exist? {x, y} is one of the four cycle
+        pairs {v,u1},{u1,w},{w,u2},{u2,v}; replay the carried flags."""
+        return (
+            F.when((x == V) & (y == U1), F.col("f_vu1"))
+            .when((x == U1) & (y == V), F.col("f_u1v"))
+            .when((x == V) & (y == U2), F.col("f_vu2"))
+            .when((x == U2) & (y == V), F.col("f_u2v"))
+            .when((x == W) & (y == U1), F.col("f_wu1"))
+            .when((x == U1) & (y == W), F.col("f_u1w"))
+            .when((x == W) & (y == U2), F.col("f_wu2"))
+            .otherwise(F.col("f_u2w"))
+        )
+
+    s = F.least(V, W, U1, U2)
+    s_is_endpoint = (s == V) | (s == W)
+    opp = (
+        F.when(s == V, W).when(s == W, V).when(s == U1, U2).otherwise(U1)
+    )
+    nb1 = F.when(s_is_endpoint, U1).otherwise(V)
+    nb2 = F.when(s_is_endpoint, U2).otherwise(W)
+    t = F.least(nb1, nb2)
+    vtx = F.greatest(nb1, nb2)
+    # canonical directed square: s -> t -> opp -> vtx -> s with t < vtx
+    pred = edge_dir(s, t) & edge_dir(t, opp) & edge_dir(opp, vtx) & edge_dir(vtx, s)
+    return cand.where(pred).agg(F.count(F.lit(1)).alias("n_squares"))
+
+
+def square_count_df(g: DataFrame, cn_ordered: bool | None = None) -> DataFrame:
+    """Count directed 4-cycles s->t->u->v->s with s < t,u,v and t < v.
+
+    Strategy choice mirrors ``triangle_count_df``: under the conf-derived
+    broadcast ceiling the wedge-diagonal join wins (pipelined codegen,
+    no shuffle of wedges); above it the Chiba-Nishizeki wedge-pair
+    enumeration bounds the hub-mid 2-path intermediate at
+    O(arboricity * m) instead of Sum(in*out).
+    """
+    if cn_ordered is None:
+        from ..plans.multijoin import _estimate_rows
+
+        cn_ordered = _estimate_rows(g) > naive_pattern_max_edges(g.sparkSession)
+    return _square_count_cn(g) if cn_ordered else _square_count_diagonal(g)
 
 
 @query(

@@ -451,44 +451,60 @@ def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "d5_dedup_embedding",
-    oracle="""
+def _d5_oracle() -> str:
+    from .similarity import sign_lsh_sig_sql
+
+    cos = (
+        "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
+        " / (SQRT(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))"
+        "    * SQRT(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))))"
+    )
+    return f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
       FROM embeddings WHERE vec_id % 10 = 0),
+    signed AS (SELECT vec_id, v, {sign_lsh_sig_sql()} AS sig FROM corpus),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-               / (SQRT(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
-                  * SQRT(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))))
-             AS cos
-      FROM corpus a JOIN corpus b
-        ON b.vec_id = a.vec_id + 1000000)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+      FROM signed a JOIN signed b
+        ON a.sig = b.sig AND a.vec_id < b.vec_id)
     SELECT id_a, id_b, ROUND(cos, 6) AS cosine
     FROM pairs WHERE cos >= 0.999
-    """,
-)
-def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: cosine >= 0.999 between originals and planted
-    rescaled copies (cosine is scale-invariant, so planted pairs hit 1.0).
-
-    The candidate set is an equi join on the planted-id offset — the
-    pattern stands in for 'candidate pairs from a blocking key', which is
-    how embedding dedup stays sub-quadratic at scale.
     """
+
+
+@query("d5_dedup_embedding", oracle=_d5_oracle())
+def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine >= 0.999 between same-bucket candidates
+    under sign-LSH (random-hyperplane) blocking — the production shape:
+    candidates come from a signature equi-join (sim2's bucketing, shared
+    helpers in ``pipeline/similarity.py``), never a planted-id oracle
+    backdoor and never the |corpus|^2 cross product.
+
+    Recall on the planted duplicates is exactly 1.0 by construction: a
+    rescaled copy 0.5*x has the IDENTICAL hyperplane sign signature as x
+    (signs are scale-invariant), so every planted pair shares a bucket
+    and the DuckDB oracle — which runs the same blocking — stays
+    hash-exact. At 100 TB the shuffle is on the B-bit signature; pairwise
+    cosine work happens only within buckets (candidates ~ near-dups plus
+    bucket collisions, not |corpus|^2).
+    """
+    from .similarity import sign_lsh_sig_spark
+
     emb = table(spark, sf_dir, "embeddings")
     orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     planted = emb.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 0.5).alias("v"),
     )
-    corpus = orig.unionAll(planted)
-    a = corpus.alias("a")
-    b = corpus.alias("b")
+    signed = orig.unionAll(planted).select(
+        "vec_id", "v", sign_lsh_sig_spark().alias("sig")
+    )
+    a = signed.alias("a")
+    b = signed.alias("b")
 
     def _dot(x: str, y: str) -> F.Column:
         return F.aggregate(
@@ -499,7 +515,11 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cos = _dot("a.v", "b.v") / (F.sqrt(_dot("a.v", "a.v")) * F.sqrt(_dot("b.v", "b.v")))
     return (
-        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1000000)
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),

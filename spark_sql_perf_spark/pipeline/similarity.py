@@ -108,7 +108,23 @@ def _plane_sign_spark(bit: int) -> F.Column:
     return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
 
 
-_SIG_SQL = " + ".join(_plane_sign_sql(b) for b in range(_LSH_BITS))
+def sign_lsh_sig_sql(nbits: int = _LSH_BITS) -> str:
+    """DuckDB expression for the nbits-bit hyperplane-sign signature of
+    a DOUBLE[] column named ``v`` (bit-identical to the Spark twin)."""
+    return " + ".join(_plane_sign_sql(b) for b in range(nbits))
+
+
+def sign_lsh_sig_spark(nbits: int = _LSH_BITS) -> F.Column:
+    """Spark twin of ``sign_lsh_sig_sql`` over an array<double> column
+    ``v`` — shared by sim2's ANN bucketing and d5's dedup blocking."""
+    sig = None
+    for b in range(nbits):
+        term = _plane_sign_spark(b)
+        sig = term if sig is None else sig + term
+    return sig
+
+
+_SIG_SQL = sign_lsh_sig_sql()
 
 
 @query(
@@ -139,11 +155,7 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sig = None
-    for b in range(_LSH_BITS):
-        term = _plane_sign_spark(b)
-        sig = term if sig is None else sig + term
-    signed = vecs.select("vec_id", "v", sig.alias("sig"))
+    signed = vecs.select("vec_id", "v", sign_lsh_sig_spark().alias("sig"))
     q = signed.where(F.col("vec_id") < _N_QUERIES).alias("q")
     c = signed.where(F.col("vec_id") >= _N_QUERIES).alias("c")
     scored = (

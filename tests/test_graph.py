@@ -25,3 +25,50 @@ def test_g6_pagerank_invariants(spark):
     floor = ((_PR_SCALE * 3) // 20) // agg["n"]
     assert agg["lo"] >= floor
     assert agg["hi"] > floor  # somebody has in-links
+
+
+def test_triangle_both_strategies_agree(spark):
+    """The naive broadcast chain and the degree-ordered wedge enumeration
+    are pure plan decisions — same count either way."""
+    from spark_sql_perf_spark.operators.graph import edge_table, triangle_count_df
+
+    g = edge_table(spark, SF_DIR_TINY)
+    naive = triangle_count_df(g, degree_ordered=False).collect()[0][0]
+    ordered = triangle_count_df(g, degree_ordered=True).collect()[0][0]
+    assert naive == ordered
+
+
+def test_square_both_strategies_agree(spark):
+    """Wedge-diagonal join vs Chiba-Nishizeki wedge-pair enumeration:
+    identical square counts (the CN path additionally bounds the hub-mid
+    2-path intermediate at O(arboricity * m))."""
+    from spark_sql_perf_spark.operators.graph import edge_table, square_count_df
+
+    g = edge_table(spark, SF_DIR_TINY)
+    diag = square_count_df(g, cn_ordered=False).collect()[0][0]
+    cn = square_count_df(g, cn_ordered=True).collect()[0][0]
+    assert diag == cn
+
+
+def test_naive_pattern_threshold_tracks_conf(spark):
+    """The naive-vs-ordered strategy flip derives from the session's
+    autoBroadcastJoinThreshold instead of a hard-coded row count."""
+    from spark_sql_perf_spark.operators.graph import (
+        _parse_size_bytes,
+        naive_pattern_max_edges,
+    )
+
+    assert _parse_size_bytes("64m") == 64 * 1024 * 1024
+    assert _parse_size_bytes("10485760b") == 10485760
+    assert _parse_size_bytes("1g") == 1 << 30
+    assert _parse_size_bytes("512kb") == 512 * 1024
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1m")
+        assert naive_pattern_max_edges(spark) == (1 << 20) // 16
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert naive_pattern_max_edges(spark) == 0  # broadcast disabled
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert naive_pattern_max_edges(None) > 0  # sessionless fallback

@@ -41,7 +41,6 @@ BNLJ_OK = {
     "sim3_ivf_ann",             # broadcast 16 centroids (ivf.py:108)
     "sim4_ivf_kmeans_ann",      # broadcast trained centroids
     "sim4_recall_vs_exact",     # compares the two ANN frames above
-    "d5_dedup_embedding",       # broadcast threshold stats
     "c5_domain_mixture",        # broadcast per-domain rates
     "c6_sequence_packing",      # broadcast partition offsets
     "w7_cumulative_vs_total",   # broadcast 1-row grand total

@@ -20,7 +20,9 @@ ATTRIBUTION_WINDOW = "1 hour"
 LATE_BOUND = "2 hours"
 
 
-def _attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+def _attribution_join(
+    views: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
     """The shared join condition: same user, purchase inside
     (view_ts, view_ts + ATTRIBUTION_WINDOW]. Used identically by the
     streaming pair and the batch twin so the test compares semantics,
@@ -30,6 +32,7 @@ def _attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
         (F.col("v_user") == F.col("p_user"))
         & (F.col("p_ts") > F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+        how,
     ).select(
         F.col("v_user").alias("user_id"),
         F.col("v_ts").alias("view_ts"),
@@ -71,6 +74,36 @@ def batch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return _attribution_join(_views(ev), _purchases(ev))
+
+
+def streaming_attribution_outer(
+    spark: SparkSession, sf_dir: str, stream_dir: str
+) -> DataFrame:
+    """LEFT-OUTER stream-stream attribution — the semantics a real
+    attribution pipeline needs: every view row emits exactly once,
+    either matched to a purchase inside the window or, once the
+    watermark passes ``view_ts + ATTRIBUTION_WINDOW``, with NULL
+    purchase columns (an unconverted impression).
+
+    Null emission is watermark-DRIVEN: a view's outer row can only be
+    produced after the engine knows no matching purchase can still
+    arrive, i.e. in a micro-batch whose input watermark has passed the
+    view's join-window end. State stays bounded exactly as in the inner
+    variant — expired view state is emitted-with-nulls instead of
+    silently dropped.
+    """
+    ev = stream_events(spark, sf_dir, stream_dir)
+    views = _views(ev).withWatermark("v_ts", LATE_BOUND)
+    purchases = _purchases(ev).withWatermark("p_ts", LATE_BOUND)
+    return _attribution_join(views, purchases, "leftOuter")
+
+
+def batch_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the left-outer attribution join."""
+    from ..catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    return _attribution_join(_views(ev), _purchases(ev), "leftOuter")
 
 
 # ---------------------------------------------------------------------------

@@ -8,25 +8,25 @@ this container) the scalable parquet-only construction is:
 
 - target partitioned by a hash bucket of the merge key, so
 - a micro-batch only touches the buckets its keys fall in, and
-- ``partitionOverwriteMode=dynamic`` rewrites exactly those buckets
-  atomically (merge existing bucket rows with the batch, last version
-  per key wins).
+- ``partitionOverwriteMode=dynamic`` replaces exactly those buckets
+  (merge existing bucket rows with the batch, last version per key
+  wins). Per-bucket replace commits as delete-then-rename, so there IS
+  a crash window in which a bucket directory is missing; durable
+  exactly-once under mid-commit crashes additionally needs a table
+  format (Delta/Iceberg) or an external commit marker. What the plain-
+  parquet construction does guarantee: batch REPLAY (the streaming
+  failure mode — foreachBatch re-delivers the last uncommitted batch)
+  recomputes byte-identical bucket contents, so at-least-once delivery
+  converges to exactly-once table state.
 
 Cost per batch is O(touched buckets), not O(target): at 100 TB the
 bucket count is sized so a bucket ~ a few GB, and a batch touching k
 distinct buckets rewrites k·(bucket size) — the same asymptotics as a
 copy-on-write MERGE in Delta/Iceberg (Delta's OPTIMIZE/partition
 rewrite does exactly this underneath).
-
-Replaying a batch (Structured Streaming's failure mode: foreachBatch
-re-delivers the last uncommitted batch id) recomputes byte-identical
-bucket contents — the merge is deterministic in (existing rows, batch
-rows) — so at-least-once delivery becomes exactly-once table state.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +39,23 @@ _BUCKET = "_bucket"
 
 def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     return df.withColumn(_BUCKET, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+
+
+def _target_has_buckets(spark: SparkSession, target_dir: str) -> bool:
+    """Does the target already hold a bucketed table? Probed through the
+    Hadoop FileSystem API (JVM gateway), NOT driver-local os.listdir —
+    the target at scale is an object store (s3a://, abfss://), where a
+    POSIX probe would silently answer 'empty' and the merge would drop
+    the existing table state."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    for status in fs.listStatus(path):
+        if status.getPath().getName().startswith(f"{_BUCKET}="):
+            return True
+    return False
 
 
 def upsert_parquet_batch(
@@ -59,9 +76,7 @@ def upsert_parquet_batch(
     batch = _with_bucket(batch_df, key, n_buckets).withColumn(
         "_is_new", F.lit(1)
     )
-    if os.path.isdir(target_dir) and any(
-        e.startswith(f"{_BUCKET}=") for e in os.listdir(target_dir)
-    ):
+    if _target_has_buckets(spark, target_dir):
         touched = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
         existing = (
             spark.read.parquet(target_dir)
@@ -137,4 +152,9 @@ def streaming_upsert(
         .option("checkpointLocation", f"{target_dir}_ckpt")
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "streaming_upsert: availableNow drain exceeded 120s — stopped "
+            "the query instead of returning over a partially-updated table"
+        )

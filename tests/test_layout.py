@@ -123,8 +123,14 @@ def _overlapping_files(path: str, boxes: dict[str, tuple[int, int]]) -> tuple[in
         overlap = True
         for col, (lo, hi) in boxes.items():
             idx = names.index(col)
-            cmin = min(md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups))
-            cmax = max(md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups))
+            stats = [
+                md.row_group(r).column(idx).statistics
+                for r in range(md.num_row_groups)
+            ]
+            if any(st is None for st in stats):
+                continue  # no stats written -> reader can't skip: overlapping
+            cmin = min(st.min for st in stats)
+            cmax = max(st.max for st in stats)
             if cmax < lo or cmin > hi:
                 overlap = False
                 break

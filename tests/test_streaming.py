@@ -275,3 +275,74 @@ def test_streaming_upsert_sink_converges_and_is_idempotent(spark):
     assert untouched, "expected at least one untouched bucket file to remain"
     for f in untouched:
         assert os.path.getsize(f) == before[f]
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark):
+    """Left-outer attribution: unmatched views emit exactly once WITH
+    NULL purchase columns, and only after the watermark passes their
+    join window. Driven as three AvailableNow drains over one durable
+    checkpoint: natural events first, then two far-future sentinel
+    files whose only job is to push both sides' watermarks past every
+    natural view's window end. Final table == the batch left-join twin."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from spark_sql_perf_spark.streaming.joins import (
+        batch_attribution_outer,
+        streaming_attribution_outer,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="events-outer-src-")
+    out_dir = tempfile.mkdtemp(prefix="events-outer-out-") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="events-outer-ckpt-")
+    os.symlink(
+        f"{SF_DIR_TINY}/events.parquet", os.path.join(stream_dir, "part-0.parquet")
+    )
+
+    def drain():
+        out = streaming_attribution_outer(spark, SF_DIR_TINY, stream_dir)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()  # natural data: inner matches emit, tail views still in state
+
+    raw = spark.read.parquet(f"{SF_DIR_TINY}/events.parquet")
+    ts_is_long = isinstance(raw.schema["ts"].dataType, LongType)
+    for i, days in enumerate((30, 60)):
+        shift = (
+            F.col("ts") + F.lit(days * 86400 * 10**9)
+            if ts_is_long
+            else F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
+        )
+        # one future view + one future purchase so BOTH watermark nodes
+        # advance (the join's eviction watermark is the min of the two)
+        sentinel = (
+            raw.where(F.col("event_type") == "view").limit(1)
+            .unionAll(raw.where(F.col("event_type") == "purchase").limit(1))
+            .withColumn("ts", shift)
+            .withColumn("user_id", F.when(F.col("event_type") == "view", -1).otherwise(-2).cast("long"))
+        )
+        stage = tempfile.mkdtemp(prefix="events-outer-sentinel-")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, os.path.join(stream_dir, f"sentinel-{i}.parquet"))
+        drain()
+
+    got = spark.read.parquet(out_dir).where(F.col("user_id") >= 0)
+    want = batch_attribution_outer(spark, SF_DIR_TINY)
+    n_null = want.where(F.col("purchase_ts").isNull()).count()
+    assert n_null > 0, "no unconverted views — fixture drifted"
+    assert got.where(F.col("purchase_ts").isNull()).count() == n_null
+    assert got.count() == want.count()  # exactly once, no re-emission
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

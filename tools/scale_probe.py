@@ -289,6 +289,8 @@ def _rowgroups_overlapping(path: str, boxes: dict) -> tuple[int, int]:
             ok = True
             for col, (lo, hi) in boxes.items():
                 st = md.row_group(r).column(names.index(col)).statistics
+                if st is None:
+                    continue  # no stats written -> reader can't skip: overlapping
                 if st.max < lo or st.min > hi:
                     ok = False
                     break

@@ -45,40 +45,57 @@ def _correctness_files() -> list[str]:
         return sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
 
 
-def _driver_green() -> set[str]:
-    """Names whose LATEST committed CORRECTNESS_r*.json row is green.
+# Queries whose implementation materially changed since their last green
+# driver row — refresh this set each round. They sort with the
+# never-verified class: a stale green row no longer vouches for new code.
+_IMPL_CHANGED = {
+    "d5_dedup_embedding",   # r5: sign-LSH bucket blocking replaced planted-offset join
+    "g3_triangle_count",    # r5: support_pairs localCheckpoint, conf-derived threshold
+    "g4_square_count",      # r5: Chiba-Nishizeki wedge-pair path added
+}
 
-    Green = hash_match true, or a by-design ``no_oracle`` row that still
-    produced rows. Latest-round-wins (not a union across rounds): a
-    query that passed in an early round but regressed later must fall
-    back out of the set so the driver re-prioritizes verifying it.
+
+def _green_rounds() -> dict[str, int]:
+    """name -> round of its latest committed CORRECTNESS row, for names
+    whose LATEST row is green (hash_match, or by-design ``no_oracle``
+    with rows). Latest-round-wins: a query that passed early but
+    regressed later drops out entirely so the driver re-prioritizes it.
     """
-    latest: dict[str, bool] = {}
+    latest: dict[str, tuple[bool, int]] = {}
     for path in _correctness_files():
         try:
             with open(path) as f:
                 rows = json.load(f)
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         except Exception:
             continue
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            latest[name] = bool(
+            ok = bool(
                 row.get("hash_match")
                 or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
             )
-    return {n for n, ok in latest.items() if ok}
+            latest[name] = (ok, rnd)
+    return {n: rnd for n, (ok, rnd) in latest.items() if ok}
+
+
+def _driver_green() -> set[str]:
+    """Names whose LATEST committed CORRECTNESS_r*.json row is green."""
+    return set(_green_rounds())
 
 
 def _cost_order(names: list[str]) -> list[str]:
-    """Order queries never-driver-verified-first, then cheapest-first.
+    """Order queries for the driver's finite (~50-row) verification
+    budget: never-verified (or implementation-changed) first, then
+    previously-green queries OLDEST green round first.
 
-    The driver verifies ``queries()`` in dict order under a finite
-    ~50-row budget; pure cheapest-first made the same cheap prefix win
-    every round, starving ~23 queries of any CORRECTNESS row. So: names
-    without a green row in the committed CORRECTNESS_r*.json history go
-    first (cheapest-first within the class so they all fit the budget),
-    the already-green rest after (cheapest-first again). Unmeasured
+    Pure cheapest-first made the same cheap prefix win every round,
+    starving ~23 queries of any CORRECTNESS row; never-verified-first
+    fixed that but let early greens go stale — by round 4, 48 queries'
+    latest green row predated round 3. Rotating the green class by
+    green-round (oldest first, cheapest within a round) re-verifies the
+    backlog a round at a time without starving new queries. Unmeasured
     names sort last within their class, in registration order.
     """
     try:
@@ -86,11 +103,15 @@ def _cost_order(names: list[str]) -> list[str]:
             costs = json.load(f)["costs"]
     except Exception:
         costs = {}
-    green = _driver_green()
+    rounds = _green_rounds()
     pos = {n: i for i, n in enumerate(names)}
+
+    def klass(n: str) -> int:
+        return 0 if (n not in rounds or n in _IMPL_CHANGED) else rounds[n]
+
     return sorted(
         names,
-        key=lambda n: (n in green, costs.get(n, float("inf")), pos[n]),
+        key=lambda n: (klass(n), costs.get(n, float("inf")), pos[n]),
     )
 
 

@@ -383,6 +383,41 @@ def _half_edges(pairs: DataFrame) -> DataFrame:
     )
 
 
+def cn_wedges(pairs: DataFrame) -> DataFrame:
+    """The Chiba-Nishizeki wedge relation: rows (v, w, nb) where nb is
+    the mid struct (u + the four direction flags) and v precedes both u
+    and w in (degree DESC, id) order. |rows| <= sum over support pairs
+    of min(deg(lo), deg(hi)) <= 2 * arboricity * m — the bound the
+    scale probe measures directly (SCALE_PROBE.md wedge table)."""
+    he = _half_edges(pairs)
+    # rank(x) = (deg(x) DESC, x ASC); earlier == higher degree.
+    earlier_ab = (F.col("da") > F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # left side: half-edges oriented earlier-endpoint -> mid (pushes the
+    # rank(v) < rank(u) filter below the join: m rows, not 2m)
+    lhs = he.where(earlier_ab).select(
+        F.col("a").alias("v"), F.col("da").alias("dv"),
+        F.col("b").alias("u"),
+        F.col("ab").alias("f_vu"), F.col("ba").alias("f_uv"),
+    )
+    rhs = he.select(
+        F.col("a").alias("u"), F.col("b").alias("w"), F.col("db").alias("dw"),
+        F.col("ab").alias("f_uw"), F.col("ba").alias("f_wu"),
+    )
+    rank_v_before_w = (F.col("dv") > F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    return (
+        lhs.join(rhs, "u")
+        .where((F.col("v") != F.col("w")) & rank_v_before_w)
+        .select(
+            "v", "w",
+            F.struct("u", "f_vu", "f_uv", "f_uw", "f_wu").alias("nb"),
+        )
+    )
+
+
 def _square_count_cn(g: DataFrame) -> DataFrame:
     """Chiba-Nishizeki square count: every 4-cycle is enumerated exactly
     once as a PAIR of wedges sharing the diagonal whose earlier endpoint
@@ -410,34 +445,9 @@ def _square_count_cn(g: DataFrame) -> DataFrame:
     so those wedges are filtered — no double count.
     """
     pairs = support_pairs(g).localCheckpoint(eager=True)
-    he = _half_edges(pairs)
-    # rank(x) = (deg(x) DESC, x ASC); earlier == higher degree.
-    earlier_ab = (F.col("da") > F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    grouped = cn_wedges(pairs).groupBy("v", "w").agg(
+        F.collect_list("nb").alias("ns")
     )
-    # left side: half-edges oriented earlier-endpoint -> mid (pushes the
-    # rank(v) < rank(u) filter below the join: m rows, not 2m)
-    lhs = he.where(earlier_ab).select(
-        F.col("a").alias("v"), F.col("da").alias("dv"),
-        F.col("b").alias("u"),
-        F.col("ab").alias("f_vu"), F.col("ba").alias("f_uv"),
-    )
-    rhs = he.select(
-        F.col("a").alias("u"), F.col("b").alias("w"), F.col("db").alias("dw"),
-        F.col("ab").alias("f_uw"), F.col("ba").alias("f_wu"),
-    )
-    rank_v_before_w = (F.col("dv") > F.col("dw")) | (
-        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
-    )
-    wedges = (
-        lhs.join(rhs, "u")
-        .where((F.col("v") != F.col("w")) & rank_v_before_w)
-        .select(
-            "v", "w",
-            F.struct("u", "f_vu", "f_uv", "f_uw", "f_wu").alias("nb"),
-        )
-    )
-    grouped = wedges.groupBy("v", "w").agg(F.collect_list("nb").alias("ns"))
     mid_pairs = F.expr(
         "flatten(transform(ns, (x, i) ->"
         " transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b))))"

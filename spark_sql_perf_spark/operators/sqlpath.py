@@ -110,3 +110,37 @@ def sql5_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number formulation, declared relationally. Deterministic via the
     (o_totalprice DESC, o_orderkey) tie-break."""
     return _sql(spark, sf_dir, _LATERAL_SPARK)
+
+
+_CTE_SQL = """
+    WITH co AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey),
+    totals AS (
+      SELECT COUNT(*) AS n_cust, SUM(spend) AS total_spend FROM co),
+    big AS (
+      SELECT co.o_custkey, co.n_orders, co.spend
+      FROM co, totals
+      WHERE co.spend * n_cust * 2 > total_spend * 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_big_spenders,
+           CAST(SUM(n_orders) AS BIGINT) AS n_big_orders
+    FROM big
+"""
+
+
+@query("sql6_materialized_cte", oracle=_CTE_SQL)
+def sql6_materialized_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch WITH executed through ``plans.cte.materialize_ctes``
+    (the q14a/q23/q24/q64 scale mode): the shared ``co`` aggregation is
+    cached and registered as a view, so both consuming branches (grand
+    totals + the 1.5x-of-average filter) read it from memory instead of
+    re-running the orders aggregation per branch — Spark's inlined-CTE
+    plan scans orders once per reference. Results are identical to the
+    plain WITH (the oracle runs the uninlined text); only the execution
+    count of the CTE body drops. Exact-decimal spend and a cross-
+    multiplied threshold (spend*n*2 > total*3) keep it hash-exact."""
+    from ..plans.cte import materialize_ctes
+
+    register_views(spark, sf_dir)
+    return materialize_ctes(spark, _CTE_SQL, shared=("co",))

@@ -56,6 +56,7 @@ BNLJ_OK = {
     "g6_pagerank",              # broadcast 1-row dangling-mass total
     "e5_funnel_conversion",     # broadcast 1-row stage counts
     "set_multiset_ops",         # broadcast 1-row except-all counts
+    "sql6_materialized_cte",    # broadcast 1-row totals CTE (sqlpath.py)
 }
 
 # queries allowed Arrow-vectorized Python (the pipeline's pandas/

@@ -1,11 +1,14 @@
 #!/usr/bin/env python
 """Write PLANS.md: finalized physical plans for the headline queries at
 the bench scale factor — the plan-quality evidence trail (pushed filters,
-broadcast choices, codegen spans, AQE decisions)."""
+broadcast choices, codegen spans, AQE decisions). A generated index table
+at the top maps each query to its line anchor and a one-line plan digest
+so a reviewer can triage without scrolling 2,800 lines."""
 
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -14,54 +17,108 @@ from bench import HEADLINE  # noqa: E402
 from spark_sql_perf_spark.operators import QUERIES  # noqa: E402
 from spark_sql_perf_spark.session import build_session  # noqa: E402
 
+EXTRA = [
+    "asof1_last_click_before_purchase",
+    "mj1_stats_planned_join",
+    "g4_square_count",
+    "c1_decontaminate_4gram",
+    "c6_sequence_packing",
+    "g6_pagerank",
+    "d6_dedup_components",
+    "d5_dedup_embedding",
+    "l3_partition_pruned_scan",
+    "l4_zorder_range_scan",
+    "e5_funnel_conversion",
+    "sql5_lateral_topn",
+    "sql6_materialized_cte",
+    "asof2_tolerance",
+]
+
+
+def digest(plan: str) -> str:
+    """One-line plan summary for the index: join strategies, codegen
+    spans, exchanges, scan-pushdown evidence — the things a plan review
+    checks first."""
+    spans = len(set(re.findall(r"\*\(\d+\)", plan)))
+    parts = [f"{spans} codegen span{'s' if spans != 1 else ''}"]
+    for op, label in (
+        ("BroadcastHashJoin", "BHJ"),
+        ("SortMergeJoin", "SMJ"),
+        ("ShuffledHashJoin", "SHJ"),
+        ("BroadcastNestedLoopJoin", "BNLJ"),
+        ("CartesianProduct", "CARTESIAN!"),
+    ):
+        n = len(re.findall(rf"\b{op}\b", plan))
+        if n:
+            parts.append(f"{label} x{n}")
+    if re.search(r"PushedFilters: \[[^\]]", plan):
+        parts.append("pushed filters")
+    if "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan:
+        parts.append("reused/materialized subtree")
+    if "AQEShuffleRead" in plan:
+        parts.append("AQE coalesce")
+    return ", ".join(parts)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session("plan-snapshot")
     spark.sparkContext.setLogLevel("ERROR")
-    out = [
+
+    sections: list[tuple[str, str]] = []
+    for name in HEADLINE + EXTRA:
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        sections.append((name, plan.rstrip()))
+
+    # forced scale-path plans (at bench scale the auto chooser picks the
+    # naive/diagonal paths; these are the >broadcast-threshold strategies)
+    from spark_sql_perf_spark.operators.graph import (
+        edge_table,
+        square_count_df,
+        triangle_count_df,
+    )
+
+    for title, df in (
+        (
+            "g3_triangle_count (forced degree_ordered=True)",
+            triangle_count_df(edge_table(spark, sf_dir), degree_ordered=True),
+        ),
+        (
+            "g4_square_count (forced cn_ordered=True)",
+            square_count_df(edge_table(spark, sf_dir), cn_ordered=True),
+        ),
+    ):
+        df.collect()
+        sections.append((title, df._jdf.queryExecution().executedPlan().toString().rstrip()))
+
+    header = [
         "# PLANS — finalized physical plans for the headline queries",
         "",
         f"Scale: `{sf_dir}`. Plans captured AFTER execution (AQE final plans;",
         "`*(n)` prefixes are whole-stage-codegen spans).",
         "",
-    ]
-    extra = [
-        "asof1_last_click_before_purchase",
-        "mj1_stats_planned_join",
-        "g4_square_count",
-        "c1_decontaminate_4gram",
-        "c6_sequence_packing",
-        "g6_pagerank",
-        "d6_dedup_components",
-        "l3_partition_pruned_scan",
-        "l4_zorder_range_scan",
-        "e5_funnel_conversion",
-        "sql5_lateral_topn",
-        "asof2_tolerance",
-    ]
-    for name in HEADLINE + extra:
-        df = QUERIES[name](spark, sf_dir)
-        df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
-    # the forced degree-ordered triangle plan (the >broadcast-threshold
-    # strategy; at bench scale the auto path picks the naive chain)
-    from spark_sql_perf_spark.operators.graph import edge_table, triangle_count_df
-
-    df = triangle_count_df(edge_table(spark, sf_dir), degree_ordered=True)
-    df.collect()
-    out += [
-        "## g3_triangle_count (forced degree_ordered=True)",
+        "## Index",
         "",
-        "```",
-        df._jdf.queryExecution().executedPlan().toString().rstrip(),
-        "```",
-        "",
+        "| query | line | plan digest |",
+        "|---|---|---|",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    # index rows + blank line precede the body; compute anchors exactly
+    index_len = len(header) + len(sections) + 1
+    body: list[str] = []
+    rows: list[str] = []
+    body_lines = 0
+    for name, plan in sections:
+        anchor = index_len + body_lines + 1  # 1-based line of the `## name` heading
+        rows.append(f"| {name} | L{anchor} | {digest(plan)} |")
+        body += [f"## {name}", "", "```", plan, "```", ""]
+        body_lines += 5 + plan.count("\n") + 1
+    out = header + rows + [""] + body
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md with {len(HEADLINE) + len(extra) + 1} plans")
+    print(f"wrote PLANS.md with {len(sections)} plans")
     spark.stop()
 
 

@@ -448,18 +448,26 @@ def _square_count_cn(g: DataFrame) -> DataFrame:
     grouped = cn_wedges(pairs).groupBy("v", "w").agg(
         F.collect_list("nb").alias("ns")
     )
-    mid_pairs = F.expr(
-        "flatten(transform(ns, (x, i) ->"
-        " transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b))))"
+    # Two-step explode: first the anchor mid (with its index), then the
+    # suffix slice. A single flatten(transform(...)) would materialize
+    # the ENTIRE C(|mids|, 2) pair array inside one row before exploding
+    # — at 8M skewed edges a hub-pair diagonal holds ~4k common mids,
+    # i.e. ~8M structs in one row's buffer (observed OOM). This form
+    # keeps per-row memory O(|mids|) and streams the pairs.
+    anchored = grouped.select(
+        "v", "w", "ns", F.posexplode("ns").alias("i", "pa")
     )
-    cand = grouped.select("v", "w", F.explode(mid_pairs).alias("pq")).select(
+    cand = anchored.select(
+        "v", "w", "pa",
+        F.explode(F.expr("slice(ns, i + 2, size(ns))")).alias("pb"),
+    ).select(
         "v", "w",
-        F.col("pq.a.u").alias("u1"),
-        F.col("pq.a.f_vu").alias("f_vu1"), F.col("pq.a.f_uv").alias("f_u1v"),
-        F.col("pq.a.f_uw").alias("f_u1w"), F.col("pq.a.f_wu").alias("f_wu1"),
-        F.col("pq.b.u").alias("u2"),
-        F.col("pq.b.f_vu").alias("f_vu2"), F.col("pq.b.f_uv").alias("f_u2v"),
-        F.col("pq.b.f_uw").alias("f_u2w"), F.col("pq.b.f_wu").alias("f_wu2"),
+        F.col("pa.u").alias("u1"),
+        F.col("pa.f_vu").alias("f_vu1"), F.col("pa.f_uv").alias("f_u1v"),
+        F.col("pa.f_uw").alias("f_u1w"), F.col("pa.f_wu").alias("f_wu1"),
+        F.col("pb.u").alias("u2"),
+        F.col("pb.f_vu").alias("f_vu2"), F.col("pb.f_uv").alias("f_u2v"),
+        F.col("pb.f_uw").alias("f_u2w"), F.col("pb.f_wu").alias("f_wu2"),
     )
     V, W, U1, U2 = F.col("v"), F.col("w"), F.col("u1"), F.col("u2")
 

@@ -21,6 +21,16 @@ same plans and git-identical query code. The box (VM) is simply slower
 some rounds. Per-query regressions are only meaningful relative to the
 same round's other queries; w2's r3 uptick (+24%) matched the box-wide
 drift, not a plan change.
+
+As of round 5 that relative discipline is computed, not just prescribed:
+the output carries a ``normalized`` block — every per-query time divided
+by the MEDIAN per-query shift against the latest committed BENCH_r*.json
+— so a future reader compares ``value_normalized`` across rounds and a
+genuine plan regression shows up as a query whose normalized ratio
+stands off the 1.0 line while box drift cancels out. (Measured in this
+round's session: back-to-back runs of identical code printed raw totals
+18.3 s then 11.1 s — cold page cache after a 20-minute pytest churn —
+while the normalized totals told the true story, 9.92 s vs r4's 9.98 s.)
 """
 
 from __future__ import annotations

@@ -6,7 +6,8 @@ Five dedup families, each a `queries()` entry with a DuckDB oracle:
   d2 minhash-lsh      shingle -> k minhashes -> banded buckets -> verify
   d3 simhash          16-bit sign-of-sum signature over token hashes
   d4 ngram-jaccard    exact jaccard verification on LSH candidates (in d2)
-  d5 embedding cosine near-dup pairs over array<float> vectors
+  d5 embedding cosine near-dup pairs over array<float> vectors,
+     candidates from sign-LSH bucket blocking (shared with sim2)
 
 The driver corpus has **no natural duplicates** (verified: texts are unique
 at every sf), so each query PLANTS deterministic duplicates by unioning a

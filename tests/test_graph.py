@@ -72,3 +72,19 @@ def test_naive_pattern_threshold_tracks_conf(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert naive_pattern_max_edges(None) > 0  # sessionless fallback
+
+
+def test_cn_square_plan_quality(spark):
+    """The forced Chiba-Nishizeki square plan must (a) never contain a
+    CartesianProduct, (b) read the support pairs from the materialized
+    localCheckpoint (one edge-derivation execution, not one per branch),
+    and (c) keep the candidate-pair generation as a streamed two-step
+    explode (two Generate nodes), not a single per-row buffered
+    flatten."""
+    from spark_sql_perf_spark.operators.graph import edge_table, square_count_df
+
+    df = square_count_df(edge_table(spark, SF_DIR_TINY), cn_ordered=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # localCheckpoint'd support pairs
+    assert plan.count("Generate explode") + plan.count("Generate posexplode") >= 2

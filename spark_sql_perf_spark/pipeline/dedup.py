@@ -453,7 +453,7 @@ def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d5_oracle() -> str:
-    from .similarity import sign_lsh_sig_sql
+    from ..functions.lsh import sign_lsh_sig_sql
 
     cos = (
         "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
@@ -493,7 +493,7 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine work happens only within buckets (candidates ~ near-dups plus
     bucket collisions, not |corpus|^2).
     """
-    from .similarity import sign_lsh_sig_spark
+    from ..functions.lsh import sign_lsh_sig_spark
 
     emb = table(spark, sf_dir, "embeddings")
     orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))

@@ -20,12 +20,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.text import md5_hash32_sql
+from ..functions.lsh import (
+    LSH_BITS as _LSH_BITS,
+    sign_lsh_sig_spark,
+    sign_lsh_sig_sql,
+)
 from ..operators.registry import query
 
 _TOP_K = 3
 _N_QUERIES = 5  # vectors with vec_id < 5 act as the query set
-_LSH_BITS = 8
 
 _COS_SQL = (
     "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
@@ -85,45 +88,8 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_sign_sql(bit: int) -> str:
-    """DuckDB: sign bit `bit` = sign of dot(v, plane_bit) where
-    plane_bit[i] = md5_hash32(bit|i) / 2^31 - 1  (deterministic in [-1, 1))."""
-    hash_arg = f"'p{bit}-' || CAST(i AS VARCHAR)"
-    plane_i = f"({md5_hash32_sql(hash_arg, 'lsh')} / 2147483648.0 - 1.0)"
-    return (
-        f"CASE WHEN list_sum(list_transform(range(1, len(v) + 1),"
-        f" i -> v[i] * {plane_i})) > 0 THEN {1 << bit} ELSE 0 END"
-    )
-
-
-def _plane_sign_spark(bit: int) -> F.Column:
-    plane_i = (
-        f"(cast(conv(substring(md5(concat('lsh|p{bit}-', cast(i as string))), 1, 8), 16, 10) AS BIGINT)"
-        f" / 2147483648.0 - 1.0)"
-    )
-    proj = F.expr(
-        f"aggregate(transform(sequence(1, size(v)), i -> element_at(v, i) * {plane_i}),"
-        f" cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-
-
-def sign_lsh_sig_sql(nbits: int = _LSH_BITS) -> str:
-    """DuckDB expression for the nbits-bit hyperplane-sign signature of
-    a DOUBLE[] column named ``v`` (bit-identical to the Spark twin)."""
-    return " + ".join(_plane_sign_sql(b) for b in range(nbits))
-
-
-def sign_lsh_sig_spark(nbits: int = _LSH_BITS) -> F.Column:
-    """Spark twin of ``sign_lsh_sig_sql`` over an array<double> column
-    ``v`` — shared by sim2's ANN bucketing and d5's dedup blocking."""
-    sig = None
-    for b in range(nbits):
-        term = _plane_sign_spark(b)
-        sig = term if sig is None else sig + term
-    return sig
-
-
+# md5-derived hyperplane signatures shared with d5's dedup blocking —
+# see functions/lsh.py (leaf module, importable from either side first)
 _SIG_SQL = sign_lsh_sig_sql()
 
 

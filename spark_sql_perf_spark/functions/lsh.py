@@ -48,11 +48,43 @@ def sign_lsh_sig_sql(nbits: int = LSH_BITS) -> str:
     return " + ".join(_plane_sign_sql(b) for b in range(nbits))
 
 
-def sign_lsh_sig_spark(nbits: int = LSH_BITS) -> F.Column:
+def _plane_value(bit: int, i: int) -> float:
+    """Python twin of the md5-derived plane component (i is 1-based, as
+    in the SQL ``range``/``sequence`` forms): bit-identical to what the
+    in-expression derivation computes — exact 32-bit int divided by 2^31
+    (exact in IEEE double) minus 1.0."""
+    import hashlib
+
+    h = hashlib.md5(f"lsh|p{bit}-{i}".encode()).hexdigest()[:8]
+    return int(h, 16) / 2147483648.0 - 1.0
+
+
+def _plane_sign_spark_lit(bit: int, dim: int) -> F.Column:
+    plane = F.array(*[F.lit(_plane_value(bit, i)) for i in range(1, dim + 1)])
+    proj = F.aggregate(
+        F.zip_with(F.col("v"), plane, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+
+
+def sign_lsh_sig_spark(nbits: int = LSH_BITS, dim: int | None = None) -> F.Column:
     """Spark twin of ``sign_lsh_sig_sql`` over an array<double> column
-    ``v``."""
+    ``v``.
+
+    Pass ``dim`` (the fixed vector length) to embed the hyperplanes as
+    ARRAY LITERALS resolved once at plan time. Without it the plane
+    components are md5-derived INSIDE the row expression — correct, but
+    the engine then recomputes per-(bit, i) constants once per row
+    element: at 10^9 rows x 64 dims x 8 bits that is ~5e11 md5 calls
+    for values that never change. The literal form is bit-identical
+    (same component values, same left-to-right summation), so oracle
+    hashes are unaffected; it requires vectors of uniform length
+    (zip_with would null-pad a short row and null its signature).
+    """
     sig = None
     for b in range(nbits):
-        term = _plane_sign_spark(b)
+        term = _plane_sign_spark_lit(b, dim) if dim else _plane_sign_spark(b)
         sig = term if sig is None else sig + term
     return sig

@@ -494,6 +494,7 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket collisions, not |corpus|^2).
     """
     from ..functions.lsh import sign_lsh_sig_spark
+    from .similarity import embedding_dim
 
     emb = table(spark, sf_dir, "embeddings")
     orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -502,7 +503,7 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 0.5).alias("v"),
     )
     signed = orig.unionAll(planted).select(
-        "vec_id", "v", sign_lsh_sig_spark().alias("sig")
+        "vec_id", "v", sign_lsh_sig_spark(dim=embedding_dim(orig)).alias("sig")
     )
     a = signed.alias("a")
     b = signed.alias("b")

@@ -93,6 +93,15 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIG_SQL = sign_lsh_sig_sql()
 
 
+def embedding_dim(vecs: DataFrame) -> int | None:
+    """Fixed vector length of an array column ``v`` (one tiny peek job at
+    plan time), so the LSH planes embed as literals instead of being
+    md5-recomputed per row element. None on an empty relation — callers
+    fall back to the in-expression derivation, which needs no dim."""
+    row = vecs.select(F.size("v").alias("d")).first()
+    return int(row["d"]) if row is not None else None
+
+
 @query(
     "sim2_lsh_bucketed_ann",
     oracle=f"""
@@ -121,7 +130,9 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    signed = vecs.select("vec_id", "v", sign_lsh_sig_spark().alias("sig"))
+    signed = vecs.select(
+        "vec_id", "v", sign_lsh_sig_spark(dim=embedding_dim(vecs)).alias("sig")
+    )
     q = signed.where(F.col("vec_id") < _N_QUERIES).alias("q")
     c = signed.where(F.col("vec_id") >= _N_QUERIES).alias("c")
     scored = (

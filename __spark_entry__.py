@@ -49,9 +49,10 @@ def _correctness_files() -> list[str]:
 # driver row — refresh this set each round. They sort with the
 # never-verified class: a stale green row no longer vouches for new code.
 _IMPL_CHANGED = {
-    "d5_dedup_embedding",   # r5: sign-LSH bucket blocking replaced planted-offset join
-    "g3_triangle_count",    # r5: support_pairs localCheckpoint, conf-derived threshold
-    "g4_square_count",      # r5: Chiba-Nishizeki wedge-pair path added
+    "d5_dedup_embedding",     # r5: sign-LSH bucket blocking replaced planted-offset join
+    "g3_triangle_count",      # r5: support_pairs localCheckpoint, conf-derived threshold
+    "g4_square_count",        # r5: Chiba-Nishizeki wedge-pair path added
+    "sim2_lsh_bucketed_ann",  # r5: hyperplanes embedded as plan-time literals
 }
 
 

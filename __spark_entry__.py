@@ -45,14 +45,16 @@ def _correctness_files() -> list[str]:
         return sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
 
 
-# Queries whose implementation materially changed since their last green
-# driver row — refresh this set each round. They sort with the
-# never-verified class: a stale green row no longer vouches for new code.
-_IMPL_CHANGED = {
-    "d5_dedup_embedding",     # r5: sign-LSH bucket blocking replaced planted-offset join
-    "g3_triangle_count",      # r5: support_pairs localCheckpoint, conf-derived threshold
-    "g4_square_count",        # r5: Chiba-Nishizeki wedge-pair path added
-    "sim2_lsh_bucketed_ann",  # r5: hyperplanes embedded as plan-time literals
+# name -> round in which the implementation materially changed. A query
+# sorts with the never-verified class until its latest green driver row
+# is from a round >= the change round — then the entry is inert and can
+# be garbage-collected at leisure (it no longer needs hand-clearing each
+# round; a stale green row simply never vouches for newer code).
+_IMPL_CHANGED: dict[str, int] = {
+    "d5_dedup_embedding": 5,     # sign-LSH bucket blocking replaced planted-offset join
+    "g3_triangle_count": 6,      # r5 localCheckpoint; r6 skew-aware strategy chooser
+    "g4_square_count": 6,        # r5 CN wedge pairs; r6 hub-diagonal class-pair counting
+    "sim2_lsh_bucketed_ann": 5,  # hyperplanes embedded as plan-time literals
 }
 
 
@@ -108,7 +110,9 @@ def _cost_order(names: list[str]) -> list[str]:
     pos = {n: i for i, n in enumerate(names)}
 
     def klass(n: str) -> int:
-        return 0 if (n not in rounds or n in _IMPL_CHANGED) else rounds[n]
+        if n not in rounds or rounds[n] < _IMPL_CHANGED.get(n, 0):
+            return 0
+        return rounds[n]
 
     return sorted(
         names,

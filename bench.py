@@ -31,6 +31,12 @@ stands off the 1.0 line while box drift cancels out. (Measured in this
 round's session: back-to-back runs of identical code printed raw totals
 18.3 s then 11.1 s — cold page cache after a 20-minute pytest churn —
 while the normalized totals told the true story, 9.92 s vs r4's 9.98 s.)
+
+Round 6 adds the variance receipt: any query whose normalized ratio vs
+the previous round shifts >20% is re-sampled three more times and its
+raw sample list is emitted under ``variance`` — residual sub-second box
+noise now ships with its own evidence instead of reading as a plan
+regression (the r5 sim1/e3 false alarms).
 """
 
 from __future__ import annotations
@@ -60,6 +66,10 @@ HEADLINE = [
     "d2_dedup_minhash_lsh",
     "sim1_cosine_topk",
     "e3_session_window",
+    # r6: the two heaviest r4/r5 additions, previously invisible to
+    # round-over-round tracking (VERDICT r5 task #4)
+    "g4_square_count",
+    "c1_decontaminate_4gram",
 ]
 
 
@@ -68,20 +78,28 @@ def consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def normalize_vs_previous(times: dict[str, float]) -> dict | None:
-    """Box-drift normalization: divide this run by the median per-query
-    shift against the latest committed BENCH_r*.json. The ±30% cross-
-    round VM drift (docstring above) shows up as a near-uniform shift
-    across queries, so the median ratio estimates the box factor and
-    ``total_normalized`` is the plan-quality signal: a single query
-    regressing stands out against the normalized baseline instead of
-    being buried in (or mistaken for) box noise.
+def load_previous_times() -> tuple[str, dict[str, float]] | None:
+    """(basename, per-query times) of the latest COMMITTED BENCH_r*.json.
+
+    Committed files only: the driver writes the CURRENT round's
+    BENCH_r{N}.json into the repo before committing it, so a bare glob
+    would let a same-round re-run normalize against its own round
+    (median ~1.0) and silently drop the cross-round baseline. git
+    ls-files sees only prior rounds until the round-end commit lands.
     """
     import glob
 
-    prev_files = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import subprocess
+
+        names = subprocess.run(
+            ["git", "-C", repo, "ls-files", "BENCH_r*.json"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.split()
+        prev_files = sorted(os.path.join(repo, n) for n in names)
+    except Exception:
+        prev_files = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
     if not prev_files:
         return None
     try:
@@ -97,6 +115,23 @@ def normalize_vs_previous(times: dict[str, float]) -> dict | None:
         prev = doc.get("queries", {})
     except Exception:
         return None
+    return os.path.basename(prev_files[-1]), prev
+
+
+def normalize_vs_previous(
+    times: dict[str, float], previous: tuple[str, dict[str, float]] | None
+) -> dict | None:
+    """Box-drift normalization: divide this run by the median per-query
+    shift against the latest committed BENCH_r*.json. The ±30% cross-
+    round VM drift (docstring above) shows up as a near-uniform shift
+    across queries, so the median ratio estimates the box factor and
+    ``total_normalized`` is the plan-quality signal: a single query
+    regressing stands out against the normalized baseline instead of
+    being buried in (or mistaken for) box noise.
+    """
+    if previous is None:
+        return None
+    vs, prev = previous
     ratios = sorted(
         times[q] / prev[q] for q in times if q in prev and prev[q] > 0
     )
@@ -105,7 +140,7 @@ def normalize_vs_previous(times: dict[str, float]) -> dict | None:
     n = len(ratios)
     med = (ratios[n // 2] if n % 2 else (ratios[n // 2 - 1] + ratios[n // 2]) / 2)
     return {
-        "vs": os.path.basename(prev_files[-1]),
+        "vs": vs,
         "median_shift": round(med, 3),
         "value_normalized": round(sum(times.values()) / med, 3),
         "queries_normalized": {q: round(t / med, 3) for q, t in times.items()},
@@ -120,14 +155,41 @@ def main() -> None:
 
     consume(QUERIES["flagship_star_agg"](spark, sf_dir))  # warmup (JIT/codegen)
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(5):
+    def sample(name: str, n: int) -> list[float]:
+        out = []
+        for _ in range(n):
             t0 = time.perf_counter()
             consume(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            out.append(round(time.perf_counter() - t0, 3))
+        return out
+
+    samples: dict[str, list[float]] = {name: sample(name, 5) for name in HEADLINE}
+    times = {name: min(s) for name, s in samples.items()}
+
+    # Variance receipt (r5 lesson: sim1 +35% / e3 +12% normalized on
+    # UNTOUCHED sub-second queries — box noise, but nothing in the
+    # artifact proved it). Any query whose box-drift-removed ratio vs the
+    # previous round stands >20% off the 1.0 line gets three MORE
+    # samples; the min over all eight plus the raw sample list land in
+    # the output so a shift either self-corrects or ships with the
+    # evidence that it is real.
+    previous = load_previous_times()
+    normalized = normalize_vs_previous(times, previous)
+    variance: dict[str, dict] = {}
+    if normalized is not None:
+        _, prev = previous
+        shifted = [
+            q for q, t_norm in normalized["queries_normalized"].items()
+            if q in prev and prev[q] > 0 and abs(t_norm / prev[q] - 1.0) > 0.20
+        ]
+        for q in shifted:
+            samples[q].extend(sample(q, 3))
+            times[q] = min(samples[q])
+            variance[q] = {"samples": samples[q]}
+        if variance:
+            # recompute against the refreshed minima
+            normalized = normalize_vs_previous(times, previous)
+    times = {q: round(t, 3) for q, t in times.items()}
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -137,9 +199,12 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
-    normalized = normalize_vs_previous(times)
     if normalized is not None:
         payload["normalized"] = normalized
+        if variance:
+            for q, v in variance.items():
+                v["normalized_after"] = normalized["queries_normalized"].get(q)
+            payload["variance"] = variance
     print(json.dumps(payload))
     spark.stop()
 

@@ -31,9 +31,13 @@ def _plane_sign_sql(bit: int) -> str:
 
 
 def _plane_sign_spark(bit: int) -> F.Column:
+    # Divisor pinned to DOUBLE: a bare 2147483648.0 literal parses as
+    # DECIMAL(11,1) and BIGINT / DECIMAL is decimal division, ~1e-12 off
+    # the exact IEEE quotient — enough to flip a sign on a projection
+    # that close to zero (see tests/test_lsh.py).
     plane_i = (
         f"(cast(conv(substring(md5(concat('lsh|p{bit}-', cast(i as string))), 1, 8), 16, 10) AS BIGINT)"
-        f" / 2147483648.0 - 1.0)"
+        f" / cast(2147483648.0 as double) - 1.0)"
     )
     proj = F.expr(
         f"aggregate(transform(sequence(1, size(v)), i -> element_at(v, i) * {plane_i}),"
@@ -78,10 +82,13 @@ def sign_lsh_sig_spark(nbits: int = LSH_BITS, dim: int | None = None) -> F.Colum
     components are md5-derived INSIDE the row expression — correct, but
     the engine then recomputes per-(bit, i) constants once per row
     element: at 10^9 rows x 64 dims x 8 bits that is ~5e11 md5 calls
-    for values that never change. The literal form is bit-identical
-    (same component values, same left-to-right summation), so oracle
-    hashes are unaffected; it requires vectors of uniform length
-    (zip_with would null-pad a short row and null its signature).
+    for values that never change. Both forms divide the md5-derived
+    32-bit int by a DOUBLE-pinned 2^31 (see ``_plane_sign_spark``), so
+    their plane components and left-to-right summations are bit-identical
+    to each other and to the DuckDB oracle's; oracle hashes are
+    unaffected by the choice. The literal form additionally requires
+    vectors of uniform length (zip_with would null-pad a short row and
+    null its signature).
     """
     sig = None
     for b in range(nbits):

@@ -185,7 +185,10 @@ def _parse_size_bytes(raw: str) -> int:
         if s.endswith(suffix):
             mult, s = m, s[: -len(suffix)]
             break
-    return int(s) * mult
+    # float() first: Spark accepts fractional size strings ('1.5g'),
+    # and int('1.5') would raise — silently falling back to the 64m
+    # default instead of tracking the session's actual threshold.
+    return int(float(s) * mult)
 
 
 def naive_pattern_max_edges(spark: SparkSession | None) -> int:
@@ -261,6 +264,13 @@ def triangle_count_df(g: DataFrame, degree_ordered: bool | None = None) -> DataF
     # subtree re-executes ~4x (once per branch), i.e. 3 redundant passes
     # over the edge source at scale. Same discipline plans/cte.py applies
     # to multi-branch SQL CTEs; localCheckpoint also keeps lineage flat.
+    # Fault-tolerance tradeoff, deliberate: localCheckpoint truncates
+    # lineage to executor-LOCAL blocks, so losing an executor mid-query
+    # fails the query (no recompute path) — acceptable for this
+    # single-query materialization because the rerun recomputes from the
+    # source anyway. On a cluster with expected executor churn, swap for
+    # persist(DISK)+count() (recomputable lineage) or a reliable
+    # checkpoint to a shared store.
     pairs = support_pairs(g).localCheckpoint(eager=True)
     adj = oriented_adjacency(pairs)
     # all index pairs i < j from the rank-sorted out-neighbor array

@@ -62,6 +62,10 @@ def test_naive_pattern_threshold_tracks_conf(spark):
     assert _parse_size_bytes("10485760b") == 10485760
     assert _parse_size_bytes("1g") == 1 << 30
     assert _parse_size_bytes("512kb") == 512 * 1024
+    # fractional size strings are valid Spark conf values — int('1.5')
+    # would raise and silently fall back to the 64m-derived default
+    assert _parse_size_bytes("1.5g") == int(1.5 * (1 << 30))
+    assert _parse_size_bytes("0.5m") == 512 * 1024
 
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:

@@ -37,11 +37,11 @@ def test_plane_value_matches_engine_derivation(spark):
 
     Typing subtlety this test pins down: in Spark SQL, BIGINT /
     2147483648.0 is DECIMAL division (the literal parses as
-    DECIMAL(11,1)), so the in-expression form's planes are
-    scale-rounded ~1e-12 off the exact double — sign-stable, but not
-    bit-equal to DuckDB, whose float literals are DOUBLE. The literal-
-    plane form embeds the exact doubles, i.e. exactly what the DuckDB
-    oracle computes."""
+    DECIMAL(11,1)), scale-rounded ~1e-12 off the exact double — which is
+    why BOTH in-repo forms pin the divisor with ``cast(... as double)``:
+    the in-expression form (``_plane_sign_spark``) and the literal-plane
+    form each compute exactly the doubles the DuckDB oracle computes
+    (DuckDB float literals are DOUBLE natively)."""
     from spark_sql_perf_spark.functions.lsh import _plane_value
 
     for bit, i in [(0, 1), (3, 17), (7, 64)]:

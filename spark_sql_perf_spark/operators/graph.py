@@ -23,7 +23,7 @@ final agg is partial). The statistics-driven join planner in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -216,6 +216,71 @@ def naive_pattern_max_edges(spark: SparkSession | None) -> int:
     return max(0, thresh) // _EDGE_ROW_BYTES
 
 
+_SKEW_SAMPLE_TARGET = 1 << 17  # ~131k sampled edges bounds the probe job
+
+
+def sampled_max_degree(g: DataFrame, est_rows: int) -> int:
+    """Estimated maximum total degree from a deterministic hash sample.
+
+    Edges are kept when xxhash64(src, dst) % k == 0 with k sized so
+    ~131k edges survive; a hub of true degree d retains ~d/k sampled
+    edges (binomial), so sampled_max * k estimates the true hub degree.
+    Cost honesty: for a DERIVED edge relation the hash filter cannot
+    push below the derivation (e.g. a distinct), so the probe pays one
+    full pass over the relation — which is why the chooser only calls it
+    for graphs already under the broadcast ceiling (<= the threshold in
+    bytes, a few million edges at the 64m default): one extra pass over
+    a broadcast-sized relation, the same sample-then-plan discipline a
+    cost-based optimizer applies, never a pass over a 100 TB graph
+    (those exceed the ceiling and take the ordered path with no probe).
+    """
+    k = max(1, est_rows // _SKEW_SAMPLE_TARGET)
+    s = g if k == 1 else g.where(F.pmod(F.xxhash64("src", "dst"), F.lit(k)) == 0)
+    degs = (
+        s.select(F.col("src").alias("x"))
+        .unionAll(s.select(F.col("dst").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    row = degs.agg(F.max("d").alias("mx")).first()
+    mx = 0 if row is None or row["mx"] is None else int(row["mx"])
+    return mx * k
+
+
+def pattern_degree_ordered(g: DataFrame) -> bool:
+    """Strategy chooser for the pattern plans (triangle/square): True =
+    take the degree-ordered / Chiba-Nishizeki enumeration, False = the
+    naive broadcast self-join chain.
+
+    Two signals, cheapest first:
+
+    - Edge-count ceiling (parquet-footer estimate, no job): above the
+      conf-derived broadcast ceiling the naive chain would shuffle its
+      Sum(in*out) wedge intermediate — always take the ordered path.
+    - Degree skew (hash-sample job, under-ceiling graphs only): the
+      naive chain's wedge work at a hub is ~max_deg^2 even when the
+      edges broadcast, while the ordered enumerations are bounded by
+      ~m^1.5. Flip early when max_deg^2 > m^1.5, i.e. max_deg > m^0.75.
+      The threshold is deliberately NOT mean-relative: the probe's
+      planted-hub graph (hub degree ~m/256, ~1000x the mean) still runs
+      7-10x faster on the naive broadcast chain because the wedge
+      explosion streams through codegen without materializing — a
+      mean-multiple test with any sane constant would misfire there.
+      max_deg ~ m^0.75 is where the hub wedge work overtakes what the
+      ordered plan would do in total, and only a small-but-hubby graph
+      (a near-star) crosses it under the broadcast ceiling.
+    """
+    from ..plans.multijoin import _estimate_rows
+
+    est = _estimate_rows(g)
+    if est > naive_pattern_max_edges(g.sparkSession):
+        return True
+    if est <= 0:
+        return False
+    mx = sampled_max_degree(g, est)
+    return mx * mx > est**1.5
+
+
 def triangle_count_df(g: DataFrame, degree_ordered: bool | None = None) -> DataFrame:
     """Count directed triangles x->y->z->x with x < y < z.
 
@@ -238,15 +303,14 @@ def triangle_count_df(g: DataFrame, degree_ordered: bool | None = None) -> DataF
       blow-up. Wedge pairs come from an in-array transform/slice over
       the rank-sorted adjacency arrays, so the enumeration costs two
       shuffles (adjacency groupBy + closing join) with no self-join.
-    - ``None`` (default): decide from the edge relation's estimated row
-      count (parquet-footer metadata, no job — the multijoin planner's
-      estimator), threshold ``naive_pattern_max_edges`` (conf-derived
-      from the session's broadcast threshold).
+    - ``None`` (default): ``pattern_degree_ordered`` decides — edge
+      count vs the conf-derived broadcast ceiling first (parquet-footer
+      metadata, no job), then a sampled degree-skew check so a
+      small-but-hubby graph (near-star) flips to the ordered path even
+      under the ceiling.
     """
     if degree_ordered is None:
-        from ..plans.multijoin import _estimate_rows
-
-        degree_ordered = _estimate_rows(g) > naive_pattern_max_edges(g.sparkSession)
+        degree_ordered = pattern_degree_ordered(g)
     if not degree_ordered:
         a, b, c = g.alias("a"), g.alias("b"), g.alias("c")
         return (
@@ -428,10 +492,19 @@ def cn_wedges(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _square_count_cn(g: DataFrame) -> DataFrame:
-    """Chiba-Nishizeki square count: every 4-cycle is enumerated exactly
-    once as a PAIR of wedges sharing the diagonal whose earlier endpoint
-    is the cycle's earliest vertex in (degree DESC, id) order.
+def _square_count_cn_pairs(g: DataFrame) -> DataFrame:
+    """Candidate-pair ENUMERATION form of the Chiba-Nishizeki square
+    count — retained as the executable specification the windowed
+    closed-form ``_square_count_cn`` is tested against (the two must
+    agree on every graph; tests/test_graph.py). Production uses the
+    windowed form: this one still enumerates C(|mids|, 2) candidate
+    pairs per diagonal, which is output-scale work on hub diagonals
+    (~8M streamed pair rows per 4k-mid hub diagonal at the probe's 8M
+    skewed edges).
+
+    Every 4-cycle is enumerated exactly once as a PAIR of wedges sharing
+    the diagonal whose earlier endpoint is the cycle's earliest vertex
+    in (degree DESC, id) order.
 
     Why this bounds the hub-mid blow-up: a wedge (v, u, w) — support
     pairs {v,u} and {u,w} — enters the relation only when the endpoint v
@@ -509,6 +582,73 @@ def _square_count_cn(g: DataFrame) -> DataFrame:
     return cand.where(pred).agg(F.count(F.lit(1)).alias("n_squares"))
 
 
+def _square_count_cn(g: DataFrame) -> DataFrame:
+    """Windowed closed-form Chiba-Nishizeki square count: O(W log W) in
+    the wedge-relation size W <= 2*arboricity*m, with NO candidate-pair
+    enumeration.
+
+    Derivation (provably equivalent to ``_square_count_cn_pairs``, whose
+    canonical predicate it algebraically collapses): fix a diagonal
+    group (v, w) and let e_lo/e_hi = min/max(v, w) by id. A candidate
+    square pairs two mids (u_i, u_j), i < j by id, and the canonical
+    directed predicate (s -> t -> opp -> vtx -> s, s the id-minimum,
+    t < vtx) splits into exactly two id-order cases:
+
+    - s is an endpoint (u_i > e_lo, hence u_j > e_lo too): s = e_lo,
+      t = u_i, opp = e_hi, vtx = u_j. The predicate factors per mid:
+      A(u) = edge(e_lo -> u) AND edge(u -> e_hi)   [u as t]
+      B(u) = edge(e_hi -> u) AND edge(u -> e_lo)   [u as vtx]
+      and the pair contributes iff A(u_i) AND B(u_j).
+    - s is a mid (u_i < e_lo): s = u_i, t = e_lo, opp = u_j,
+      vtx = e_hi. Per-mid factors are THE SAME two predicates with
+      roles swapped: the pair contributes iff B(u_i) AND A(u_j)
+      (edge(u_i -> e_lo) AND edge(e_hi -> u_i) == B; edge(e_lo -> u_j)
+      AND edge(u_j -> e_hi) == A).
+
+    The cases partition all pairs (u_i != e_lo always), so per group
+
+        n_squares = SUM_j [ B(j) * #{i<j : A(i), u_i > e_lo}
+                          + A(j) * #{i<j : B(i), u_i < e_lo} ]
+
+    — two running sums over the mids sorted by id, i.e. one window over
+    the wedge relation partitioned by (v, w). 100 TB view: the shuffle
+    is the SAME (v, w) shuffle the enumeration form paid for its
+    groupBy, but the work after it is one sorted linear pass with O(1)
+    state per group instead of C(|mids|, 2) generated pair rows — the
+    hub-diagonal candidate blow-up (the residue the r5 probe measured at
+    285 s / 48x on the 64M skewed cell) is gone entirely; output is the
+    single count.
+    """
+    pairs = support_pairs(g).localCheckpoint(eager=True)
+    wdg = cn_wedges(pairs)
+    is_v_lo = F.col("v") < F.col("w")
+    e_lo = F.least("v", "w")
+    f_lo_u = F.when(is_v_lo, F.col("nb.f_vu")).otherwise(F.col("nb.f_wu"))
+    f_u_lo = F.when(is_v_lo, F.col("nb.f_uv")).otherwise(F.col("nb.f_uw"))
+    f_hi_u = F.when(is_v_lo, F.col("nb.f_wu")).otherwise(F.col("nb.f_vu"))
+    f_u_hi = F.when(is_v_lo, F.col("nb.f_uw")).otherwise(F.col("nb.f_uv"))
+    flagged = wdg.select(
+        "v", "w", F.col("nb.u").alias("u"),
+        (f_lo_u & f_u_hi).cast("long").alias("a"),
+        (f_hi_u & f_u_lo).cast("long").alias("b"),
+        (F.col("nb.u") > e_lo).alias("gt"),
+    )
+    win = (
+        Window.partitionBy("v", "w")
+        .orderBy("u")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_a_gt = F.sum(F.when(F.col("gt"), F.col("a")).otherwise(F.lit(0))).over(win)
+    cum_b_lt = F.sum(F.when(~F.col("gt"), F.col("b")).otherwise(F.lit(0))).over(win)
+    contrib = (
+        F.col("b") * F.coalesce(cum_a_gt, F.lit(0))
+        + F.col("a") * F.coalesce(cum_b_lt, F.lit(0))
+    )
+    return flagged.select(contrib.alias("c")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_squares")
+    )
+
+
 def square_count_df(g: DataFrame, cn_ordered: bool | None = None) -> DataFrame:
     """Count directed 4-cycles s->t->u->v->s with s < t,u,v and t < v.
 
@@ -519,9 +659,7 @@ def square_count_df(g: DataFrame, cn_ordered: bool | None = None) -> DataFrame:
     O(arboricity * m) instead of Sum(in*out).
     """
     if cn_ordered is None:
-        from ..plans.multijoin import _estimate_rows
-
-        cn_ordered = _estimate_rows(g) > naive_pattern_max_edges(g.sparkSession)
+        cn_ordered = pattern_degree_ordered(g)
     return _square_count_cn(g) if cn_ordered else _square_count_diagonal(g)
 
 

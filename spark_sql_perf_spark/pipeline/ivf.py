@@ -332,7 +332,10 @@ def _dd_lloyd_iteration(i: int, prev: str) -> str:
       FROM g{i})"""
 
 
-_RECALL_SQL = f"""
+# shared CTE prefix: normalized vectors, deterministic init, and the
+# unrolled Lloyd iterations — reused by every oracle that consumes the
+# trained centroids (sim4's recall check, ml1's cluster sizes)
+_DD_LLOYD_PREFIX = f"""
     WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     vecs AS (
       SELECT vec_id,
@@ -340,7 +343,10 @@ _RECALL_SQL = f"""
                x / SQRT(list_sum(list_transform(v, y -> y * y)))) AS v
       FROM raw),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {_N_CENTROIDS}),
-    {','.join(_dd_lloyd_iteration(i + 1, f'c{i}') for i in range(_N_LLOYD_ITER))},
+    {','.join(_dd_lloyd_iteration(i + 1, f'c{i}') for i in range(_N_LLOYD_ITER))}"""
+
+
+_RECALL_SQL = _DD_LLOYD_PREFIX + f""",
     ranked_cells AS (
       SELECT vecs.vec_id, vecs.v, c.cid,
              ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
@@ -421,4 +427,50 @@ def sim4_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_overlap") / float(_TOP_K), 6).alias("recall_at_k"),
         )
         .orderBy("query_id")
+    )
+
+
+_ML1_SQL = _DD_LLOYD_PREFIX + f""",
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vecs.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                 ORDER BY ROUND({_dd_dist('vecs.v', 'c.cv')}, 9), c.cid) AS rn
+        FROM vecs, c{_N_LLOYD_ITER} c) t
+      WHERE rn = 1)
+    SELECT cid, COUNT(*) AS n_members FROM assigned GROUP BY cid ORDER BY cid
+"""
+
+
+@query("ml1_kmeans_cluster_sizes", oracle=_ML1_SQL)
+def ml1_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2.11's KMeans benchmark made hash-verifiable: the
+    cluster-membership counts after the fixed-seed deterministic init and
+    ``_N_LLOYD_ITER`` unrolled Lloyd steps (``sql_lloyd_centroids``).
+
+    pyspark.ml training itself (MLPerformance.scala's KMeans benchmark,
+    re-expressed in ml/benchmarks.py) is iterative with engine-internal
+    init, so it stays a pytest-only check — this companion runs the SAME
+    algorithm as a pure relational plan (the sim4 pattern) so training +
+    assignment hash-match the DuckDB oracle end to end. Scale: per Lloyd
+    step one broadcast of k centroid rows, one argmin window keyed by
+    vec_id, one groupBy(k * dim) — nothing grows super-linearly with the
+    corpus, and the final count shuffles k rows."""
+    vecs = _normalized(_vecs(spark, sf_dir))
+    cents = sql_lloyd_centroids(vecs)
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round(dist, 9).asc(), F.col("cid"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cid")
     )

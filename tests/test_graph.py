@@ -82,13 +82,93 @@ def test_cn_square_plan_quality(spark):
     """The forced Chiba-Nishizeki square plan must (a) never contain a
     CartesianProduct, (b) read the support pairs from the materialized
     localCheckpoint (one edge-derivation execution, not one per branch),
-    and (c) keep the candidate-pair generation as a streamed two-step
-    explode (two Generate nodes), not a single per-row buffered
-    flatten."""
+    and (c) count squares through the windowed running-sum closed form —
+    a Window node over the wedge relation and ZERO Generate nodes, i.e.
+    no candidate-pair enumeration anywhere in the plan (the r5 pair-
+    streaming form still generated C(|mids|, 2) rows per hub diagonal)."""
     from spark_sql_perf_spark.operators.graph import edge_table, square_count_df
 
     df = square_count_df(edge_table(spark, SF_DIR_TINY), cn_ordered=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan  # localCheckpoint'd support pairs
-    assert plan.count("Generate explode") + plan.count("Generate posexplode") >= 2
+    assert "Window" in plan
+    assert "Generate" not in plan  # no explode: pairs are never materialized
+
+
+def test_cn_square_window_form_matches_pair_enumeration(spark):
+    """The windowed closed form equals the retained candidate-pair
+    enumeration spec — on the TPC-H-derived edge table AND on a planted
+    hub digraph (the id-order case split is only exercised when mids
+    fall on both sides of a diagonal's lower endpoint)."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.operators.graph import (
+        _square_count_cn,
+        _square_count_cn_pairs,
+        edge_table,
+    )
+
+    g = edge_table(spark, SF_DIR_TINY)
+    assert (
+        _square_count_cn(g).collect()[0][0]
+        == _square_count_cn_pairs(g).collect()[0][0]
+    )
+
+    # hub digraph: 2 hubs (ids 0 and 97 — one BELOW and one ABOVE all
+    # mids, so diagonal groups see mids on both sides of e_lo) wired
+    # both ways to most vertices (0 -> a -> 97 -> b -> 0 four-cycles),
+    # plus a deterministic sparse remainder; residue filters vary the
+    # directions so all four flag columns take both values
+    ids = spark.range(1, 60).select(F.col("id"))
+    hub_out = ids.select(F.lit(0).alias("src"), F.col("id").alias("dst")).where(
+        F.col("dst") % 3 != 0
+    )
+    hub_in = ids.select(F.col("id").alias("src"), F.lit(97).alias("dst")).where(
+        F.col("src") % 4 != 0
+    )
+    hub_back = ids.select(F.lit(97).alias("src"), F.col("id").alias("dst")).where(
+        F.col("dst") % 5 != 0
+    )
+    hub_close = ids.select(F.col("id").alias("src"), F.lit(0).alias("dst")).where(
+        F.col("src") % 7 != 0
+    )
+    sparse = ids.select(
+        F.col("id").alias("src"), ((F.col("id") * 7) % 60 + 1).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    hub = (
+        hub_out.unionAll(hub_in).unionAll(hub_back).unionAll(hub_close)
+        .unionAll(sparse).distinct()
+    )
+    n_win = _square_count_cn(hub).collect()[0][0]
+    n_pairs = _square_count_cn_pairs(hub).collect()[0][0]
+    assert n_win == n_pairs
+    assert n_win > 0  # non-degenerate: the hub graph actually has squares
+
+
+def test_pattern_chooser_flips_on_skew(spark):
+    """The naive/ordered chooser consults sampled degree skew, not just
+    edge count: a small-but-hubby near-star graph (max_deg ~ m >> m^0.75)
+    flips to the ordered path even though it broadcasts, while a uniform
+    graph of the same size stays on the naive chain."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.operators.graph import (
+        pattern_degree_ordered,
+        sampled_max_degree,
+    )
+
+    n = 2_000
+    # near-star: every vertex wired to hub 0 (max_deg ~ 2m, m^0.75 ~ 300)
+    star = spark.range(1, n + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    ).unionAll(
+        spark.range(1, n + 1).select(F.col("id").alias("src"), F.lit(0).alias("dst"))
+    )
+    # uniform ring of the same edge count (max_deg 4)
+    ring = spark.range(0, 2 * n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % (2 * n)).alias("dst")
+    )
+    assert sampled_max_degree(star, 2 * n) >= 2 * n
+    assert pattern_degree_ordered(star) is True
+    assert pattern_degree_ordered(ring) is False

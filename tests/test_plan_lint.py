@@ -41,6 +41,7 @@ BNLJ_OK = {
     "sim3_ivf_ann",             # broadcast 16 centroids (ivf.py:108)
     "sim4_ivf_kmeans_ann",      # broadcast trained centroids
     "sim4_recall_vs_exact",     # compares the two ANN frames above
+    "ml1_kmeans_cluster_sizes", # broadcast k Lloyd centroids per step
     "c5_domain_mixture",        # broadcast per-domain rates
     "c6_sequence_packing",      # broadcast partition offsets
     "w7_cumulative_vs_total",   # broadcast 1-row grand total

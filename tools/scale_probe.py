@@ -423,12 +423,25 @@ def wedge_counts(g) -> dict[str, int]:
                .agg(F.sum(d * (d - 1) / 2).cast("long")).collect()[0][0])
     # the square plans' intermediates: the diagonal join materializes
     # ~Sum(in*out) 2-paths (wedges_naive measures that product); the CN
-    # wedge relation is the O(arboricity*m)-bounded replacement
-    sq_cn = cn_wedges(pairs).count()
+    # wedge relation is the O(arboricity*m)-bounded replacement.
+    # sq_cand_pairs decomposes the r5 sq_skew residue: Sum(C(mids, 2))
+    # over diagonals is the candidate-pair volume the ENUMERATION form
+    # streamed (output-scale, quadratic at hub diagonals) — the windowed
+    # closed form never generates it, so its work stops at wedges_sq_cn.
+    grp = cn_wedges(pairs).groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    row = grp.agg(
+        F.sum("c").cast("long").alias("w"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("cand"),
+    ).collect()[0]
+    from spark_sql_perf_spark.operators.graph import square_count_df
+
+    n_sq = square_count_df(g, cn_ordered=True).collect()[0][0]
     return {
         "wedges_naive": int(naive),
         "wedges_ordered": int(ordered),
-        "wedges_sq_cn": int(sq_cn),
+        "wedges_sq_cn": int(row["w"]),
+        "wedges_sq_cand_pairs": int(row["cand"]),
+        "wedges_n_squares": int(n_sq),
     }
 
 
@@ -539,15 +552,21 @@ def main() -> None:
         "cell to watch is the skew:uniform ratio per row — ~1 means the",
         "orientation removed the hub term entirely.",
         "",
-        "sq_uniform / sq_skew run g4's forced Chiba-Nishizeki wedge-pair",
-        "square count over the same graphs. The diagonal-join plan's",
-        "2-path intermediate is the SAME Sum(in*out) product the naive",
-        "triangle chain pays (wedges_naive above); the CN wedge relation",
-        "(wedges_sq_cn) is bounded by sum over support pairs of",
-        "min(deg(lo), deg(hi)) <= 2*arboricity*m, because a hub mid is",
-        "only enumerated from its higher-degree neighbors. The wedge",
-        "table is the durable evidence that the square plan's shuffled",
-        "intermediate tracks m while the 2-path product explodes.",
+        "sq_uniform / sq_skew run g4's forced Chiba-Nishizeki square",
+        "count over the same graphs — since r6 the windowed closed form:",
+        "two running sums over the (v,w)-partitioned wedge relation",
+        "replace the candidate-pair enumeration outright. The",
+        "diagonal-join plan's 2-path intermediate is the SAME Sum(in*out)",
+        "product the naive triangle chain pays (wedges_naive above); the",
+        "CN wedge relation (wedges_sq_cn) is bounded by sum over support",
+        "pairs of min(deg(lo), deg(hi)) <= 2*arboricity*m, because a hub",
+        "mid is only enumerated from its higher-degree neighbors.",
+        "wedges_sq_cand_pairs decomposes the r5 sq_skew residue (285s at",
+        "64M, 48x): it is Sum(C(mids,2)) over diagonals — the pair volume",
+        "the r5 enumeration form streamed, quadratic at hub diagonals,",
+        "versus wedges_n_squares, the actual output. The windowed form's",
+        "work stops at wedges_sq_cn rows; neither the candidate volume",
+        "nor the hub-diagonal quadratic term exists in its plan.",
         "",
         "With broadcast disabled (the >64MB cluster regime) on the 8M-edge",
         "skewed graph, naive id-ordered vs degree-ordered:",

@@ -165,3 +165,38 @@ def test_runtime_bloom_filter_join_pruning(spark):
                     spark.conf.unset(k)
             except Exception:
                 pass
+
+
+def test_plans_md_index_is_valid():
+    """PLANS.md (tools/snapshot_plans.py output) stays internally
+    consistent: every index row's line anchor lands exactly on its
+    query's `## name` heading, no digest reports a CartesianProduct,
+    and every snapshot set member has an index row — so the plan
+    evidence trail can be trusted without re-running the tool."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md")) as f:
+        lines = f.read().splitlines()
+    rows = [
+        m.groups()
+        for line in lines
+        if (m := re.match(r"\| (\S[^|]*?) \| L(\d+) \| (.*) \|$", line))
+    ]
+    assert len(rows) >= 50  # headline + extras + forced scale paths
+    for name, anchor, dig in rows:
+        target = lines[int(anchor) - 1]
+        assert target == f"## {name}", (name, anchor, target)
+        assert "CARTESIAN" not in dig, (name, dig)
+
+    import sys
+
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from snapshot_plans import EXTRA
+
+    from bench import HEADLINE
+
+    indexed = {name for name, _, _ in rows}
+    missing = (set(HEADLINE) | set(EXTRA)) - indexed
+    assert not missing, missing

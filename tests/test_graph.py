@@ -198,3 +198,47 @@ def test_degree_probe_memoizes_by_semantic_plan(spark):
     # same SEMANTIC plan, different DataFrame object: cache hit, no growth
     assert sampled_max_degree(mk(), 500) == first
     assert len(_DEGREE_MEMO) == before + 1
+
+
+def _brute_canonical_triangles(edges: set[tuple[int, int]]) -> int:
+    """Directed triangles x->y->z->x with x < y < z — g3's oracle
+    predicate."""
+    nodes = sorted({v for e in edges for v in e})
+    return sum(
+        1
+        for x in nodes
+        for y in nodes
+        if y > x and (x, y) in edges
+        for z in nodes
+        if z > y and (y, z) in edges and (z, x) in edges
+    )
+
+
+def test_pattern_counts_match_brute_force_random(spark):
+    """Spark's windowed CN square count AND both triangle strategies
+    equal the pure-Python canonical brute force on fixed pseudo-random
+    digraphs — closing the loop between the derivation (property-tested
+    in test_properties) and the Spark execution of it."""
+    import random
+
+    from test_properties import _brute_canonical_squares
+
+    from spark_sql_perf_spark.operators.graph import (
+        _square_count_cn,
+        triangle_count_df,
+    )
+
+    for seed, n_nodes, n_edges in [(7, 14, 60), (11, 20, 120), (13, 9, 50)]:
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((a, b))
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got_sq = _square_count_cn(df).collect()[0][0]
+        assert got_sq == _brute_canonical_squares(edges), (seed, got_sq)
+        want_tri = _brute_canonical_triangles(edges)
+        for ordered in (True, False):
+            got_tri = triangle_count_df(df, degree_ordered=ordered).collect()[0][0]
+            assert got_tri == want_tri, (seed, ordered, got_tri)

@@ -353,21 +353,28 @@ def triangle_count_df(g: DataFrame, degree_ordered: bool | None = None) -> DataF
     # checkpoint to a shared store.
     pairs = support_pairs(g).localCheckpoint(eager=True)
     adj = oriented_adjacency(pairs)
-    # all index pairs i < j from the rank-sorted out-neighbor array
-    wedge_pairs = F.expr(
-        "flatten(transform(ns, (x, i) ->"
-        " transform(slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b))))"
-    )
-    wedges = adj.select(F.col("u"), F.explode(wedge_pairs).alias("pq")).select(
+    # all index pairs i < j from the rank-sorted out-neighbor array, as
+    # a posexplode anchor + explode of the suffix slice (two codegen'd
+    # Generate nodes). The previous flatten(transform(... transform))
+    # lambda form produced identical rows but ran the higher-order
+    # functions INTERPRETED per element — measured 22x slower at 8.2M
+    # wedges (6.7s vs 0.3s on the 2M-edge probe graph) — and buffered
+    # the whole per-row pair array besides.
+    anchored = adj.select("u", "ns", F.posexplode("ns").alias("i", "pa"))
+    wedges = anchored.select(
         "u",
-        F.col("pq.a.w").alias("p"),
-        F.col("pq.a.fwd").alias("fwd_up"),
-        F.col("pq.a.rev").alias("rev_up"),
-        F.col("pq.b.w").alias("q"),
-        F.col("pq.b.fwd").alias("fwd_uq"),
-        F.col("pq.b.rev").alias("rev_uq"),
-        F.least("pq.a.w", "pq.b.w").alias("clo"),
-        F.greatest("pq.a.w", "pq.b.w").alias("chi"),
+        "pa",
+        F.explode(F.expr("slice(ns, i + 2, size(ns))")).alias("pb"),
+    ).select(
+        "u",
+        F.col("pa.w").alias("p"),
+        F.col("pa.fwd").alias("fwd_up"),
+        F.col("pa.rev").alias("rev_up"),
+        F.col("pb.w").alias("q"),
+        F.col("pb.fwd").alias("fwd_uq"),
+        F.col("pb.rev").alias("rev_uq"),
+        F.least("pa.w", "pb.w").alias("clo"),
+        F.greatest("pa.w", "pb.w").alias("chi"),
     )
     # shuffle-hash over sort-merge: the pairs side is two longs + two
     # bools (hash table, no sort of the wider wedge side); AQE may still

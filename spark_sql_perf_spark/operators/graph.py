@@ -316,9 +316,10 @@ def triangle_count_df(g: DataFrame, degree_ordered: bool | None = None) -> DataF
       Wedge work is bounded by oriented out-neighbor pairs instead of
       in*out products at hub vertices — on a power-law graph at 100 TB
       that is the difference between O(m^1.5) and a quadratic hub
-      blow-up. Wedge pairs come from an in-array transform/slice over
-      the rank-sorted adjacency arrays, so the enumeration costs two
-      shuffles (adjacency groupBy + closing join) with no self-join.
+      blow-up. Wedge pairs come from a codegen'd posexplode anchor plus
+      an explode of the suffix slice over the rank-sorted adjacency
+      arrays, so the enumeration costs two shuffles (adjacency groupBy
+      + closing join) with no self-join and no interpreted lambdas.
     - ``None`` (default): ``pattern_degree_ordered`` decides — edge
       count vs the conf-derived broadcast ceiling first (parquet-footer
       metadata, no job), then a sampled degree-skew check so a

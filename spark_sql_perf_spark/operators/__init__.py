@@ -25,6 +25,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     sqlpath,
     subqueries,
     tpch,
+    tpch2,
     windows,
     windows2,
 )

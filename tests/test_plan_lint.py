@@ -58,6 +58,8 @@ BNLJ_OK = {
     "e5_funnel_conversion",     # broadcast 1-row stage counts
     "set_multiset_ops",         # broadcast 1-row except-all counts
     "sql6_materialized_cte",    # broadcast 1-row totals CTE (sqlpath.py)
+    "q15_top_supplier",         # broadcast 1-row MAX over the revenue view
+    "q22_inactive_customers",   # broadcast 1-row positive-balance average
 }
 
 # queries allowed Arrow-vectorized Python (the pipeline's pandas/

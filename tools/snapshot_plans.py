@@ -57,6 +57,13 @@ EXTRA = [
     "t5_tfidf_top_term",
     "w3_window_max",
     "w4_avg_over_agg",
+    # r6 TPC-H pattern completion (tpch2.py) — the structurally novel
+    # plans: EXISTS+NOT EXISTS on one fact (q21), filtered outer + double
+    # agg (q13), 8-way share join (q8), cross-table-interval semi (q4)
+    "q4_order_priority",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q21_waiting_supplier",
 ]
 
 

@@ -35,6 +35,7 @@ from ..pipeline import (  # noqa: F401
     grouped,
     ivf,
     multimodal,
+    pq,
     quality,
     similarity,
     textstats,

@@ -39,6 +39,7 @@ BNLJ_OK = {
     "sim1_cosine_topk",         # broadcast tiny query set (similarity.py:76)
     "sim2_lsh_bucketed_ann",    # broadcast query-side signatures
     "sim3_ivf_ann",             # broadcast 16 centroids (ivf.py:108)
+    "sim5_pq_adc_ann",          # broadcast 5-query ADC lookup tables (pq.py)
     "sim4_ivf_kmeans_ann",      # broadcast trained centroids
     "sim4_recall_vs_exact",     # compares the two ANN frames above
     "ml1_kmeans_cluster_sizes", # broadcast k Lloyd centroids per step

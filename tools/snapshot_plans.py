@@ -64,6 +64,8 @@ EXTRA = [
     "q8_market_share",
     "q13_order_count_distribution",
     "q21_waiting_supplier",
+    # r6 PQ ANN: codes projection + ADC broadcast join + re-rank
+    "sim5_pq_adc_ann",
 ]
 
 

@@ -45,6 +45,14 @@ SPOT_QUERIES = [
     "g4_square_count",
     "c1_decontaminate_4gram",
     "e3_session_window",
+    # r6 additions with embedded constants that must survive 10x data:
+    # q7's nation pair (supplier coverage per nation), q21's multi-
+    # supplier/late-tie structure, q22's inactivity window + balance
+    # threshold, sim5's grid codebooks + 50-wide shortlist
+    "q7_volume_shipping",
+    "q21_waiting_supplier",
+    "q22_inactive_customers",
+    "sim5_pq_adc_ann",
 ]
 
 

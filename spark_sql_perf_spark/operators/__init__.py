@@ -34,6 +34,7 @@ from ..pipeline import (  # noqa: F401
     dedup,
     grouped,
     ivf,
+    linkage,
     multimodal,
     pq,
     quality,

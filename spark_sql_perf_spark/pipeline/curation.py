@@ -551,3 +551,65 @@ def c7_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("c7_fuzzy_decontaminate", oracle=_c7_oracle())(c7_fuzzy_decontaminate)
+
+
+# ---------------------------------------------------------------------------
+# c8: sliding-window chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+_C8_WINDOW = 160  # chars per chunk
+_C8_STRIDE = 120  # chars between chunk starts (overlap = 40)
+
+
+@query(
+    "c8_chunk_overlap",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             CAST(CEIL(GREATEST(LENGTH(text) - {_C8_WINDOW - _C8_STRIDE}, 1)
+                       / {_C8_STRIDE}.0) AS INT) AS n_chunks
+      FROM documents)
+    SELECT doc_id,
+           unnest(range(0, n_chunks)) AS chunk_idx,
+           substr(text, unnest(range(0, n_chunks)) * {_C8_STRIDE} + 1,
+                  {_C8_WINDOW}) AS chunk,
+           LENGTH(substr(text, unnest(range(0, n_chunks)) * {_C8_STRIDE} + 1,
+                         {_C8_WINDOW})) AS chunk_len
+    FROM n
+    """,
+)
+def c8_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: fixed 160-char windows advancing
+    by 120 chars (40-char overlap), the standard preparation step for
+    context-window-bounded training/embedding over long documents. Chunk
+    count is ceil(max(len - overlap, 1) / stride) so every character is
+    covered and a short document still yields its single chunk.
+
+    100 TB design: a pure per-row generate (sequence + explode + substr)
+    — no shuffle, no Python, fully codegen'd; output partitioning is
+    inherited from the scan, so a downstream per-chunk embed/dedup stage
+    starts from the same partition-local layout. Chunk identity
+    (doc_id, chunk_idx) is deterministic, so re-chunking after a retry
+    or at a different parallelism yields identical rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(
+        F.greatest(F.length("text") - (_C8_WINDOW - _C8_STRIDE), F.lit(1))
+        / _C8_STRIDE
+    ).cast("int")
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_idx") * _C8_STRIDE + 1, _C8_WINDOW
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            chunk.alias("chunk"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )

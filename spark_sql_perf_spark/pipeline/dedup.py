@@ -530,3 +530,106 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos") >= 0.999)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# d7: segment-level exact dedup (C4-style line dedup)
+# ---------------------------------------------------------------------------
+
+_D7_SEG_WORDS = 12
+
+
+@query(
+    "d7_segment_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(CEIL(len(ws) / {_D7_SEG_WORDS}.0) AS INT))) AS seg_idx,
+             ws
+      FROM words),
+    seg_text AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(
+               ws[(seg_idx * {_D7_SEG_WORDS} + 1):((seg_idx + 1) * {_D7_SEG_WORDS})],
+               ' ') AS seg
+      FROM segs),
+    flagged AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+               AS kept
+      FROM seg_text)
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           COUNT(*) FILTER (kept) AS n_kept,
+           string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx)
+             AS dedup_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def d7_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment-level exact dedup (the C4/CCNet "line dedup"
+    pass: drop every repeated line across the whole corpus, keeping the
+    first occurrence, then reassemble documents from their surviving
+    lines). The testdata text is single-line, so fixed 12-word windows
+    stand in for newline segments — the machinery (segment -> global
+    first-occurrence winner -> in-order reassembly) is the deliverable
+    and is segmentation-agnostic.
+
+    100 TB design: one shuffle groups segments by their text (at scale,
+    group on xxhash64/md5 of the segment and never shuffle bodies — same
+    discipline as d1); the winner per group is min(doc_id, seg_idx) — an
+    order-independent partial aggregate, not a window sort over the whole
+    corpus (the DuckDB oracle uses ROW_NUMBER for the same keep set; the
+    Spark plan keeps the agg form because a min-struct combines map-side
+    while a global window cannot). Reassembly is a per-document sort of
+    O(segments/doc) arrays. Keep decisions are deterministic across
+    partitionings and retries because the winner key is a total order.
+    The segment derivation feeds both the winner agg and the flag join,
+    so the source scans twice — linear re-derivation (split + explode),
+    not an explosion; materialize the segment relation (as the g3
+    triangle path does its support pairs) when the source scan dominates.
+    """
+    docs = table(spark, sf_dir, "documents")
+    nseg = F.ceil(F.size(F.split("text", " ")) / _D7_SEG_WORDS).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.explode(F.sequence(F.lit(0), nseg - 1)).alias("seg_idx"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice(
+                "ws", F.col("seg_idx") * _D7_SEG_WORDS + 1, F.lit(_D7_SEG_WORDS)
+            ),
+            " ",
+        ).alias("seg"),
+    )
+    winners = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("w")
+    )
+    flagged = segs.join(winners, "seg").select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        (
+            (F.col("w.doc_id") == F.col("doc_id"))
+            & (F.col("w.seg_idx") == F.col("seg_idx"))
+        ).alias("kept"),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("seg_idx", "seg"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("dedup_text"),
+    )

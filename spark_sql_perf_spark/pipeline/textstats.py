@@ -221,3 +221,69 @@ def t6_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg_lp >= _T6_MIN_AVG_LP).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t7: PII redaction (regex scrub)
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid and identical under both regex engines in
+# play (Spark/Java util.regex and DuckDB/RE2): character classes, bounded
+# repetition, no lookaround.
+_T7_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_T7_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+@query(
+    "t7_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com or +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' re: ' || substr(text, 1, 120) AS body
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(body, '{_T7_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(body, '{_T7_PHONE}')) AS n_phones,
+           regexp_replace(regexp_replace(body, '{_T7_EMAIL}', '<EMAIL>', 'g'),
+                          '{_T7_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM enriched
+    """,
+)
+def t7_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact email addresses and phone numbers.
+    The synthetic corpus carries no PII, so the query first PLANTS a
+    deterministic contact line per document (same construction in both
+    engines — the d-family planted-duplicate trick), then runs the
+    production redaction: regexp_extract_all counts + chained global
+    regexp_replace.
+
+    100 TB design: pure per-row codegen'd string expressions — no
+    shuffle, no Python UDF (row-at-a-time Python regex is the classic
+    pipeline mistake; JVM-side regexp_replace is ~10-100x faster and the
+    pattern is compiled once per task). Patterns are restricted to the
+    common RE2/Java subset so the oracle comparison is meaningful and
+    the same spec is portable to a native scan-side filter.
+    """
+    docs = table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 120),
+    )
+    enriched = docs.select("doc_id", body.alias("body"))
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("body", F.lit(_T7_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("body", F.lit(_T7_PHONE), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("body", _T7_EMAIL, "<EMAIL>"),
+            _T7_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )

@@ -66,6 +66,10 @@ EXTRA = [
     "q21_waiting_supplier",
     # r6 PQ ANN: codes projection + ADC broadcast join + re-rank
     "sim5_pq_adc_ann",
+    # r6 pipeline additions: the two shuffle-bearing ones (c8/t7 are
+    # single-Generate scans, nothing to review)
+    "d7_segment_dedup",
+    "fz1_fuzzy_join_levenshtein",
 ]
 
 

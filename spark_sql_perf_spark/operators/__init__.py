@@ -24,6 +24,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     sorts,
     sqlpath,
     subqueries,
+    timeseries,
     tpch,
     tpch2,
     windows,

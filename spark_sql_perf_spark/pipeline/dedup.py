@@ -591,8 +591,13 @@ def d7_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not an explosion; materialize the segment relation (as the g3
     triangle path does its support pairs) when the source scan dominates.
     """
-    docs = table(spark, sf_dir, "documents")
-    nseg = F.ceil(F.size(F.split("text", " ")) / _D7_SEG_WORDS).cast("int")
+    return segment_dedup_df(table(spark, sf_dir, "documents"))
+
+
+def segment_dedup_df(docs: DataFrame, seg_words: int = _D7_SEG_WORDS) -> DataFrame:
+    """d7's corpus-wide line-dedup pipeline over any (doc_id, text) frame
+    (the scale probe drives it on generated corpora)."""
+    nseg = F.ceil(F.size(F.split("text", " ")) / seg_words).cast("int")
     segs = docs.select(
         "doc_id",
         F.split("text", " ").alias("ws"),
@@ -602,7 +607,7 @@ def d7_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_idx",
         F.array_join(
             F.slice(
-                "ws", F.col("seg_idx") * _D7_SEG_WORDS + 1, F.lit(_D7_SEG_WORDS)
+                "ws", F.col("seg_idx") * seg_words + 1, F.lit(seg_words)
             ),
             " ",
         ).alias("seg"),

@@ -70,6 +70,9 @@ EXTRA = [
     # single-Generate scans, nothing to review)
     "d7_segment_dedup",
     "fz1_fuzzy_join_levenshtein",
+    # r6 time-series: per-series LOCF window, day-partitioned sweep
+    "ts1_gapfill_locf",
+    "ts2_interval_concurrency",
 ]
 
 

@@ -170,6 +170,133 @@ def ts2_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_concurrency_df(iv)
 
 
+@query(
+    "ts3_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts AS t,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY t, v) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY t DESC, v DESC) AS rn_d
+      FROM e)
+    SELECT user_id, day,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+           CAST(MAX(v) AS DOUBLE) AS high,
+           CAST(MIN(v) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY 1, 2
+    """,
+)
+def ts3_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each user's value stream into daily OHLC bars (open /
+    high / low / close / tick count) — the candlestick rollup every
+    metrics store ships.
+
+    open/close are first/last by (ts, value) — the value tiebreak makes
+    the bar deterministic when two ticks share a timestamp (min_by/max_by
+    would be tie-nondeterministic and hash-unstable vs the oracle).
+
+    100 TB design: both row_number windows and the final groupBy share
+    the (user_id, day) partitioning, so the plan is one shuffle plus a
+    partition-local re-sort for the descending window; bars parallelize
+    across series-days. Values aggregate as exact DECIMAL and convert to
+    double once at the edge.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("ts").alias("t"),
+        dec("value").alias("v"),
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("t", "v")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("t").desc(), F.col("v").desc()
+    )
+    r = ev.select(
+        "user_id",
+        "day",
+        "v",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("v"))).cast("double").alias("open"),
+        F.max("v").cast("double").alias("high"),
+        F.min("v").cast("double").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v"))).cast("double").alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@query(
+    "ts4_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts AS t, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events),
+    d AS (
+      SELECT user_id, v,
+             date_diff('second', t,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t, v)) AS w
+      FROM e),
+    s AS (
+      SELECT user_id, SUM(v * w) AS vw, SUM(w) AS sw,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM d WHERE w IS NOT NULL AND w > 0 GROUP BY 1)
+    SELECT user_id,
+           CAST(vw AS DOUBLE) AS sum_vw,
+           CAST(sw AS BIGINT) AS sum_w,
+           CAST(vw AS DOUBLE) / CAST(sw AS DOUBLE) AS twa,
+           n_spans
+    FROM s
+    """,
+)
+def ts4_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average: each sample holds its value until
+    the next sample, so the mean weights each reading by its holding
+    duration (seconds) — the irregular-sampling average a plain AVG gets
+    wrong. The last sample (no successor) and zero-duration spans carry
+    no weight and are excluded.
+
+    100 TB design: one lead() window partitioned by series, then a
+    partial-combining groupBy on the same key — a single shuffle.
+    Weighted mass accumulates as exact DECIMAL x BIGINT-seconds
+    (order-independent, hash-stable); the only floating-point op is the
+    final one-shot division of the two exact sums.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("t"), dec("value").alias("v")
+    )
+    wl = Window.partitionBy("user_id").orderBy("t", "v")
+    d = ev.select(
+        "user_id",
+        "v",
+        (F.lead("t").over(wl).cast("long") - F.col("t").cast("long")).alias("w"),
+    )
+    s = (
+        d.where(F.col("w").isNotNull() & (F.col("w") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * F.col("w")).alias("vw"),
+            F.sum("w").alias("sw"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    return s.select(
+        "user_id",
+        F.col("vw").cast("double").alias("sum_vw"),
+        F.col("sw").cast("bigint").alias("sum_w"),
+        (F.col("vw").cast("double") / F.col("sw").cast("double")).alias("twa"),
+        "n_spans",
+    )
+
+
 def interval_concurrency_df(iv: DataFrame) -> DataFrame:
     """ts2's day-partitioned sweep over any (s, e) half-open interval
     frame (the scale probe drives it on generated intervals)."""

@@ -1,0 +1,164 @@
+"""Semantics tests for the time-series operators (ts1/ts2) on hand-built
+frames — edge cases the sf0.01 oracle data exercises only statistically:
+day-boundary-crossing intervals, half-open touching endpoints, LOCF
+across multi-bucket gaps, and single-event series.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spark_sql_perf_spark.operators.timeseries import (
+    gapfill_locf_df,
+    interval_concurrency_df,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, _ts(t), v) for u, t, v in rows],
+        "user_id long, ts timestamp, value double",
+    )
+
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(
+        [(_ts(s), _ts(e)) for s, e in rows], "s timestamp, e timestamp"
+    )
+
+
+class TestGapfillLocf:
+    def test_gap_is_filled_and_carried_forward(self, spark):
+        # events at 00h and 03h -> grid has 01h and 02h with n_events=0,
+        # NULL raw sum, and the 00h value carried forward
+        out = gapfill_locf_df(
+            _events(
+                spark,
+                [
+                    (1, "2024-01-01 00:10:00", 5.0),
+                    (1, "2024-01-01 03:20:00", 7.0),
+                ],
+            )
+        ).orderBy("bucket_hour")
+        rows = out.collect()
+        assert [r["bucket_hour"].hour for r in rows] == [0, 1, 2, 3]
+        assert [r["n_events"] for r in rows] == [1, 0, 0, 1]
+        assert [r["sum_value"] for r in rows] == [5.0, None, None, 7.0]
+        assert [r["locf_value"] for r in rows] == [5.0, 5.0, 5.0, 7.0]
+
+    def test_single_event_series_is_one_bucket(self, spark):
+        rows = gapfill_locf_df(
+            _events(spark, [(9, "2024-03-05 13:59:59", 2.5)])
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["bucket_hour"] == _ts("2024-03-05 13:00:00")
+        assert (r["n_events"], r["sum_value"], r["locf_value"]) == (1, 2.5, 2.5)
+
+    def test_series_are_independent(self, spark):
+        # user 2's values never leak into user 1's LOCF
+        out = gapfill_locf_df(
+            _events(
+                spark,
+                [
+                    (1, "2024-01-01 00:00:00", 1.0),
+                    (1, "2024-01-01 02:00:00", 3.0),
+                    (2, "2024-01-01 01:00:00", 100.0),
+                ],
+            )
+        )
+        u1 = {r["bucket_hour"].hour: r["locf_value"]
+              for r in out.where(F.col("user_id") == 1).collect()}
+        assert u1 == {0: 1.0, 1: 1.0, 2: 3.0}
+        assert out.where(F.col("user_id") == 2).count() == 1
+
+    def test_multiple_events_in_bucket_sum(self, spark):
+        r = gapfill_locf_df(
+            _events(
+                spark,
+                [
+                    (1, "2024-01-01 05:01:00", 1.5),
+                    (1, "2024-01-01 05:59:00", 2.0),
+                ],
+            )
+        ).collect()[0]
+        assert (r["n_events"], r["sum_value"]) == (2, 3.5)
+
+
+class TestIntervalConcurrency:
+    def test_touching_intervals_do_not_overlap(self, spark):
+        # [10:00, 10:10) and [10:10, 10:20): half-open, peak is 1
+        out = interval_concurrency_df(
+            _intervals(
+                spark,
+                [
+                    ("2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+                    ("2024-01-01 10:10:00", "2024-01-01 10:20:00"),
+                ],
+            )
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["max_concurrent"] == 1
+        assert out[0]["n_active"] == 2
+
+    def test_true_overlap_counts(self, spark):
+        out = interval_concurrency_df(
+            _intervals(
+                spark,
+                [
+                    ("2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+                    ("2024-01-01 10:05:00", "2024-01-01 10:15:00"),
+                    ("2024-01-01 10:09:00", "2024-01-01 10:19:00"),
+                ],
+            )
+        ).collect()[0]
+        assert out["max_concurrent"] == 3  # all open in [10:09, 10:10)
+
+    def test_interval_crossing_midnight_hits_both_days(self, spark):
+        out = {
+            r["day"]: (r["max_concurrent"], r["n_active"])
+            for r in interval_concurrency_df(
+                _intervals(
+                    spark,
+                    [("2024-01-01 23:55:00", "2024-01-02 00:05:00")],
+                )
+            ).collect()
+        }
+        assert out == {
+            dt.date(2024, 1, 1): (1, 1),
+            dt.date(2024, 1, 2): (1, 1),
+        }
+
+    def test_interval_ending_exactly_at_midnight_stays_in_first_day(self, spark):
+        # half-open [23:50, 00:00) must NOT produce a day-2 segment
+        rows = interval_concurrency_df(
+            _intervals(
+                spark,
+                [("2024-01-01 23:50:00", "2024-01-02 00:00:00")],
+            )
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["day"] == dt.date(2024, 1, 1)
+
+    def test_multi_day_interval_spans_every_day(self, spark):
+        days = sorted(
+            r["day"]
+            for r in interval_concurrency_df(
+                _intervals(
+                    spark,
+                    [("2024-01-01 12:00:00", "2024-01-04 06:00:00")],
+                )
+            ).collect()
+        )
+        assert days == [
+            dt.date(2024, 1, 1),
+            dt.date(2024, 1, 2),
+            dt.date(2024, 1, 3),
+            dt.date(2024, 1, 4),
+        ]

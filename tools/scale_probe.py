@@ -371,14 +371,13 @@ def pq_section(pq_res: dict[int, dict[str, float]]) -> list[str]:
     ]
 
 
-def patch_pq_section(pq_res: dict[int, float]) -> None:
-    """Replace (or insert before the 64M-decomposition section) the PQ
-    cells section of an existing SCALE_PROBE.md, so the pq-only mode
-    does not force the ~85-minute full regeneration."""
+def _patch_section(title: str, lines: list[str]) -> None:
+    """Replace (or insert before the 64M-decomposition section) one `## `
+    section of an existing SCALE_PROBE.md, so a single-shape mode does
+    not force the ~85-minute full regeneration."""
     with open("SCALE_PROBE.md") as f:
         text = f.read()
-    lines = pq_section(pq_res)
-    start = text.find("## PQ ANN cells")
+    start = text.find(title)
     if start >= 0:
         end = text.find("\n## ", start + 1)
         end = len(text) if end < 0 else end + 1
@@ -391,7 +390,156 @@ def patch_pq_section(pq_res: dict[int, float]) -> None:
             text = text[:anchor] + "\n".join(lines) + "\n" + text[anchor:]
     with open("SCALE_PROBE.md", "w") as f:
         f.write(text)
-    print("patched SCALE_PROBE.md (PQ section)")
+    print(f"patched SCALE_PROBE.md ({title})")
+
+
+def patch_pq_section(pq_res: dict[int, float]) -> None:
+    _patch_section("## PQ ANN cells", pq_section(pq_res))
+
+
+R6_SCALES = [1_000_000, 4_000_000, 16_000_000]
+
+
+def probe_r6(spark, n: int) -> dict[str, float]:
+    """The round-6 pipeline shapes at volume, over generated data:
+
+    seg_dedup   d7's corpus-wide segment dedup: explode docs into
+                fixed-width word segments, first-occurrence keep by
+                segment hash (never segment text), in-order reassembly.
+                Work is explode + one hash shuffle — must track corpus
+                size ~linearly.
+    ts_gapfill  ts1's resample + LOCF: per-series `sequence` grid (never
+                users x global-span), left join, series-partitioned
+                ignorenulls window. Grid rows ~= active-span hours per
+                series; with fixed per-series span the cell must be
+                ~linear in events.
+    ts_sweep    ts2's day-partitioned sweep line, in the deployment
+                shape where data grows in TIME SPAN (days scale with n,
+                per-day interval density constant) — per-day window
+                state is then flat and the cell must be ~linear.
+    """
+    from spark_sql_perf_spark.operators.timeseries import (
+        gapfill_locf_df,
+        interval_concurrency_df,
+    )
+    from spark_sql_perf_spark.pipeline.dedup import segment_dedup_df
+
+    out = {}
+
+    def t(name, df):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+
+    # d7 shape: n/4 docs x 12 words (3 segments of 4). 1/8 of docs are
+    # verbatim copies of an earlier doc, and 1/4 share a fixed 4-word
+    # boilerplate head — the corpus-wide repeated-line motivation (C4).
+    docs = gen_table(spark, n // 4, {
+        "doc_id": lambda idc: idc,
+        "dup_of": lambda idc: F.when(
+            (uniform_int(idc, "segdup", 0, 7) == 0) & (idc >= 8),
+            (idc / 8).cast("long")).otherwise(idc),
+        "boiler": lambda idc: uniform_int(idc, "boiler", 0, 3),
+    })
+
+    def word(i):
+        return F.concat(
+            F.lit("tok"),
+            uniform_int(F.col("dup_of"), f"sw{i}", 0, 4999).cast("string"))
+
+    head = [
+        F.when(F.col("boiler") == 0, F.lit(f"std{i}")).otherwise(word(i))
+        for i in range(4)
+    ]
+    text = F.concat_ws(" ", *head, *[word(i) for i in range(4, 12)])
+    t("seg_dedup",
+      segment_dedup_df(docs.select("doc_id", text.alias("text")), seg_words=4))
+
+    # ts1 shape: n events over n/64 series, each spanning <= 14 days ->
+    # <= 336 grid hours per series (~5x row amplification at avg gap)
+    n_users = max(n // 64, 16)
+    ev = gen_table(spark, n, {
+        "user_id": lambda idc: idc % n_users,
+        "ts": lambda idc: F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + uniform_int(idc, "tmin", 0, 14 * 24 * 60 - 1) * 60),
+        "value": lambda idc: (uniform_int(idc, "tv", 0, 1_000_000) / 100.0),
+    })
+    t("ts_gapfill", gapfill_locf_df(ev))
+
+    # ts2 shape: n intervals spread over n/250k days (per-day density
+    # constant — time-series data grows in span), 5..120 min durations
+    n_days = max(n // 250_000, 8)
+    base = gen_table(spark, n, {
+        "sep": lambda idc: (
+            F.lit(1_700_000_000)
+            + uniform_int(idc, "ivd", 0, n_days * 24 * 60 - 1) * 60),
+        "dur": lambda idc: uniform_int(idc, "ivdur", 5, 120) * 60,
+    })
+    iv = base.select(
+        F.timestamp_seconds("sep").alias("s"),
+        F.timestamp_seconds(F.col("sep") + F.col("dur")).alias("e"),
+    )
+    t("ts_sweep", interval_concurrency_df(iv))
+    return out
+
+
+def r6_cells(spark) -> dict[int, dict[str, float]]:
+    out = {}
+    for n in R6_SCALES:
+        out[n] = probe_r6(spark, n)
+        print(f"r6@{n}: {out[n]}", flush=True)
+    return out
+
+
+def r6_section(res: dict[int, dict[str, float]]) -> list[str]:
+    base, top = res[R6_SCALES[0]], res[R6_SCALES[-1]]
+    ratio = R6_SCALES[-1] // R6_SCALES[0]
+    keys = ["seg_dedup", "ts_gapfill", "ts_sweep"]
+    return [
+        "## Segment-dedup & time-series cells (d7/ts1/ts2 shapes)",
+        "",
+        "seg_dedup runs d7's corpus-wide segment dedup (explode into",
+        "4-word segments, first-occurrence keep by segment HASH, in-order",
+        "reassembly) over n/4 generated docs with planted doc copies and",
+        "a shared boilerplate head. ts_gapfill runs ts1's per-series",
+        "hourly resample + LOCF over n events in n/64 series of <= 14-day",
+        "span — the grid is generated per series, so amplification is",
+        "bounded by span, never users x global range. ts_sweep runs",
+        "ts2's day-partitioned sweep line over n intervals spread across",
+        "n/250k days (per-day density constant: time-series growth is",
+        "span growth, and per-day window state stays flat). Regenerate",
+        "alone with: `python tools/scale_probe.py r6`.",
+        "",
+        "| rows | " + " | ".join(keys) + " |",
+        "|---|" + "---|" * len(keys),
+        *[
+            f"| {n:,} | " + " | ".join(f"{res[n][k]}s" for k in keys) + " |"
+            for n in R6_SCALES
+        ],
+        "",
+        f"Data grew {ratio}x; "
+        + ", ".join(
+            f"{k} {top[k] / max(base[k], 0.01):.1f}x" for k in keys
+        )
+        + ". The 1M cells sit partly on fixed job overhead; the",
+        "meaningful slope is the last step "
+        f"({R6_SCALES[-2] // 1_000_000}M -> {R6_SCALES[-1] // 1_000_000}M, "
+        f"{R6_SCALES[-1] // R6_SCALES[-2]}x data): "
+        + ", ".join(
+            f"{k} {top[k] / max(res[R6_SCALES[-2]][k], 0.01):.1f}x" for k in keys
+        )
+        + ".",
+        "",
+    ]
+
+
+def patch_r6_section(res: dict[int, dict[str, float]]) -> None:
+    _patch_section(
+        "## Segment-dedup & time-series cells", r6_section(res))
 
 
 def probe_seq_packing(spark, n_docs: int):
@@ -667,6 +815,7 @@ def main() -> None:
     salt = factfact_salting_ab(spark)
     print("factfact_salting@64M:", salt, flush=True)
     pq_res = pq_cells(spark)
+    r6_res = r6_cells(spark)
 
     time_keys = [
         k for k in results[SCALES[0]]
@@ -796,6 +945,7 @@ def main() -> None:
         "~flat while the table grows 64x.",
         "",
         *pq_section(pq_res),
+        *r6_section(r6_res),
         "## 64M-point decomposition (the steepest cells)",
         "",
         "Profiled fact_fact_join at 64M rows: generation alone is ~2.3s,",
@@ -821,6 +971,11 @@ if __name__ == "__main__":
         spark.sparkContext.setLogLevel("ERROR")
         # no separate warmup: min-of-2 absorbs JIT in the 1M cell's first shot
         patch_pq_section(pq_cells(spark))
+        spark.stop()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r6":
+        spark = build_session("scale-probe-r6")
+        spark.sparkContext.setLogLevel("ERROR")
+        patch_r6_section(r6_cells(spark))
         spark.stop()
     else:
         main()

@@ -70,9 +70,12 @@ EXTRA = [
     # single-Generate scans, nothing to review)
     "d7_segment_dedup",
     "fz1_fuzzy_join_levenshtein",
-    # r6 time-series: per-series LOCF window, day-partitioned sweep
+    # r6 time-series: per-series LOCF window, day-partitioned sweep,
+    # shared-exchange OHLC windows, single-shuffle TWA
     "ts1_gapfill_locf",
     "ts2_interval_concurrency",
+    "ts3_ohlc_bars",
+    "ts4_time_weighted_avg",
 ]
 
 

@@ -214,7 +214,12 @@ def e5_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """`events` as a true stream: a file source watching ``stream_dir``
     (Spark's file stream source requires a directory — the production shape,
     where upstream lands one parquet file per micro-batch).
@@ -230,7 +235,12 @@ def stream_events(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFram
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = spark.readStream.schema(raw.schema).parquet(stream_dir)
+    reader = spark.readStream.schema(raw.schema)
+    if max_files_per_trigger is not None:
+        # one file per micro-batch: lets tests drive MULTI-batch behavior
+        # (cross-batch state) through the same AvailableNow drain
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(stream_dir)
     from ..catalog import _ts_as_timestamp
 
     return stream.withColumn("ts", _ts_as_timestamp(raw))
@@ -254,13 +264,17 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str, stream_dir: str) -> Dat
     )
 
 
-def run_stream_once(df: DataFrame, table_name: str) -> None:
+def run_stream_once(
+    df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
     """Drain a streaming DataFrame into an in-memory sink (AvailableNow)."""
     q = (
         df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"stream {table_name} did not drain within 120s")

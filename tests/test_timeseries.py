@@ -1,12 +1,16 @@
 """Semantics tests for the time-series operators (ts1/ts2) on hand-built
 frames — edge cases the sf0.01 oracle data exercises only statistically:
 day-boundary-crossing intervals, half-open touching endpoints, LOCF
-across multi-bucket gaps, and single-event series.
+across multi-bucket gaps, and single-event series — plus batch-equality
+for the streaming twins (watermarked OHLC, stateful gap-fill).
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import math
+import os
+import tempfile
 
 from pyspark.sql import functions as F
 
@@ -14,6 +18,7 @@ from spark_sql_perf_spark.operators.timeseries import (
     gapfill_locf_df,
     interval_concurrency_df,
 )
+from tests.conftest import SF_DIR_TINY
 
 
 def _ts(s: str) -> dt.datetime:
@@ -162,3 +167,81 @@ class TestIntervalConcurrency:
             dt.date(2024, 1, 3),
             dt.date(2024, 1, 4),
         ]
+
+
+class TestStreamingTimeseries:
+    def test_streaming_ohlc_matches_batch(self, spark):
+        from spark_sql_perf_spark.operators import QUERIES
+        from spark_sql_perf_spark.streaming.timeseries import streaming_ohlc
+        from spark_sql_perf_spark.streaming.windows import run_stream_once
+
+        stream_dir = tempfile.mkdtemp(prefix="events-ohlc-stream-")
+        os.symlink(
+            f"{SF_DIR_TINY}/events.parquet",
+            os.path.join(stream_dir, "part-0.parquet"),
+        )
+        sdf = streaming_ohlc(spark, SF_DIR_TINY, stream_dir)
+        assert sdf.isStreaming
+        run_stream_once(sdf, "stream_ohlc_out")
+        got = {
+            (r.user_id, r.day): (r.open, r.high, r.low, r.close, r.n_ticks)
+            for r in spark.table("stream_ohlc_out").collect()
+        }
+        want = {
+            (r.user_id, r.day): (r.open, r.high, r.low, r.close, r.n_ticks)
+            for r in QUERIES["ts3_ohlc_bars"](spark, SF_DIR_TINY).collect()
+        }
+        assert got == want
+
+    def test_streaming_gapfill_matches_batch_across_microbatches(self, spark):
+        from spark_sql_perf_spark.operators import QUERIES
+        from spark_sql_perf_spark.streaming.timeseries import streaming_gapfill_locf
+        from spark_sql_perf_spark.streaming.windows import stream_events
+
+        # split the table at an HOUR boundary into two files -> with
+        # maxFilesPerTrigger=1 the second half arrives in a later
+        # micro-batch, exercising the cross-batch LOCF state (hour
+        # alignment guarantees no event is late w.r.t. emitted buckets)
+        from spark_sql_perf_spark.catalog import _ts_as_timestamp
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{SF_DIR_TINY}/events.parquet")
+        ts = _ts_as_timestamp(ev)
+        lo, hi = ev.select(F.min(ts), F.max(ts)).first()
+        cut = (lo + (hi - lo) / 2).replace(minute=0, second=0, microsecond=0)
+        stream_dir = tempfile.mkdtemp(prefix="events-gapfill-stream-")
+        for i, part in enumerate((ev.where(ts < F.lit(cut)),
+                                  ev.where(ts >= F.lit(cut)))):
+            pdir = os.path.join(stream_dir, f"in{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(pdir)
+            src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+            dst = os.path.join(stream_dir, f"part-{i}.parquet")
+            os.rename(os.path.join(pdir, src), dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+        src = (
+            stream_events(spark, SF_DIR_TINY, stream_dir, max_files_per_trigger=1)
+            .withWatermark("ts", "1 hour")
+            .select("user_id", "ts", "value")
+        )
+        out = streaming_gapfill_locf(src)
+        assert out.isStreaming
+        from spark_sql_perf_spark.streaming.windows import run_stream_once
+
+        run_stream_once(out, "stream_gapfill_out", output_mode="append")
+
+        def norm(v):
+            return None if v is None or (isinstance(v, float) and math.isnan(v)) \
+                else round(v, 6)
+
+        got = {
+            (r.user_id, r.bucket_hour): (r.n_events, norm(r.sum_value),
+                                         norm(r.locf_value))
+            for r in spark.table("stream_gapfill_out").collect()
+        }
+        want = {
+            (r.user_id, r.bucket_hour): (r.n_events, norm(r.sum_value),
+                                         norm(r.locf_value))
+            for r in QUERIES["ts1_gapfill_locf"](spark, SF_DIR_TINY).collect()
+        }
+        assert got == want

@@ -23,6 +23,8 @@ final agg is partial). The statistics-driven join planner in
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -218,12 +220,25 @@ def naive_pattern_max_edges(spark: SparkSession | None) -> int:
 
 _SKEW_SAMPLE_TARGET = 1 << 17  # ~131k sampled edges bounds the probe job
 
-# (session id, semantic plan hash) -> estimated max degree. The probe
-# costs one pass over the (under-ceiling) edge relation; memoizing on
-# the SEMANTIC plan hash means repeated pattern queries over the same
-# graph — a bench loop, a triangle+square pair on one edge set — pay it
-# once per session instead of once per DataFrame construction.
-_DEGREE_MEMO: dict[tuple[int, int], int] = {}
+# session -> {semantic plan hash: estimated max degree}. The probe costs
+# one pass over the (under-ceiling) edge relation; memoizing on the
+# SEMANTIC plan hash means repeated pattern queries over the same graph
+# — a bench loop, a triangle+square pair on one edge set — pay it once
+# per session instead of once per DataFrame construction. Keyed on a
+# WeakKeyDictionary of the live session object (not id(), which the
+# allocator can reuse after a stopped session is GC'd), so entries die
+# with their session and cannot leak across sessions; the per-session
+# dict is size-bounded. Known staleness: semanticHash covers the PLAN,
+# not the data — if files under a memoized plan's path are rewritten
+# in-session, call clear_degree_memo() (or build the DataFrame afresh
+# with a different plan shape) before re-planning pattern queries.
+_DEGREE_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+_DEGREE_MEMO_MAX = 256
+
+
+def clear_degree_memo() -> None:
+    """Drop memoized degree estimates (after rewriting data in place)."""
+    _DEGREE_MEMO.clear()
 
 
 def sampled_max_degree(g: DataFrame, est_rows: int) -> int:
@@ -240,14 +255,16 @@ def sampled_max_degree(g: DataFrame, est_rows: int) -> int:
     a broadcast-sized relation, the same sample-then-plan discipline a
     cost-based optimizer applies, never a pass over a 100 TB graph
     (those exceed the ceiling and take the ordered path with no probe).
-    Results are memoized per (session, semantic plan hash).
+    Results are memoized per live session (see _DEGREE_MEMO's staleness
+    note; clear_degree_memo() resets).
     """
     try:
-        key = (id(g.sparkSession), g.semanticHash())
+        memo = _DEGREE_MEMO.setdefault(g.sparkSession, {})
+        key = g.semanticHash()
     except Exception:
-        key = None
-    if key is not None and key in _DEGREE_MEMO:
-        return _DEGREE_MEMO[key]
+        memo, key = None, None
+    if memo is not None and key in memo:
+        return memo[key]
     k = max(1, est_rows // _SKEW_SAMPLE_TARGET)
     s = g if k == 1 else g.where(F.pmod(F.xxhash64("src", "dst"), F.lit(k)) == 0)
     degs = (
@@ -258,8 +275,10 @@ def sampled_max_degree(g: DataFrame, est_rows: int) -> int:
     )
     row = degs.agg(F.max("d").alias("mx")).first()
     mx = 0 if row is None or row["mx"] is None else int(row["mx"])
-    if key is not None:
-        _DEGREE_MEMO[key] = mx * k
+    if memo is not None:
+        if len(memo) >= _DEGREE_MEMO_MAX:
+            memo.clear()
+        memo[key] = mx * k
     return mx * k
 
 

@@ -299,7 +299,14 @@ def ts4_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def interval_concurrency_df(iv: DataFrame) -> DataFrame:
     """ts2's day-partitioned sweep over any (s, e) half-open interval
-    frame (the scale probe drives it on generated intervals)."""
+    frame (the scale probe drives it on generated intervals).
+
+    Empty (e == s) and malformed (e < s) intervals contribute nothing:
+    without the guard, a zero-length interval starting exactly at
+    midnight makes `sequence(day(s), day(e - 1us))` run backwards and
+    Spark throws at runtime — DuckDB's generate_series returns empty for
+    the same bounds, so dropping the row keeps the engines aligned."""
+    iv = iv.where(F.col("e") > F.col("s"))
     segs = iv.select(
         "s",
         "e",

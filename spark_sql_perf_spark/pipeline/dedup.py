@@ -625,16 +625,23 @@ def segment_dedup_df(docs: DataFrame, seg_words: int = _D7_SEG_WORDS) -> DataFra
         ).alias("kept"),
     )
     kept_struct = F.when(F.col("kept"), F.struct("seg_idx", "seg"))
-    return flagged.groupBy("doc_id").agg(
+    agg = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
-        F.nullif(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(kept_struct)), lambda s: s["seg"]
-                ),
-                " ",
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)), lambda s: s["seg"]
             ),
-            F.lit(""),
-        ).alias("dedup_text"),
+            " ",
+        ).alias("joined"),
+    )
+    # NULL iff NO segment survived (string_agg-over-empty semantics) —
+    # keyed on n_kept, not nullif(joined, ''), so a doc whose only kept
+    # segment IS the empty string stays '' exactly like the oracle's
+    # string_agg over [''] does
+    return agg.select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.col("joined")).alias("dedup_text"),
     )

@@ -169,6 +169,61 @@ def _oracle() -> str:
     """
 
 
+def pq_codes(dists: DataFrame) -> DataFrame:
+    """Corpus code assignment: collapse each sub-distance array to its
+    first-minimum index (ties to the lowest code, matching DuckDB
+    list_position-of-list_min)."""
+    return dists.select(
+        "vec_id",
+        *[
+            F.array_position(F.col(f"dm{m}"), F.array_min(F.col(f"dm{m}"))).alias(f"c{m}")
+            for m in range(M_SUB)
+        ],
+    )
+
+
+def adc_serve(
+    vecs: DataFrame,
+    q: DataFrame,
+    codes: DataFrame,
+    n_queries: int,
+    shortlist: int = _SHORTLIST,
+) -> DataFrame:
+    """The ADC serving path shared by sim5 and the scale probe: broadcast
+    the query LUT rows against the codes, sum M table lookups, keep the
+    top-`shortlist` per query, exact-re-rank the shortlist against the
+    raw vectors. Returns (query_id, neighbor_id, d2) — callers rank.
+    Living here (not copy-pasted into the probe) keeps the probe
+    measuring the exact plan the registry query serves; the probe's
+    persist() materialization boundary stays at its call site.
+    """
+    q = q.alias("q")
+    c = codes.alias("c")
+    adc = None
+    for m in range(M_SUB):
+        term = F.element_at(F.col(f"q.dm{m}"), F.col(f"c.c{m}").cast("int"))
+        adc = term if adc is None else adc + term
+    scored = F.broadcast(q).crossJoin(c).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        adc.alias("adc"),
+    )
+    sw = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    short = (
+        scored.select("query_id", "neighbor_id", F.row_number().over(sw).alias("srn"))
+        .where(F.col("srn") <= shortlist)
+        .drop("srn")
+    )
+    qv = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return (
+        vecs.join(F.broadcast(short), vecs.vec_id == short.neighbor_id)
+        .join(F.broadcast(qv), F.col("query_id") == F.col("qid"))
+        .select("query_id", "neighbor_id", _exact_d2("qv", "v").alias("d2"))
+    )
+
+
 @query("sim5_pq_adc_ann", oracle=_oracle())
 def sim5_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN: ADC shortlist over 4-bit codes, exact re-rank.
@@ -183,37 +238,9 @@ def sim5_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dists = _dist_arrays(vecs).drop("v")
-    q = dists.where(F.col("vec_id") < _N_QUERIES).alias("q")
-    c = dists.where(F.col("vec_id") >= _N_QUERIES).select(
-        "vec_id",
-        *[
-            F.array_position(F.col(f"dm{m}"), F.array_min(F.col(f"dm{m}"))).alias(f"c{m}")
-            for m in range(M_SUB)
-        ],
-    ).alias("c")
-    adc = None
-    for m in range(M_SUB):
-        term = F.element_at(F.col(f"q.dm{m}"), F.col(f"c.c{m}").cast("int"))
-        adc = term if adc is None else adc + term
-    scored = F.broadcast(q).crossJoin(c).select(
-        F.col("q.vec_id").alias("query_id"),
-        F.col("c.vec_id").alias("neighbor_id"),
-        adc.alias("adc"),
-    )
-    sw = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    short = (
-        scored.select("query_id", "neighbor_id", F.row_number().over(sw).alias("srn"))
-        .where(F.col("srn") <= _SHORTLIST)
-        .drop("srn")
-    )
-    qv = vecs.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    rerank = (
-        vecs.join(F.broadcast(short), vecs.vec_id == short.neighbor_id)
-        .join(F.broadcast(qv), F.col("query_id") == F.col("qid"))
-        .select("query_id", "neighbor_id", _exact_d2("qv", "v").alias("d2"))
-    )
+    q = dists.where(F.col("vec_id") < _N_QUERIES)
+    codes = pq_codes(dists.where(F.col("vec_id") >= _N_QUERIES))
+    rerank = adc_serve(vecs, q, codes, _N_QUERIES)
     w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     return (
         rerank.select("*", F.row_number().over(w).alias("rn"))

@@ -8,8 +8,9 @@ partial aggregates combine across micro-batches exactly like sum/count,
 so no custom state is needed. Gap-fill cannot: emitting buckets that had
 NO input rows is outside foldable aggregation, so it is the canonical
 custom stateful operator — `applyInPandasWithState` with one tiny state
-row per series (last emitted hour + carried value), Arrow-batched per
-group, bounded memory regardless of stream length.
+row per series (finalized frontier + carried value + the open hours'
+partials, bounded by the watermark delay), Arrow-batched per group,
+bounded memory regardless of stream length.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -74,90 +76,128 @@ GAPFILL_OUTPUT = StructType(
     ]
 )
 
-# last emitted bucket (epoch microseconds) + the carried-forward value
+# finalized frontier (epoch microseconds) + carried LOCF value, plus the
+# still-OPEN hours' partial aggregates (parallel arrays keyed by hour).
+# Open state is bounded by the watermark delay: an hour leaves the arrays
+# as soon as the watermark passes its end.
 GAPFILL_STATE = StructType(
     [
         StructField("last_hour_us", LongType()),
         StructField("carried", DoubleType()),
+        StructField("open_hours", ArrayType(LongType())),
+        StructField("open_ns", ArrayType(LongType())),
+        StructField("open_sums", ArrayType(DoubleType())),
     ]
 )
 
 _HOUR_US = 3_600_000_000
+_HOUR_MS = 3_600_000
 
 
 def _gapfill_user(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    hours = (
-        pdf["ts"].astype("datetime64[us]").astype("int64") // _HOUR_US * _HOUR_US
-    )
-    agg = (
-        pdf.assign(h=hours)
-        .groupby("h")["value"]
-        .agg(n="size", s="sum")
-        .sort_index()
-    )
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
     if state.exists:
-        last_us, carried = state.get
-        # buckets at or before the last emitted hour are late arrivals;
-        # emitted buckets are final (append mode), so they are dropped —
-        # the caller's watermark is the contract for how late is too late
-        agg = agg[agg.index > last_us]
-        if agg.empty:
-            return
-        start_us = last_us + _HOUR_US
+        last_us, carried, oh, on, osum = state.get
+        opens = {int(h): (int(n), float(s)) for h, n, s in zip(oh, on, osum)}
+        has_last = last_us is not None
     else:
-        if agg.empty:
-            return
-        carried = None
-        start_us = int(agg.index[0])
-    end_us = int(agg.index[-1])
-    bucket = agg.to_dict("index")
-    out_t, out_n, out_s, out_l = [], [], [], []
-    for t in range(start_us, end_us + _HOUR_US, _HOUR_US):
-        b = bucket.get(t)
-        if b is not None:
-            n, s = int(b["n"]), float(b["s"])
-            carried = s
-        else:
-            n, s = 0, None
-        out_t.append(t)
-        out_n.append(n)
-        out_s.append(s)
-        out_l.append(carried)
-    state.update((end_us, carried))
-    yield pd.DataFrame(
-        {
-            "user_id": user_id,
-            "bucket_hour": pd.to_datetime(pd.Series(out_t), unit="us"),
-            "n_events": out_n,
-            "sum_value": pd.array(out_s, dtype="float64"),
-            "locf_value": pd.array(out_l, dtype="float64"),
-        }
+        last_us, carried, opens, has_last = None, None, {}, False
+
+    if not state.hasTimedOut:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        hours = (
+            pdf["ts"].astype("datetime64[us]").astype("int64")
+            // _HOUR_US * _HOUR_US
+        )
+        agg = pdf.assign(h=hours).groupby("h")["value"].agg(n="size", s="sum")
+        for h, row in agg.iterrows():
+            h = int(h)
+            if has_last and h <= last_us:
+                continue  # late past the finalized frontier: dropped (append mode)
+            n0, s0 = opens.get(h, (0, 0.0))
+            opens[h] = (n0 + int(row["n"]), s0 + float(row["s"]))
+
+    if not opens:
+        if state.exists:
+            state.update((last_us, carried, [], [], []))
+        return
+
+    # an hour is final once the watermark passes its END — until then it
+    # stays open in state so in-order events landing in the same hour
+    # across micro-batch boundaries (and late events the watermark still
+    # admits) merge instead of being dropped
+    newest = max(opens)
+    # largest GRID hour whose end the watermark has passed — floored to
+    # the hour grid, or the finalized frontier drifts off-alignment
+    emit_end = min(newest, (wm_us // _HOUR_US - 1) * _HOUR_US)
+    start_us = last_us + _HOUR_US if has_last else min(opens)
+
+    if emit_end >= start_us:
+        out_t, out_n, out_s, out_l = [], [], [], []
+        for t in range(start_us, emit_end + _HOUR_US, _HOUR_US):
+            b = opens.pop(t, None)
+            if b is not None:
+                n, s = b
+                carried = s
+            else:
+                n, s = 0, None
+            out_t.append(t)
+            out_n.append(n)
+            out_s.append(s)
+            out_l.append(carried)
+        last_us = emit_end
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "bucket_hour": pd.to_datetime(pd.Series(out_t), unit="us"),
+                "n_events": out_n,
+                "sum_value": pd.array(out_s, dtype="float64"),
+                "locf_value": pd.array(out_l, dtype="float64"),
+            }
+        )
+
+    kept = sorted(h for h in opens if h > (last_us if last_us is not None else -(1 << 62)))
+    state.update(
+        (
+            last_us,
+            carried,
+            kept,
+            [opens[h][0] for h in kept],
+            [opens[h][1] for h in kept],
+        )
     )
+    if kept:
+        # wake up when the watermark passes the oldest open hour's end so
+        # it flushes even if this series never sees another event
+        wm_ms = wm_us // 1000
+        state.setTimeoutTimestamp(max(kept[0] // 1000 + _HOUR_MS - 1, wm_ms + 1))
 
 
 def streaming_gapfill_locf(events: DataFrame) -> DataFrame:
     """ts1's resample + LOCF as a streaming operator with explicit state.
 
-    `events` must be a streaming DataFrame with (user_id, ts, value).
-    Each micro-batch extends every touched series' regular hourly grid
-    from the last emitted bucket through the batch's newest bucket,
-    filling gaps with the carried value — emitted buckets are final
-    (append mode). State per series is one (hour, value) row: bounded
-    memory, and grid emission is bounded by per-series span exactly like
-    the batch operator's `sequence` grid.
-
-    Events at or before a series' last emitted bucket are dropped as
-    late; compose with `withWatermark` upstream to make the lateness
-    contract explicit.
+    `events` must be a streaming DataFrame with (user_id, ts, value) AND
+    an event-time watermark (`withWatermark` upstream — EventTimeTimeout
+    requires one). Each micro-batch folds events into per-hour partial
+    aggregates held in state; an hour is emitted — final, append mode —
+    only once the watermark passes its end, so in-order events landing in
+    an hour that spans a micro-batch boundary merge into the open partial
+    instead of being dropped, and late events are admitted exactly as
+    long as the watermark allows. Series with no further traffic flush
+    their open hours via event-time timeout when the global watermark
+    advances. State per series is the finalized frontier plus one partial
+    per open hour — bounded by the watermark delay; grid emission is
+    bounded by per-series span exactly like the batch operator's
+    `sequence` grid.
     """
     return events.groupBy("user_id").applyInPandasWithState(
         _gapfill_user,
         outputStructType=GAPFILL_OUTPUT,
         stateStructType=GAPFILL_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

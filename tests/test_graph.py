@@ -192,12 +192,12 @@ def test_degree_probe_memoizes_by_semantic_plan(spark):
             F.col("id").alias("src"), ((F.col("id") + 7) % 500).alias("dst")
         )
 
-    before = len(_DEGREE_MEMO)
+    before = len(_DEGREE_MEMO.get(spark, {}))
     first = sampled_max_degree(mk(), 500)
-    assert len(_DEGREE_MEMO) == before + 1
+    assert len(_DEGREE_MEMO[spark]) == before + 1
     # same SEMANTIC plan, different DataFrame object: cache hit, no growth
     assert sampled_max_degree(mk(), 500) == first
-    assert len(_DEGREE_MEMO) == before + 1
+    assert len(_DEGREE_MEMO[spark]) == before + 1
 
 
 def _brute_canonical_triangles(edges: set[tuple[int, int]]) -> int:

@@ -151,6 +151,25 @@ class TestIntervalConcurrency:
         assert len(rows) == 1
         assert rows[0]["day"] == dt.date(2024, 1, 1)
 
+    def test_empty_and_malformed_intervals_contribute_nothing(self, spark):
+        # a zero-length interval starting exactly at midnight used to make
+        # sequence(day(s), day(e - 1us)) run backwards and throw; it and
+        # an e < s row must simply not contribute (DuckDB's generate_series
+        # returns empty for the same bounds)
+        out = interval_concurrency_df(
+            _intervals(
+                spark,
+                [
+                    ("2024-01-02 00:00:00", "2024-01-02 00:00:00"),
+                    ("2024-01-03 12:00:00", "2024-01-03 11:00:00"),
+                    ("2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+                ],
+            )
+        ).collect()
+        assert {r["day"] for r in out} == {dt.date(2024, 1, 1)}
+        assert out[0]["max_concurrent"] == 1
+        assert out[0]["n_active"] == 1
+
     def test_multi_day_interval_spans_every_day(self, spark):
         days = sorted(
             r["day"]
@@ -198,20 +217,36 @@ class TestStreamingTimeseries:
         from spark_sql_perf_spark.streaming.timeseries import streaming_gapfill_locf
         from spark_sql_perf_spark.streaming.windows import stream_events
 
-        # split the table at an HOUR boundary into two files -> with
+        # split the table MID-HOUR into two files -> with
         # maxFilesPerTrigger=1 the second half arrives in a later
-        # micro-batch, exercising the cross-batch LOCF state (hour
-        # alignment guarantees no event is late w.r.t. emitted buckets)
+        # micro-batch, so at least one hour's events span the batch
+        # boundary: the open-hour partial in state must merge them (the
+        # pre-fix operator finalized the newest hour per batch and
+        # silently dropped the second half's in-order events). Two
+        # far-future sentinel files for user -1 then push the watermark
+        # past every real hour so open buckets flush via event-time
+        # timeout before the AvailableNow drain stops.
         from spark_sql_perf_spark.catalog import _ts_as_timestamp
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{SF_DIR_TINY}/events.parquet")
         ts = _ts_as_timestamp(ev)
         lo, hi = ev.select(F.min(ts), F.max(ts)).first()
-        cut = (lo + (hi - lo) / 2).replace(minute=0, second=0, microsecond=0)
+        cut = (lo + (hi - lo) / 2).replace(minute=30, second=0, microsecond=0)
         stream_dir = tempfile.mkdtemp(prefix="events-gapfill-stream-")
-        for i, part in enumerate((ev.where(ts < F.lit(cut)),
-                                  ev.where(ts >= F.lit(cut)))):
+        ts_is_long = dict(ev.dtypes)["ts"] == "bigint"
+        sentinel = ev.orderBy(F.col("ts").desc()).limit(1).withColumn(
+            "user_id", F.lit(-1).cast(dict(ev.dtypes)["user_id"])
+        )
+        parts = [ev.where(ts < F.lit(cut)), ev.where(ts >= F.lit(cut))]
+        for days in (60, 120):
+            shift = (
+                F.col("ts") + F.lit(days * 86400 * 10**9)
+                if ts_is_long
+                else F.col("ts") + F.expr(f"interval {days} days")
+            )
+            parts.append(sentinel.withColumn("ts", shift))
+        for i, part in enumerate(parts):
             pdir = os.path.join(stream_dir, f"in{i}")
             part.coalesce(1).write.mode("overwrite").parquet(pdir)
             src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
@@ -238,6 +273,7 @@ class TestStreamingTimeseries:
             (r.user_id, r.bucket_hour): (r.n_events, norm(r.sum_value),
                                          norm(r.locf_value))
             for r in spark.table("stream_gapfill_out").collect()
+            if r.user_id != -1  # watermark-advancing sentinel series
         }
         want = {
             (r.user_id, r.bucket_hour): (r.n_events, norm(r.sum_value),

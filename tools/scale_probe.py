@@ -258,10 +258,9 @@ def probe_pq(spark, n_vecs: int, n_queries: int = 8) -> dict[str, float]:
     cost). Registry sim5 reads parquet, where the scan boundary already
     prevents the collapse."""
     from spark_sql_perf_spark.pipeline.pq import (
-        M_SUB,
-        _SHORTLIST,
         _dist_arrays,
-        _exact_d2,
+        adc_serve,
+        pq_codes,
     )
 
     dim = 64
@@ -272,14 +271,8 @@ def probe_pq(spark, n_vecs: int, n_queries: int = 8) -> dict[str, float]:
     vecs = gen_table(spark, n_vecs, {"vec_id": lambda idc: idc}).select(
         "vec_id", vec.alias("v"))
     dists = _dist_arrays(vecs).drop("v")
-    q = dists.where(F.col("vec_id") < n_queries).alias("q")
-    codes = dists.where(F.col("vec_id") >= n_queries).select(
-        "vec_id",
-        *[
-            F.array_position(F.col(f"dm{m}"), F.array_min(F.col(f"dm{m}"))).alias(f"c{m}")
-            for m in range(M_SUB)
-        ],
-    )
+    q = dists.where(F.col("vec_id") < n_queries)
+    codes = pq_codes(dists.where(F.col("vec_id") >= n_queries))
     out = {}
     best = float("inf")
     for _ in range(2):
@@ -290,29 +283,7 @@ def probe_pq(spark, n_vecs: int, n_queries: int = 8) -> dict[str, float]:
 
     c = codes.persist()
     c.count()
-    c = c.alias("c")
-    adc = None
-    for m in range(M_SUB):
-        term = F.element_at(F.col(f"q.dm{m}"), F.col(f"c.c{m}").cast("int"))
-        adc = term if adc is None else adc + term
-    scored = F.broadcast(q).crossJoin(c).select(
-        F.col("q.vec_id").alias("query_id"),
-        F.col("c.vec_id").alias("neighbor_id"),
-        adc.alias("adc"),
-    )
-    sw = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    short = (
-        scored.select("query_id", "neighbor_id", F.row_number().over(sw).alias("srn"))
-        .where(F.col("srn") <= _SHORTLIST)
-        .drop("srn")
-    )
-    qv = vecs.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    serve = (
-        vecs.join(F.broadcast(short), vecs.vec_id == short.neighbor_id)
-        .join(F.broadcast(qv), F.col("query_id") == F.col("qid"))
-        .select("query_id", "neighbor_id", _exact_d2("qv", "v").alias("d2"))
-    )
+    serve = adc_serve(vecs, q, c, n_queries)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()

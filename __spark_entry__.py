@@ -51,10 +51,9 @@ def _correctness_files() -> list[str]:
 # be garbage-collected at leisure (it no longer needs hand-clearing each
 # round; a stale green row simply never vouches for newer code).
 _IMPL_CHANGED: dict[str, int] = {
-    "d5_dedup_embedding": 5,     # sign-LSH bucket blocking replaced planted-offset join
-    "g3_triangle_count": 6,      # r5 localCheckpoint; r6 skew-aware strategy chooser
-    "g4_square_count": 6,        # r5 CN wedge pairs; r6 hub-diagonal class-pair counting
-    "sim2_lsh_bucketed_ann": 5,  # hyperplanes embedded as plan-time literals
+    # r6 entries GC'd: d5/sim2 (changed r5) and g3/g4 (changed r6) all
+    # have green rows >= their change round in CORRECTNESS_r06.json.
+    # (r7's streaming gap-fill rework has no oracle row — pytest-only.)
 }
 
 

@@ -265,9 +265,11 @@ class TestStreamingTimeseries:
 
         run_stream_once(out, "stream_gapfill_out", output_mode="append")
 
+        # EXACT equality (no rounding): state accumulates integer cents,
+        # so micro-batch boundaries must not perturb even low-order bits
         def norm(v):
             return None if v is None or (isinstance(v, float) and math.isnan(v)) \
-                else round(v, 6)
+                else v
 
         got = {
             (r.user_id, r.bucket_hour): (r.n_events, norm(r.sum_value),
@@ -281,3 +283,124 @@ class TestStreamingTimeseries:
             for r in QUERIES["ts1_gapfill_locf"](spark, SF_DIR_TINY).collect()
         }
         assert got == want
+
+
+class _FakeState:
+    """Minimal stand-in for pyspark GroupState covering the attrs the
+    gap-fill function touches — lets the state machine be unit-tested
+    without spinning up a streaming query per scenario.
+    """
+
+    def __init__(self, value=None, watermark_ms=0, timed_out=False):
+        self._value = value
+        self._wm_ms = watermark_ms
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def update(self, v):
+        self._value = tuple(v)
+        self.removed = False
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_ts = ts_ms
+
+
+class TestGapfillStateMachine:
+    """Unit tests for _make_gapfill: idle-TTL eviction and exact cents."""
+
+    HOUR_US = 3_600_000_000
+    HOUR_MS = 3_600_000
+
+    def _batch(self, ts_us, cents):
+        import pandas as pd
+
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "ts": pd.to_datetime(pd.Series(ts_us), unit="us"),
+                        "cents": pd.Series(cents, dtype="int64"),
+                    }
+                )
+            ]
+        )
+
+    def test_no_ttl_retains_drained_state_forever(self):
+        from spark_sql_perf_spark.streaming.timeseries import _make_gapfill
+
+        fn = _make_gapfill(None)
+        # one event at hour 0; watermark far past it -> emits and drains
+        st = _FakeState(watermark_ms=10 * self.HOUR_MS)
+        list(fn((1,), self._batch([5_000_000], [250]), st))
+        assert st.exists and not st.removed
+        last_us, carried, oh, on, osum = st.get
+        assert (last_us, carried, list(oh)) == (0, 250, [])
+        # flush-timeout fires later with nothing open: row must survive
+        st.hasTimedOut = True
+        st._wm_ms = 20 * self.HOUR_MS
+        list(fn((1,), iter([]), st))
+        assert st.exists and not st.removed
+        assert st.timeout_ts is None or st.timeout_ts > 0  # no forced eviction
+
+    def test_idle_ttl_evicts_drained_state(self):
+        from spark_sql_perf_spark.streaming.timeseries import _make_gapfill
+
+        fn = _make_gapfill(idle_timeout_hours=3)
+        st = _FakeState(watermark_ms=10 * self.HOUR_MS)
+        list(fn((1,), self._batch([5_000_000], [250]), st))
+        # drained but retained, idle timeout armed 3h past the watermark
+        assert st.exists
+        assert st.timeout_ts == 10 * self.HOUR_MS + 3 * self.HOUR_MS
+        # the idle timeout fires with nothing open -> evicted
+        st.hasTimedOut = True
+        st._wm_ms = 13 * self.HOUR_MS
+        list(fn((1,), iter([]), st))
+        assert st.removed and not st.exists
+
+    def test_idle_ttl_not_evicted_while_hours_open(self):
+        from spark_sql_perf_spark.streaming.timeseries import _make_gapfill
+
+        fn = _make_gapfill(idle_timeout_hours=3)
+        # watermark has NOT passed the event's hour end: stays open
+        st = _FakeState(watermark_ms=0)
+        out = list(fn((1,), self._batch([5_000_000], [250]), st))
+        assert out == [] and st.exists
+        # flush timeout fires once the watermark passes -> emits, retains
+        st.hasTimedOut = True
+        st._wm_ms = 2 * self.HOUR_MS
+        emitted = list(fn((1,), iter([]), st))
+        assert len(emitted) == 1 and st.exists and not st.removed
+
+    def test_cents_sum_is_exact_across_batch_boundaries(self):
+        # 0.1 + 0.2 in float64 is 0.30000000000000004; in cents it is 30.
+        # Split the two events across micro-batches: the merged partial
+        # must equal the single-batch sum exactly.
+        from spark_sql_perf_spark.streaming.timeseries import _make_gapfill
+
+        fn = _make_gapfill(None)
+        st = _FakeState(watermark_ms=0)
+        list(fn((1,), self._batch([1_000_000], [10]), st))
+        list(fn((1,), self._batch([2_000_000], [20]), st))
+        # drive emission via a flush timeout at an advanced watermark
+        st._wm_ms = 5 * self.HOUR_MS
+        st.hasTimedOut = True
+        emitted = list(fn((1,), iter([]), st))
+        assert len(emitted) == 1
+        assert emitted[0]["sum_value"].iloc[0] == 0.3  # exactly 30 / 100.0
+        assert emitted[0]["n_events"].iloc[0] == 2

@@ -340,3 +340,81 @@ def interval_concurrency_df(iv: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_active"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc1: SCD2 compression of a change stream (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc1_scd2_compress",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered),
+    intervals AS (
+      SELECT user_id, event_type, run_id,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           n_events
+    FROM intervals
+    """,
+)
+def cdc1_scd2_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build SCD2 validity intervals from a change log: collapse each
+    user's consecutive runs of the same event_type into one row with
+    [valid_from, valid_to) — valid_to = the NEXT run's start, NULL for
+    the current (open) run. The CDC-to-dimension-table shape: a MERGE
+    source for slowly-changing dimensions, built with pure windows.
+
+    Gaps-and-islands: a change flag vs LAG, a running SUM to number the
+    runs, a per-run aggregate, then LEAD to chain interval ends. All
+    windows partition on user_id — state per window is one series, so
+    millions of keys parallelize; no self-join, no driver loops. The
+    (ts, event_id) tiebreak makes run numbering deterministic under
+    equal timestamps on both engines.
+    """
+    return scd2_compress_df(table(spark, sf_dir, "events"))
+
+
+def scd2_compress_df(ev: DataFrame) -> DataFrame:
+    """cdc1's transformation on an explicit (user_id, event_type, ts,
+    event_id) frame — unit-testable on hand-built change logs."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg")
+    )
+    runs = ev.select("user_id", "event_type", "ts", "event_id", chg).select(
+        "*",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    chain = Window.partitionBy("user_id").orderBy("valid_from")
+    return intervals.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(chain).alias("valid_to"),
+        "n_events",
+    )

@@ -613,3 +613,63 @@ def c8_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).alias("chunk_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c9: weighted priority sampling per source stratum (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+# third independent odd multiplier (xxhash PRIME32_3): the sampling draw
+# must not correlate with the c3 split or the c5 mixture decision
+_C9_MULT = 3266489917
+_C9_K = 10  # sample size per source stratum
+
+
+@query(
+    "c9_priority_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT source, doc_id, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / ((((doc_id * {_C9_MULT}) % 4294967296) + 1) / 4294967296.0)
+               AS priority
+      FROM documents),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY priority DESC, doc_id) AS rn
+      FROM pri)
+    SELECT source, doc_id, n_chars, priority, rn
+    FROM ranked WHERE rn <= {_C9_K}
+    """,
+)
+def c9_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k docs per source stratum,
+    via PRIORITY SAMPLING (Duffield-Lund-Thorup): priority = weight / u
+    with u a deterministic uniform from the doc identity; keep the k
+    largest per stratum. Longer docs are proportionally likelier to be
+    drawn, and the kept priorities support unbiased subset-sum estimates
+    (tau = (k+1)-th priority) — the standard way to build a weighted
+    training-mixture sample whose token totals remain estimable.
+
+    Cross-engine exactness: u derives from a Knuth multiplicative hash
+    (pure int64 arithmetic — doc_id < 2^31 keeps the product exact) and
+    priority uses only IEEE-correctly-rounded ops (int-to-double, two
+    divisions), so both engines rank identical doubles; ties break on
+    doc_id. At 100 TB this is one scan + a per-stratum top-k window (no
+    global sort, no RNG state, retry-stable on speculative re-execution
+    — unlike ``df.sample``, whose draw depends on partition layout).
+    """
+    docs = table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(_C9_MULT)) % F.lit(2**32) + 1).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    pri = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), "doc_id")
+    return pri.select("*", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= _C9_K
+    )

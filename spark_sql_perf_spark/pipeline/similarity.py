@@ -149,3 +149,57 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= _TOP_K)
     )
+
+_KNN_K = 2  # neighbors per vector in the kNN graph
+
+
+@query(
+    "sim6_knn_graph",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    signed AS (SELECT vec_id, v, {_SIG_SQL} AS sig FROM vecs),
+    scored AS (
+      SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+             ROUND({_COS_SQL}, 6) AS cosine
+      FROM signed q JOIN signed c
+        ON q.sig = c.sig AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT vec_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {_KNN_K}
+    """,
+)
+def sim6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph over the WHOLE corpus (semantic-dedup / clustering prep):
+    every vector's top-k neighbors among its sign-LSH bucket peers.
+
+    Unlike sim1/sim2 (small broadcast query set vs corpus), this is
+    corpus-vs-corpus: a SELF-join on the signature — a plain shuffle
+    equi-join where each LSH bucket is the unit of co-location, never an
+    all-pairs product. At 100 TB this is the standard kNN-graph build:
+    shuffle on sig, score within buckets, per-vector window top-k.
+    Vectors alone in their bucket have no neighbors and drop out —
+    deterministic on both engines because the md5-derived planes are
+    shared (functions/lsh.py).
+    """
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    signed = vecs.select(
+        "vec_id", "v", sign_lsh_sig_spark(dim=embedding_dim(vecs)).alias("sig")
+    )
+    q, c = signed.alias("q"), signed.alias("c")
+    scored = q.join(
+        c,
+        (F.col("q.sig") == F.col("c.sig")) & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(_cosine("q.v", "c.v"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _KNN_K)
+    )

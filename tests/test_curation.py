@@ -15,6 +15,8 @@ properties and the memo lifetime.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_DIR_TINY
 
 
@@ -103,3 +105,45 @@ def test_c6_contexts_contiguous_and_mass_conserving(spark):
         F.sum(F.size(F.split(F.lower("text"), r"\s+"))).alias("t")
     ).collect()[0]["t"]
     assert total == want, "token mass not conserved across contexts"
+
+
+def test_c9_priority_sample_quota_and_weight_bias(spark):
+    """Each stratum yields exactly K rows (every sf0.01 source has 25 > K
+    docs), and the weighted draw is visibly biased: the sampled docs'
+    mean length exceeds the population mean (priority = w/u makes long
+    docs proportionally likelier — deterministic given the fixed hash)."""
+    from spark_sql_perf_spark.operators import QUERIES
+    from spark_sql_perf_spark.pipeline.curation import _C9_K
+
+    out = QUERIES["c9_priority_sample"](spark, SF_DIR_TINY).cache()
+    per_src = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(per_src.values()) == {_C9_K}
+    sampled_mean = out.agg(F.avg("n_chars")).first()[0]
+    from spark_sql_perf_spark.catalog import table
+    pop_mean = table(spark, SF_DIR_TINY, "documents").agg(F.avg("n_chars")).first()[0]
+    assert sampled_mean > pop_mean
+    out.unpersist()
+
+
+def test_c9_deterministic_under_repartition(spark):
+    """The sample is a pure function of (doc_id, n_chars): shuffling the
+    input layout cannot change which docs are drawn — the property that
+    makes the sample retry/speculation-stable on a real cluster."""
+    from spark_sql_perf_spark.operators import QUERIES
+
+    a = {(r["source"], r["doc_id"]) for r in
+         QUERIES["c9_priority_sample"](spark, SF_DIR_TINY).collect()}
+    docs = spark.read.parquet(f"{SF_DIR_TINY}/documents.parquet").repartition(17)
+    docs.createOrReplaceTempView("_c9_shuffled")
+    from spark_sql_perf_spark.pipeline.curation import _C9_K, _C9_MULT
+    u = ((F.col("doc_id") * F.lit(_C9_MULT)) % F.lit(2**32) + 1).cast(
+        "double") / F.lit(4294967296.0)
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(
+        F.desc((F.col("n_chars").cast("double") / u)), "doc_id")
+    b = {(r["source"], r["doc_id"]) for r in
+         docs.select("source", "doc_id",
+                     F.row_number().over(w).alias("rn"))
+             .where(F.col("rn") <= _C9_K).collect()}
+    assert a == b

@@ -50,3 +50,41 @@ def test_plane_value_matches_engine_derivation(spark):
             f" / cast(2147483648.0 AS double) - 1.0 AS p"
         ).first()["p"]
         assert got == _plane_value(bit, i)
+
+
+def test_sim6_knn_graph_properties(spark):
+    """kNN-graph invariants the oracle only checks statistically: no self
+    edges, at most K neighbors per vector with contiguous ranks, every
+    edge stays within one LSH bucket, and edges at equal (rounded) cosine
+    rank by neighbor_id."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.functions.lsh import sign_lsh_sig_spark
+    from spark_sql_perf_spark.operators import QUERIES
+    from spark_sql_perf_spark.pipeline.similarity import _KNN_K, embedding_dim
+
+    out = QUERIES["sim6_knn_graph"](spark, SF_DIR_TINY).cache()
+    assert out.where(F.col("vec_id") == F.col("neighbor_id")).count() == 0
+    ranks = (
+        out.groupBy("vec_id")
+        .agg(F.max("rn").alias("mx"), F.count("*").alias("n"))
+        .where((F.col("mx") > _KNN_K) | (F.col("mx") != F.col("n")))
+        .count()
+    )
+    assert ranks == 0  # ranks are 1..n with n <= K, no holes
+
+    vecs = spark.read.parquet(f"{SF_DIR_TINY}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = vecs.select(
+        "vec_id", sign_lsh_sig_spark(dim=embedding_dim(vecs)).alias("sig")
+    )
+    cross_bucket = (
+        out.join(sig.withColumnRenamed("vec_id", "a"), out.vec_id == F.col("a"))
+        .withColumnRenamed("sig", "sig_a")
+        .join(sig.withColumnRenamed("vec_id", "b"), out.neighbor_id == F.col("b"))
+        .where(F.col("sig_a") != F.col("sig"))
+        .count()
+    )
+    assert cross_bucket == 0
+    out.unpersist()

@@ -404,3 +404,64 @@ class TestGapfillStateMachine:
         assert len(emitted) == 1
         assert emitted[0]["sum_value"].iloc[0] == 0.3  # exactly 30 / 100.0
         assert emitted[0]["n_events"].iloc[0] == 2
+
+
+class TestScd2Compress:
+    def _log(self, spark, rows):
+        return spark.createDataFrame(
+            [(u, t, _ts(ts), i) for i, (u, t, ts) in enumerate(rows)],
+            "user_id long, event_type string, ts timestamp, event_id long",
+        )
+
+    def test_consecutive_runs_collapse(self, spark):
+        from spark_sql_perf_spark.operators.timeseries import scd2_compress_df
+
+        out = scd2_compress_df(
+            self._log(
+                spark,
+                [
+                    (1, "A", "2024-01-01 00:00:00"),
+                    (1, "A", "2024-01-01 01:00:00"),
+                    (1, "B", "2024-01-01 02:00:00"),
+                    (1, "A", "2024-01-01 03:00:00"),
+                ],
+            )
+        ).orderBy("valid_from").collect()
+        assert [(r.event_type, r.n_events) for r in out] == [
+            ("A", 2), ("B", 1), ("A", 1)  # A reappears as a NEW interval
+        ]
+        # valid_to chains to the next interval's valid_from; open run is NULL
+        assert [r.valid_to for r in out[:-1]] == [r.valid_from for r in out[1:]]
+        assert out[-1].valid_to is None
+
+    def test_users_are_independent(self, spark):
+        from spark_sql_perf_spark.operators.timeseries import scd2_compress_df
+
+        out = scd2_compress_df(
+            self._log(
+                spark,
+                [
+                    (1, "A", "2024-01-01 00:00:00"),
+                    (2, "A", "2024-01-01 01:00:00"),
+                ],
+            )
+        ).collect()
+        # same type across users never merges; each user's run is open
+        assert len(out) == 2 and all(r.valid_to is None for r in out)
+
+    def test_equal_timestamps_break_on_event_id(self, spark):
+        from spark_sql_perf_spark.operators.timeseries import scd2_compress_df
+
+        # two changes at the SAME ts: event_id order decides run order,
+        # so the output is deterministic (B at id=1 precedes C at id=2)
+        out = scd2_compress_df(
+            self._log(
+                spark,
+                [
+                    (1, "A", "2024-01-01 00:00:00"),
+                    (1, "B", "2024-01-01 01:00:00"),
+                    (1, "C", "2024-01-01 01:00:00"),
+                ],
+            )
+        ).orderBy("valid_from", "event_type").collect()
+        assert [r.event_type for r in out] == ["A", "B", "C"]

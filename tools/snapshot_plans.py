@@ -76,6 +76,11 @@ EXTRA = [
     "ts2_interval_concurrency",
     "ts3_ohlc_bars",
     "ts4_time_weighted_avg",
+    # r7 additions: LSH-bucket self-join kNN graph, gaps-and-islands SCD2
+    # windows, per-stratum priority-sampling top-k
+    "sim6_knn_graph",
+    "cdc1_scd2_compress",
+    "c9_priority_sample",
 ]
 
 

@@ -54,6 +54,8 @@ _IMPL_CHANGED: dict[str, int] = {
     # r6 entries GC'd: d5/sim2 (changed r5) and g3/g4 (changed r6) all
     # have green rows >= their change round in CORRECTNESS_r06.json.
     # (r7's streaming gap-fill rework has no oracle row — pytest-only.)
+    "sim1_cosine_topk": 7,       # dots unrolled over the peeked dim (codegen)
+    "sim2_lsh_bucketed_ann": 7,  # same unrolled-dot change
 }
 
 

@@ -46,10 +46,14 @@ def _plane_sign_spark(bit: int) -> F.Column:
     return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
 
 
-def sign_lsh_sig_sql(nbits: int = LSH_BITS) -> str:
+def sign_lsh_sig_sql(nbits: int = LSH_BITS, lo: int = 0) -> str:
     """DuckDB expression for the nbits-bit hyperplane-sign signature of
-    a DOUBLE[] column named ``v`` (bit-identical to the Spark twin)."""
-    return " + ".join(_plane_sign_sql(b) for b in range(nbits))
+    a DOUBLE[] column named ``v`` (bit-identical to the Spark twin).
+    ``lo`` starts the plane family at a higher bit — used for the
+    EXTENSION planes that adaptively split oversized buckets (the bit
+    weights stay 1 << b, so an extension signature is already shifted
+    past the base signature's value range)."""
+    return " + ".join(_plane_sign_sql(b) for b in range(lo, lo + nbits))
 
 
 def _plane_value(bit: int, i: int) -> float:
@@ -73,7 +77,9 @@ def _plane_sign_spark_lit(bit: int, dim: int) -> F.Column:
     return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
 
 
-def sign_lsh_sig_spark(nbits: int = LSH_BITS, dim: int | None = None) -> F.Column:
+def sign_lsh_sig_spark(
+    nbits: int = LSH_BITS, dim: int | None = None, lo: int = 0
+) -> F.Column:
     """Spark twin of ``sign_lsh_sig_sql`` over an array<double> column
     ``v``.
 
@@ -91,7 +97,7 @@ def sign_lsh_sig_spark(nbits: int = LSH_BITS, dim: int | None = None) -> F.Colum
     null its signature).
     """
     sig = None
-    for b in range(nbits):
+    for b in range(lo, lo + nbits):
         term = _plane_sign_spark_lit(b, dim) if dim else _plane_sign_spark(b)
         sig = term if sig is None else sig + term
     return sig

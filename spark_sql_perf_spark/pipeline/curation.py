@@ -659,7 +659,12 @@ def c9_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort, no RNG state, retry-stable on speculative re-execution
     — unlike ``df.sample``, whose draw depends on partition layout).
     """
-    docs = table(spark, sf_dir, "documents")
+    return priority_sample_df(table(spark, sf_dir, "documents"), _C9_K)
+
+
+def priority_sample_df(docs: DataFrame, k: int) -> DataFrame:
+    """c9's transformation on an explicit (source, doc_id, n_chars)
+    frame — reused by the scale probe at generated volumes."""
     u = ((F.col("doc_id") * F.lit(_C9_MULT)) % F.lit(2**32) + 1).cast(
         "double"
     ) / F.lit(4294967296.0)
@@ -671,5 +676,5 @@ def c9_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy(F.desc("priority"), "doc_id")
     return pri.select("*", F.row_number().over(w).alias("rn")).where(
-        F.col("rn") <= _C9_K
+        F.col("rn") <= k
     )

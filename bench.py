@@ -70,6 +70,10 @@ HEADLINE = [
     # round-over-round tracking (VERDICT r5 task #4)
     "g4_square_count",
     "c1_decontaminate_4gram",
+    # r7: the adaptive-LSH kNN-graph self-join and the gaps-and-islands
+    # SCD2 window chain — the round's two new heavy shapes
+    "sim6_knn_graph",
+    "cdc1_scd2_compress",
 ]
 
 

@@ -242,3 +242,20 @@ def test_pattern_counts_match_brute_force_random(spark):
         for ordered in (True, False):
             got_tri = triangle_count_df(df, degree_ordered=ordered).collect()[0][0]
             assert got_tri == want_tri, (seed, ordered, got_tri)
+
+
+def test_recursive_cte_bfs_semantics(spark):
+    """sql7's recursive reachability on a hand-built graph: min_hops is
+    the BFS distance and n_paths counts distinct <=3-hop paths (UNION
+    ALL keeps duplicates; the 4-hop chain path to node 4 is excluded by
+    the bound)."""
+    from spark_sql_perf_spark.operators.sqlpath import _RCTE_BODY
+
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)], "src long, dst long"
+    ).createOrReplaceTempView("g")
+    got = {
+        r.node: (r.min_hops, r.n_paths)
+        for r in spark.sql(_RCTE_BODY).collect()
+    }
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 2), 3: (2, 2), 4: (3, 1)}

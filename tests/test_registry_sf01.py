@@ -53,6 +53,13 @@ SPOT_QUERIES = [
     "q21_waiting_supplier",
     "q22_inactive_customers",
     "sim5_pq_adc_ann",
+    # r7 additions: sim6's adaptive-split cap (more buckets exceed it at
+    # 2000 vectors), c9's per-stratum k vs stratum size, sql7's hop
+    # bound vs the denser sf0.1 edge graph
+    "sim6_knn_graph",
+    "c9_priority_sample",
+    "cdc1_scd2_compress",
+    "sql7_recursive_cte",
 ]
 
 

@@ -77,10 +77,11 @@ EXTRA = [
     "ts3_ohlc_bars",
     "ts4_time_weighted_avg",
     # r7 additions: LSH-bucket self-join kNN graph, gaps-and-islands SCD2
-    # windows, per-stratum priority-sampling top-k
+    # windows, per-stratum priority-sampling top-k, recursive-CTE BFS
     "sim6_knn_graph",
     "cdc1_scd2_compress",
     "c9_priority_sample",
+    "sql7_recursive_cte",
 ]
 
 

@@ -34,7 +34,13 @@ c7  fuzzy decontamination: near-duplicate (not just verbatim) eval
     (train, eval) pairs — inherits d2's banded-bucket bound on pairwise
     work.
 
-All seven are SQL-expressible and hash-verify against DuckDB oracles.
+Later rounds extended the family: c8 sliding-window chunking, c9
+weighted priority sampling per stratum (Duffield-Lund-Thorup), and c10
+— the filter -> exact-dedup -> split -> mixture-rollup pipeline COMPOSED
+as one declarative plan (one scan, one content-hash exchange with a
+partial WindowGroupLimit, one agg exchange).
+
+All are SQL-expressible and hash-verify against DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -677,4 +683,79 @@ def priority_sample_df(docs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("source").orderBy(F.desc("priority"), "doc_id")
     return pri.select("*", F.row_number().over(w).alias("rn")).where(
         F.col("rn") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# c10: the end-to-end curation pipeline as ONE composed plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c10_e2e_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             len(list_filter(string_split_regex(lower(text), '{_WS_SPLIT}'),
+                             w -> list_contains({list(_C2_BLOCKLIST)!r}, w))) AS n_bad,
+             len(string_split_regex(lower(text), '{_WS_SPLIT}')) AS n_tok,
+             md5(text) AS h
+      FROM documents),
+    kept AS (
+      SELECT * FROM scored
+      WHERE CAST(n_bad AS DOUBLE) / n_tok <= {_C2_MAX_FRAC}),
+    uniq AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM kept),
+    split AS (
+      SELECT source, n_chars,
+             CASE WHEN {_pct_sql('doc_id', _SPLIT_MULT)} < 90 THEN 'train'
+                  WHEN {_pct_sql('doc_id', _SPLIT_MULT)} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM uniq WHERE rn = 1)
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM split GROUP BY split, source
+    """,
+)
+def c10_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation stages COMPOSED end-to-end in one declarative plan:
+    blocklist quality filter (c2's token fraction) -> exact dedup by
+    content hash, first occurrence wins (d1's shape: the window
+    partitions on the 16-byte md5, never the body) -> deterministic
+    90/5/5 hash split (c3) -> per-(split, source) mixture rollup.
+
+    The point at 100 TB is what Catalyst does with the composition: the
+    filter prunes before the dedup shuffle, the dedup window and nothing
+    else shuffles the corpus (one exchange on the content hash), and the
+    final rollup is a partial-combining groupBy over the survivors — a
+    pipeline a user would otherwise run as four materialized passes
+    collapses to one scan + one shuffle + one agg exchange.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bl = F.array(*[F.lit(w) for w in _C2_BLOCKLIST])
+    ws = _words()
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.filter(ws, lambda w: F.array_contains(bl, w))).alias("n_bad"),
+        F.size(ws).alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    kept = scored.where(
+        F.col("n_bad").cast("double") / F.col("n_tok") <= _C2_MAX_FRAC
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    uniq = kept.select("*", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") == 1
+    )
+    pct = _pct("doc_id", _SPLIT_MULT)
+    split = (
+        F.when(pct < 90, F.lit("train")).when(pct < 95, F.lit("val")).otherwise("test")
+    )
+    return (
+        uniq.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
     )

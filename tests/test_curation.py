@@ -147,3 +147,19 @@ def test_c9_deterministic_under_repartition(spark):
                      F.row_number().over(w).alias("rn"))
              .where(F.col("rn") <= _C9_K).collect()}
     assert a == b
+
+
+def test_c10_composed_pipeline_plan(spark):
+    """The e2e curation pipeline must collapse to the claimed shape:
+    the quality filter runs BEFORE the dedup shuffle (scan-stage
+    DataFilter), first-occurrence-per-hash uses a partial
+    WindowGroupLimit so at most one row per content hash crosses the
+    exchange, and the rollup is a partial+final HashAggregate. Exactly
+    two hash exchanges: the content hash and the (split, source) agg."""
+    plan = _plan(_q(spark, "c10_e2e_curation"), execute=True)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2 * 2  # initial+final AQE prints
+    # the keep predicate is evaluated in the scan stage, not post-shuffle
+    scan_stage = plan.split("Exchange hashpartitioning")[-1]
+    assert "FileScan" in scan_stage and "0.13" in scan_stage
+    assert plan.count("HashAggregate") >= 2  # partial + final rollup

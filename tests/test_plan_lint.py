@@ -51,6 +51,7 @@ BNLJ_OK = {
     "a14_pivot",
     "q2_week_pivot_compare",
     "g1_chain3_count",          # broadcast 1-row node-count (graph.py:61)
+    "sql7_recursive_cte",       # same 1-row node-count broadcast via edge_table
     "g2_star3_count",
     "g3_triangle_count",
     "g4_square_count",

@@ -56,6 +56,7 @@ _IMPL_CHANGED: dict[str, int] = {
     # (r7's streaming gap-fill rework has no oracle row — pytest-only.)
     "sim1_cosine_topk": 7,       # dots unrolled over the peeked dim (codegen)
     "sim2_lsh_bucketed_ann": 7,  # same unrolled-dot change
+    "d5_dedup_embedding": 7,     # adaptive LSH-forest bucket split (shared with sim6)
 }
 
 

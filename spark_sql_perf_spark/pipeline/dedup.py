@@ -454,6 +454,8 @@ def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _d5_oracle() -> str:
     from ..functions.lsh import sign_lsh_sig_sql
+    from .similarity import _KNN_CAP, _KNN_MARKER, _KNN_SPLIT_BITS
+    from ..functions.lsh import LSH_BITS
 
     cos = (
         "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
@@ -467,7 +469,17 @@ def _d5_oracle() -> str:
       SELECT vec_id + 1000000,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
       FROM embeddings WHERE vec_id % 10 = 0),
-    signed AS (SELECT vec_id, v, {sign_lsh_sig_sql()} AS sig FROM corpus),
+    presigned AS (
+      SELECT vec_id, v, {sign_lsh_sig_sql()} AS sig0,
+             {sign_lsh_sig_sql(_KNN_SPLIT_BITS, lo=LSH_BITS)} AS sigx
+      FROM corpus),
+    counted AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY sig0) AS cnt FROM presigned),
+    signed AS (
+      SELECT vec_id, v,
+             CASE WHEN cnt > {_KNN_CAP} THEN sig0 + sigx + {_KNN_MARKER}
+                  ELSE sig0 END AS sig
+      FROM counted),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
       FROM signed a JOIN signed b
@@ -487,14 +499,17 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall on the planted duplicates is exactly 1.0 by construction: a
     rescaled copy 0.5*x has the IDENTICAL hyperplane sign signature as x
-    (signs are scale-invariant), so every planted pair shares a bucket
-    and the DuckDB oracle — which runs the same blocking — stays
-    hash-exact. At 100 TB the shuffle is on the B-bit signature; pairwise
-    cosine work happens only within buckets (candidates ~ near-dups plus
-    bucket collisions, not |corpus|^2).
+    (signs are scale-invariant) AND the identical extension signature, so
+    every planted pair shares a bucket even through the r7 LSH-forest
+    ADAPTIVE split (similarity.lsh_buckets_df: buckets over the size cap
+    re-hash with extension planes — without it the probe measured the
+    candidate-pair tail growing superlinearly, SCALE_PROBE.md). The
+    DuckDB oracle runs the same adaptive blocking, so it stays
+    hash-exact. At 100 TB the shuffle is on the signature; pairwise
+    cosine work happens only within capped buckets — never |corpus|^2
+    and never a quadratic dense-bucket tail.
     """
-    from ..functions.lsh import sign_lsh_sig_spark
-    from .similarity import embedding_dim
+    from .similarity import _cosine, embedding_dim, lsh_buckets_df
 
     emb = table(spark, sf_dir, "embeddings")
     orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -502,20 +517,12 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 0.5).alias("v"),
     )
-    signed = orig.unionAll(planted).select(
-        "vec_id", "v", sign_lsh_sig_spark(dim=embedding_dim(orig)).alias("sig")
-    )
+    dim = embedding_dim(orig, key=sf_dir)
+    signed = lsh_buckets_df(orig.unionAll(planted), dim=dim)
     a = signed.alias("a")
     b = signed.alias("b")
 
-    def _dot(x: str, y: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
-    cos = _dot("a.v", "b.v") / (F.sqrt(_dot("a.v", "a.v")) * F.sqrt(_dot("b.v", "b.v")))
+    cos = _cosine("a.v", "b.v", dim)
     return (
         a.join(
             b,

@@ -732,7 +732,12 @@ def c10_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline a user would otherwise run as four materialized passes
     collapses to one scan + one shuffle + one agg exchange.
     """
-    docs = table(spark, sf_dir, "documents")
+    return curation_pipeline_df(table(spark, sf_dir, "documents"))
+
+
+def curation_pipeline_df(docs: DataFrame) -> DataFrame:
+    """c10's composed plan on an explicit (doc_id, source, n_chars, text)
+    frame — reused by the scale probe at generated volumes."""
     bl = F.array(*[F.lit(w) for w in _C2_BLOCKLIST])
     ws = _words()
     scored = docs.select(

@@ -595,6 +595,34 @@ def probe_r7(spark, n: int) -> dict[str, float]:
         "n_chars": lambda idc: uniform_int(idc, "pw", 50, 5000),
     })
     t("psample", priority_sample_df(docs, 32))
+
+    # c10 shape: the composed filter -> hash-dedup -> split -> rollup
+    # pipeline over n/4 generated 12-word docs, 1/8 verbatim copies (the
+    # dedup stage has real work) and the blocklist words present (the
+    # filter stage has real selectivity). One scan + two exchanges must
+    # track ~n.
+    from spark_sql_perf_spark.pipeline.curation import curation_pipeline_df
+
+    def word(i):
+        return F.concat(
+            F.lit("tok"),
+            uniform_int(F.col("dup_of"), f"cw{i}", 0, 4999).cast("string"))
+
+    cdocs = gen_table(spark, n // 4, {
+        "doc_id": lambda idc: idc,
+        "dup_of": lambda idc: F.when(
+            (uniform_int(idc, "c10dup", 0, 7) == 0) & (idc >= 8),
+            (idc / 8).cast("long")).otherwise(idc),
+        "source": lambda idc: F.concat(F.lit("s"), (idc % 100).cast("string")),
+        "bad": lambda idc: uniform_int(idc, "c10bad", 0, 9),
+    })
+    words = [word(i) for i in range(11)]
+    text = F.concat_ws(
+        " ", F.when(F.col("bad") == 0, F.lit("slow")).otherwise(word(11)), *words
+    )
+    t("e2e_curation", curation_pipeline_df(
+        cdocs.select("doc_id", "source", text.alias("text"),
+                     F.length(text).alias("n_chars"))))
     return out
 
 
@@ -609,7 +637,7 @@ def r7_cells(spark) -> dict[int, dict[str, float]]:
 def r7_section(res: dict[int, dict[str, float]]) -> list[str]:
     base, top = res[R7_SCALES[0]], res[R7_SCALES[-1]]
     ratio = R7_SCALES[-1] // R7_SCALES[0]
-    keys = ["knn_graph", "scd2", "psample"]
+    keys = ["knn_graph", "scd2", "psample", "e2e_curation"]
     return [
         "## kNN-graph, SCD2 & priority-sample cells (sim6/cdc1/c9 shapes)",
         "",
@@ -623,8 +651,10 @@ def r7_section(res: dict[int, dict[str, float]]) -> list[str]:
         "cap was added; with it, pairs/row is flat (~15.4) across all",
         "cells below. scd2 runs cdc1's three user-partitioned windows",
         "over n/64 series; psample runs c9's per-stratum",
-        "WindowGroupLimit top-k over 1000 strata. Regenerate alone with:",
-        "`python tools/scale_probe.py r7`.",
+        "WindowGroupLimit top-k over 1000 strata; e2e_curation runs",
+        "c10's composed filter -> content-hash dedup -> split -> rollup",
+        "plan over n/4 generated docs with planted copies. Regenerate",
+        "alone with: `python tools/scale_probe.py r7`.",
         "",
         "| rows | " + " | ".join(keys) + " | knn bits | knn cand pairs |",
         "|---|" + "---|" * (len(keys) + 2),

@@ -18,6 +18,17 @@ from .text import md5_hash32_sql
 
 LSH_BITS = 8
 
+# Adaptive (LSH-forest) bucket splitting, shared by sim6's kNN graph,
+# d5's embedding dedup, and the streaming ANN server: buckets over
+# BUCKET_CAP members re-hash with SPLIT_BITS extension planes; split
+# keys live past SPLIT_MARKER so they never collide with unsplit sig0
+# values. Constants live in this leaf module so every consumer
+# (pipeline.similarity, pipeline.dedup's module-load oracle,
+# streaming.ann) can import them without a package cycle.
+SPLIT_BITS = 4
+BUCKET_CAP = 5  # sf0.01 buckets reach 8, so the split path IS oracle-exercised
+SPLIT_MARKER = 1 << (LSH_BITS + SPLIT_BITS)
+
 
 def _plane_sign_sql(bit: int) -> str:
     """DuckDB: sign bit `bit` = sign of dot(v, plane_bit) where

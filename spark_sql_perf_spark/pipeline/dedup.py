@@ -453,9 +453,13 @@ def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d5_oracle() -> str:
-    from ..functions.lsh import sign_lsh_sig_sql
-    from .similarity import _KNN_CAP, _KNN_MARKER, _KNN_SPLIT_BITS
-    from ..functions.lsh import LSH_BITS
+    from ..functions.lsh import (
+        BUCKET_CAP as _KNN_CAP,
+        LSH_BITS,
+        SPLIT_BITS as _KNN_SPLIT_BITS,
+        SPLIT_MARKER as _KNN_MARKER,
+        sign_lsh_sig_sql,
+    )
 
     cos = (
         "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"

@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.lsh import (
+    BUCKET_CAP as _KNN_CAP,
     LSH_BITS as _LSH_BITS,
+    SPLIT_BITS as _KNN_SPLIT_BITS,
+    SPLIT_MARKER as _KNN_MARKER,
     sign_lsh_sig_spark,
     sign_lsh_sig_sql,
 )
@@ -192,12 +195,11 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _TOP_K)
     )
 
-_KNN_K = 2           # neighbors per vector in the kNN graph
-_KNN_CAP = 5         # bucket-size cap before the adaptive split kicks in (sf0.01 buckets reach 8, so the split path IS oracle-exercised)
-_KNN_SPLIT_BITS = 4  # extension planes for oversized buckets
+_KNN_K = 2  # neighbors per vector in the kNN graph
+# cap/split-bits/marker come from functions.lsh (leaf module — see its
+# docstring for why the constants live there)
 
 _SIGX_SQL = sign_lsh_sig_sql(_KNN_SPLIT_BITS, lo=_LSH_BITS)
-_KNN_MARKER = 1 << (_LSH_BITS + _KNN_SPLIT_BITS)
 
 
 @query(

@@ -1,0 +1,138 @@
+"""Streaming ANN serving: a stream of query vectors joined per
+micro-batch against a STATIC adaptive-bucketed corpus (sim6's
+lsh_buckets_df layout), top-k per query.
+
+The serving shape at scale: the corpus index is built once (bucketed,
+persisted / laid out on storage), queries arrive continuously, and each
+micro-batch is a stateless bucket equi-join + per-query top-k — no
+streaming state at all, so it runs through foreachBatch (per-query
+ranking is a plain window inside the batch; Spark's streaming engine
+does not allow non-time windows on the stream itself, and serving
+systems rank per request anyway).
+
+Query-side bucket assignment under the adaptive split: a corpus bucket
+is either unsplit (key = sig0) or split (key = sig0 + sigx + marker).
+The query cannot know which without consulting the index, so it emits
+BOTH candidate keys (a 2-row explode) and equi-joins the corpus key —
+at most one key exists on the corpus side per region, so this costs one
+extra probe row per query, never a second scan. Results are identical
+to running the same expression in batch over all queries at once
+(asserted across micro-batch slicings in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.lsh import LSH_BITS, sign_lsh_sig_spark
+
+# pipeline.similarity is imported lazily inside the functions below:
+# pipeline/__init__ imports its modules in a fixed order and dedup's
+# oracle construction imports similarity at module load, so a top-level
+# import here can observe a partially-initialized module depending on
+# which package the process touches first.
+
+
+def build_ann_index(vecs: DataFrame, dim: int | None = None) -> DataFrame:
+    """The static corpus index: (vec_id, v, sig) under the adaptive
+    split, persisted — built once, probed by every batch."""
+    from ..pipeline.similarity import lsh_buckets_df
+
+    return lsh_buckets_df(vecs, dim=dim).persist()
+
+
+def _query_keys(queries: DataFrame, dim: int | None = None) -> DataFrame:
+    """Each query with its two candidate bucket keys exploded."""
+    from ..functions.lsh import SPLIT_BITS, SPLIT_MARKER
+
+    marker = SPLIT_MARKER
+    sig0 = sign_lsh_sig_spark(dim=dim)
+    sigx = sign_lsh_sig_spark(SPLIT_BITS, dim=dim, lo=LSH_BITS)
+    return queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.array(sig0, sig0 + sigx + F.lit(marker))
+        ).alias("sig"),
+    )
+
+
+def ann_serve_batch(
+    queries: DataFrame, index: DataFrame, k: int = 3, dim: int | None = None
+) -> DataFrame:
+    """One serving batch: probe both candidate keys, exact-cosine rank
+    within the matched bucket, top-k per query (self-match excluded)."""
+    from ..pipeline.similarity import _cosine
+
+    q = _query_keys(queries, dim)
+    c = index.alias("c")
+    scored = (
+        q.alias("q")
+        .join(c, (F.col("q.sig") == F.col("c.sig"))
+              & (F.col("q.query_id") != F.col("c.vec_id")))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(_cosine("q.qv", "c.v", dim), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= k)
+    )
+
+
+def stream_vectors(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The embeddings table as a file stream of (vec_id, v) queries."""
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reader = spark.readStream.schema(raw.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stream_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def streaming_ann_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str,
+    out_dir: str,
+    k: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain the query stream against the static index, appending each
+    batch's top-k matches to a parquet results sink (the serving-log
+    deployment shape; foreachBatch calls are serialized by the engine)."""
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    from ..pipeline.similarity import embedding_dim
+
+    dim = embedding_dim(corpus, key=sf_dir)
+    index = build_ann_index(corpus, dim)
+    queries = stream_vectors(spark, sf_dir, stream_dir, max_files_per_trigger)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        ann_serve_batch(batch_df, index, k, dim).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        queries.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("streaming_ann_serve: drain exceeded 120s")
+    finally:
+        index.unpersist(blocking=False)

@@ -412,3 +412,56 @@ def test_streaming_scd2_apply_matches_batch_and_is_idempotent(spark):
     )
     scd2_apply_batch(batch2, target_dir, n_buckets=8)
     assert snap(read_scd2_dimension(spark, target_dir)) == want
+
+
+def test_streaming_ann_serve_matches_batch(spark):
+    """Streaming ANN serving: the query stream probed per micro-batch
+    against the static adaptive-bucketed index yields EXACTLY the rows
+    the same expression produces in one batch over all queries — batch
+    slicing is invisible because serving is stateless per query. Every
+    query finds its split-bucket home via the two-key probe (the corpus
+    at sf0.001 has split buckets at the shared cap)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.pipeline.similarity import embedding_dim
+    from spark_sql_perf_spark.streaming.ann import (
+        ann_serve_batch,
+        build_ann_index,
+        streaming_ann_serve,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR_TINY}/embeddings.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="ann-queries-")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="ann-serve-"), "out")
+    # two query files -> two micro-batches with maxFilesPerTrigger=1
+    for i, part in enumerate(
+        (emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1))
+    ):
+        pdir = os.path.join(stream_dir, f"in{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(pdir, src),
+                  os.path.join(stream_dir, f"part-{i}.parquet"))
+        shutil.rmtree(pdir)
+
+    streaming_ann_serve(
+        spark, SF_DIR_TINY, stream_dir, out_dir, k=3, max_files_per_trigger=1
+    )
+
+    got = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cosine)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = embedding_dim(corpus)
+    index = build_ann_index(corpus, dim)
+    want = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cosine)
+        for r in ann_serve_batch(corpus, index, 3, dim).collect()
+    }
+    index.unpersist(blocking=False)
+    assert got == want and len(got) > 0

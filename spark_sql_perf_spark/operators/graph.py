@@ -72,7 +72,14 @@ def edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Persisted + memoized per corpus (see _EDGE_MEMO)."""
     cached = _EDGE_MEMO.get(sf_dir)
     if cached is not None:
-        return cached
+        try:
+            # a memo entry from a STOPPED session would raise on use (its
+            # persisted blocks and plan belong to the dead SparkContext)
+            if cached.sparkSession is spark:
+                return cached
+        except Exception:
+            pass
+        _EDGE_MEMO.pop(sf_dir, None)
     orders = table(spark, sf_dir, "orders")
     # floor division on both sides — DuckDB's CAST(double AS BIGINT) rounds
     # while Spark's truncates, so the derivation must stay integral.

@@ -362,11 +362,12 @@ def interval_concurrency_df(iv: DataFrame) -> DataFrame:
       FROM ordered),
     intervals AS (
       SELECT user_id, event_type, run_id,
-             MIN(ts) AS valid_from, COUNT(*) AS n_events
+             MIN(ts) AS valid_from, COUNT(*) AS n_events,
+             MIN(event_id) AS ord_id
       FROM runs GROUP BY user_id, event_type, run_id)
     SELECT user_id, event_type, valid_from,
            LEAD(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to,
+                                  ORDER BY valid_from, ord_id) AS valid_to,
            n_events
     FROM intervals
     """,
@@ -388,29 +389,47 @@ def cdc1_scd2_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_compress_df(table(spark, sf_dir, "events"))
 
 
+def change_runs(df: DataFrame, order_cols: list[str],
+                type_col: str = "event_type",
+                partition: str = "user_id") -> DataFrame:
+    """Gaps-and-islands run numbering: append ``_run``, the index of the
+    row's consecutive same-``type_col`` run within its partition under
+    ``order_cols``. The ONE copy of the change-flag/running-sum chain —
+    shared by cdc1, the streaming CDC-apply's per-batch reduction, and
+    its collapse-on-read view, so the three can never silently diverge.
+    """
+    w = Window.partitionBy(partition).orderBy(*order_cols)
+    prev = F.lag(type_col).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(type_col)), 1).otherwise(0)
+    return (
+        df.select("*", chg.alias("_chg"))
+        .select(
+            "*",
+            F.sum("_chg")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("_run"),
+        )
+        .drop("_chg")
+    )
+
+
 def scd2_compress_df(ev: DataFrame) -> DataFrame:
     """cdc1's transformation on an explicit (user_id, event_type, ts,
     event_id) frame — unit-testable on hand-built change logs."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = (
-        F.when(
-            F.lag("event_type").over(w).isNull()
-            | (F.lag("event_type").over(w) != F.col("event_type")),
-            1,
-        )
-        .otherwise(0)
-        .alias("chg")
-    )
-    runs = ev.select("user_id", "event_type", "ts", "event_id", chg).select(
-        "*",
-        F.sum("chg")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("run_id"),
-    )
+    runs = change_runs(
+        ev.select("user_id", "event_type", "ts", "event_id"), ["ts", "event_id"]
+    ).withColumnRenamed("_run", "run_id")
     intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
-        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("ord_id"),
     )
-    chain = Window.partitionBy("user_id").orderBy("valid_from")
+    # tiebreak on the run's first event_id: two runs CAN share valid_from
+    # (consecutive same-ts events of different types), and LEAD over
+    # valid_from alone would chain them nondeterministically — in both
+    # engines. min(event_id) is the same physical order the streaming
+    # CDC-apply view uses, so batch == streaming holds under ties too.
+    chain = Window.partitionBy("user_id").orderBy("valid_from", "ord_id")
     return intervals.select(
         "user_id",
         "event_type",

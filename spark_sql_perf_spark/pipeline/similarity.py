@@ -264,20 +264,46 @@ def lsh_buckets_df(
 ) -> DataFrame:
     """(vec_id, v, sig) with adaptive bucket splitting: base nbits-plane
     signature, plus split_bits extension planes for buckets over ``cap``
-    members (LSH-forest adaptive depth). The window count partitions on
-    sig0 — the same shuffle the downstream bucket join needs."""
+    members (LSH-forest adaptive depth).
+
+    The split decision deliberately avoids a window count over sig0 —
+    that would shuffle every WIDE (vec_id, v) row once for the count and
+    again for the downstream join on sig (different keys, no exchange
+    reuse). Instead: a partial-combining groupBy ships only the narrow
+    sig0 column, the oversized-bucket set it yields is small by
+    construction (<= n/cap keys, and in practice just the dense tail),
+    and joining it back lets AQE pick a broadcast join at runtime — the
+    vectors then shuffle exactly once, on the final sig.
+
+    The signed relation is localCheckpointed (the g3 support-pairs
+    pattern): it is consumed by the count branch AND both sides of the
+    downstream self-join, and without materialization Catalyst
+    re-evaluates the plane projections per consumer (probe 8M cell: 64s
+    un-checkpointed vs 48s checkpointed; 12.2s -> 7.7s at 500k). On
+    local[32] the checkpoint write partly offsets the saved
+    recomputation; on a network cluster it also replaces the window
+    form's TWO wide-row shuffles with one local materialization — the
+    regime the operator is designed for."""
     marker = 1 << (nbits + split_bits)
     signed = vecs.select(
         "vec_id",
         "v",
         sign_lsh_sig_spark(nbits, dim=dim).alias("sig0"),
         sign_lsh_sig_spark(split_bits, dim=dim, lo=nbits).alias("sigx"),
+    ).localCheckpoint()
+    oversized = (
+        signed.groupBy("sig0")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") > cap)
+        .select("sig0", F.lit(True).alias("_split"))
     )
-    cnt = F.count("*").over(Window.partitionBy("sig0"))
-    return signed.select(
+    return signed.join(oversized, "sig0", "left").select(
         "vec_id",
         "v",
-        F.when(cnt > cap, F.col("sig0") + F.col("sigx") + F.lit(marker))
+        F.when(
+            F.col("_split").isNotNull(),
+            F.col("sig0") + F.col("sigx") + F.lit(marker),
+        )
         .otherwise(F.col("sig0"))
         .alias("sig"),
     )

@@ -25,13 +25,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.lsh import LSH_BITS, sign_lsh_sig_spark
+from ..functions.lsh import (
+    LSH_BITS,
+    SPLIT_BITS,
+    SPLIT_MARKER,
+    sign_lsh_sig_spark,
+)
 
-# pipeline.similarity is imported lazily inside the functions below:
-# pipeline/__init__ imports its modules in a fixed order and dedup's
-# oracle construction imports similarity at module load, so a top-level
-# import here can observe a partially-initialized module depending on
-# which package the process touches first.
+# pipeline.similarity (a registry module) is imported lazily inside the
+# functions below: pipeline/__init__ imports its modules in a fixed
+# order and dedup's oracle construction imports similarity at module
+# load, so a top-level import here can observe a partially-initialized
+# module depending on which package the process touches first.
+# functions.lsh is a cycle-free leaf and stays top-level.
 
 
 def build_ann_index(vecs: DataFrame, dim: int | None = None) -> DataFrame:
@@ -44,16 +50,13 @@ def build_ann_index(vecs: DataFrame, dim: int | None = None) -> DataFrame:
 
 def _query_keys(queries: DataFrame, dim: int | None = None) -> DataFrame:
     """Each query with its two candidate bucket keys exploded."""
-    from ..functions.lsh import SPLIT_BITS, SPLIT_MARKER
-
-    marker = SPLIT_MARKER
     sig0 = sign_lsh_sig_spark(dim=dim)
     sigx = sign_lsh_sig_spark(SPLIT_BITS, dim=dim, lo=LSH_BITS)
     return queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.explode(
-            F.array(sig0, sig0 + sigx + F.lit(marker))
+            F.array(sig0, sig0 + sigx + F.lit(SPLIT_MARKER))
         ).alias("sig"),
     )
 
@@ -89,10 +92,14 @@ def stream_vectors(
     sf_dir: str,
     stream_dir: str,
     max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> DataFrame:
-    """The embeddings table as a file stream of (vec_id, v) queries."""
-    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    reader = spark.readStream.schema(raw.schema)
+    """The embeddings table as a file stream of (vec_id, v) queries.
+    Pass ``schema`` (e.g. from an already-loaded corpus frame) to skip
+    the extra footer read the schema probe otherwise performs."""
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(stream_dir).select(
@@ -111,14 +118,17 @@ def streaming_ann_serve(
     """Drain the query stream against the static index, appending each
     batch's top-k matches to a parquet results sink (the serving-log
     deployment shape; foreachBatch calls are serialized by the engine)."""
-    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     from ..pipeline.similarity import embedding_dim
 
     dim = embedding_dim(corpus, key=sf_dir)
     index = build_ann_index(corpus, dim)
-    queries = stream_vectors(spark, sf_dir, stream_dir, max_files_per_trigger)
+    queries = stream_vectors(
+        spark, sf_dir, stream_dir, max_files_per_trigger, schema=raw.schema
+    )
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         ann_serve_batch(batch_df, index, k, dim).write.mode("append").parquet(

@@ -36,23 +36,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .sink import _BUCKET, _target_has_buckets, _with_bucket
+from .sink import _BUCKET, merge_into_buckets
 from .windows import stream_events
 
 
 def _batch_runs(batch_df: DataFrame) -> DataFrame:
     """One row per consecutive same-type run WITHIN the batch:
     (user_id, event_type, valid_from, n_events, ord_id)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("event_type").over(w)
-    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
-    runs = batch_df.select(
-        "user_id", "event_type", "ts", "event_id", chg.alias("_chg")
-    ).select(
-        "*",
-        F.sum("_chg")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("_run"),
+    from ..operators.timeseries import change_runs
+
+    runs = change_runs(
+        batch_df.select("user_id", "event_type", "ts", "event_id"),
+        ["ts", "event_id"],
     )
     return runs.groupBy("user_id", "event_type", "_run").agg(
         F.min("ts").alias("valid_from"),
@@ -64,34 +59,31 @@ def _batch_runs(batch_df: DataFrame) -> DataFrame:
 def scd2_apply_batch(
     batch_df: DataFrame, target_dir: str, n_buckets: int = 16
 ) -> None:
-    """MERGE one micro-batch's runs into the bucketed run store. Only
-    buckets containing batch users are read or rewritten; rows dedupe on
-    (user_id, ord_id), so replays are byte-identical no-ops."""
-    spark = batch_df.sparkSession
-    batch = _with_bucket(_batch_runs(batch_df), "user_id", n_buckets)
-    if _target_has_buckets(spark, target_dir):
-        touched = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
-        if not touched:
-            return
-        existing = spark.read.parquet(target_dir).where(
-            F.col(_BUCKET).isin(touched)
+    """MERGE one micro-batch's runs into the bucketed run store via the
+    upsert sink's shared touched-buckets machinery. Rows dedupe on
+    (user_id, ord_id) — the run's first event_id, an identity no other
+    batch can produce — so checkpointed batch REPLAY (same slicing) is a
+    byte-identical no-op. If a target is instead re-drained under a
+    DIFFERENT slicing (fresh checkpoint), colliding fragments are
+    reconciled deterministically — the fragment covering more events
+    wins, incoming on ties — but mixed-slicing stores are not
+    event-exact; the CDC contract here is replay-with-checkpoint, same
+    as the upsert sink."""
+
+    def first_fragment_wins(merged: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id", "ord_id").orderBy(
+            F.col("n_events").desc(), F.col("_is_new").desc()
         )
-        merged = existing.unionByName(batch).dropDuplicates(
-            ["user_id", "ord_id"]
+        return (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
         )
-    else:
-        merged = batch
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            merged.repartition(max(1, min(n_buckets, 8)), _BUCKET)
-            .write.mode("overwrite")
-            .partitionBy(_BUCKET)
-            .parquet(target_dir)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    merge_into_buckets(
+        _batch_runs(batch_df), target_dir, "user_id", first_fragment_wins,
+        n_buckets,
+    )
 
 
 def read_scd2_dimension(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -99,16 +91,10 @@ def read_scd2_dimension(spark: SparkSession, target_dir: str) -> DataFrame:
     adjacent same-type fragments (a run split by a batch boundary merges
     back), then chain [valid_from, valid_to) with LEAD — identical
     column contract to the batch cdc1 operator."""
+    from ..operators.timeseries import change_runs
+
     iv = spark.read.parquet(target_dir).drop(_BUCKET)
-    w = Window.partitionBy("user_id").orderBy("valid_from", "ord_id")
-    prev = F.lag("event_type").over(w)
-    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
-    runs = iv.select("*", chg.alias("_chg")).select(
-        "*",
-        F.sum("_chg")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("_run"),
-    )
+    runs = change_runs(iv, ["valid_from", "ord_id"])
     merged = runs.groupBy("user_id", "event_type", "_run").agg(
         F.min("valid_from").alias("valid_from"),
         F.sum("n_events").alias("n_events"),

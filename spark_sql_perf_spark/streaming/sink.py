@@ -58,6 +58,50 @@ def _target_has_buckets(spark: SparkSession, target_dir: str) -> bool:
     return False
 
 
+def merge_into_buckets(
+    batch_df: DataFrame,
+    target_dir: str,
+    bucket_key: str,
+    dedupe,
+    n_buckets: int = 16,
+) -> None:
+    """The shared touched-buckets MERGE machinery: bucket the batch,
+    read ONLY the buckets its keys fall in, union with the batch (rows
+    carry ``_is_new`` 1/0), apply ``dedupe`` (DataFrame -> DataFrame
+    winner-picker), and dynamic-partition-overwrite exactly the touched
+    buckets. The conf save/set/restore and the delete-then-rename commit
+    subtleties live HERE once — both the upsert sink and the SCD2
+    CDC-apply ride the same code path."""
+    spark = batch_df.sparkSession
+    batch = _with_bucket(batch_df, bucket_key, n_buckets).withColumn(
+        "_is_new", F.lit(1)
+    )
+    if _target_has_buckets(spark, target_dir):
+        touched = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
+        if not touched:
+            return
+        existing = (
+            spark.read.parquet(target_dir)
+            .where(F.col(_BUCKET).isin(touched))
+            .withColumn("_is_new", F.lit(0))
+        )
+        merged = existing.unionByName(batch)
+    else:
+        merged = batch
+    winners = dedupe(merged).drop("_is_new")
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            winners.repartition(max(1, min(n_buckets, 8)), _BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(target_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+
 def upsert_parquet_batch(
     batch_df: DataFrame,
     target_dir: str,
@@ -72,41 +116,20 @@ def upsert_parquet_batch(
     pass a unique column there so equal-version replays stay
     deterministic). Only buckets containing batch keys are read or
     rewritten."""
-    spark = batch_df.sparkSession
-    batch = _with_bucket(batch_df, key, n_buckets).withColumn(
-        "_is_new", F.lit(1)
-    )
-    if _target_has_buckets(spark, target_dir):
-        touched = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
-        existing = (
-            spark.read.parquet(target_dir)
-            .where(F.col(_BUCKET).isin(touched))
-            .withColumn("_is_new", F.lit(0))
+
+    def latest_version_wins(merged: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(
+            F.col(version_col).desc(),
+            F.col("_is_new").desc(),
+            *[F.col(c).desc() for c in tiebreak_cols],
         )
-        merged = existing.unionByName(batch)
-    else:
-        merged = batch
-    w = Window.partitionBy(key).orderBy(
-        F.col(version_col).desc(),
-        F.col("_is_new").desc(),
-        *[F.col(c).desc() for c in tiebreak_cols],
-    )
-    winners = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_is_new")
-    )
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            winners.repartition(max(1, min(n_buckets, 8)), _BUCKET)
-            .write.mode("overwrite")
-            .partitionBy(_BUCKET)
-            .parquet(target_dir)
+        return (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    merge_into_buckets(batch_df, target_dir, key, latest_version_wins, n_buckets)
 
 
 def initialize_upsert_target(

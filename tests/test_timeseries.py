@@ -465,3 +465,8 @@ class TestScd2Compress:
             )
         ).orderBy("valid_from", "event_type").collect()
         assert [r.event_type for r in out] == ["A", "B", "C"]
+        # B and C share valid_from: the chain must tiebreak on the runs'
+        # first event_id (B before C), deterministically in both engines
+        assert out[0].valid_to == _ts("2024-01-01 01:00:00")
+        assert out[1].valid_to == _ts("2024-01-01 01:00:00")
+        assert out[2].valid_to is None

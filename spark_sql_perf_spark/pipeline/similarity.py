@@ -241,9 +241,9 @@ def sim6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE_PROBE.md (61x -> 98x pairs per row from 500k to 2M vectors).
     The fix is LSH-forest-style adaptive depth (Bawa et al., WWW 2005):
     buckets over a size cap re-hash their members with extension planes,
-    equivalent to locally using more bits in dense regions. One window
-    count over sig0 (the same shuffle the join needs) + a conditional
-    extension keeps it a two-expression plan. Both engines share the
+    equivalent to locally using more bits in dense regions. The split
+    decision is a narrow sig0 aggregate joined back (AQE broadcasts it;
+    see lsh_buckets_df for why not a window count). Both engines share the
     md5-derived planes (functions/lsh.py), so the split decision and the
     final buckets are bit-identical — the oracle checks the adaptive
     algorithm end-to-end (the sf0.01 corpus does trigger splits at

@@ -51,12 +51,10 @@ def _correctness_files() -> list[str]:
 # be garbage-collected at leisure (it no longer needs hand-clearing each
 # round; a stale green row simply never vouches for newer code).
 _IMPL_CHANGED: dict[str, int] = {
-    # r6 entries GC'd: d5/sim2 (changed r5) and g3/g4 (changed r6) all
-    # have green rows >= their change round in CORRECTNESS_r06.json.
-    # (r7's streaming gap-fill rework has no oracle row — pytest-only.)
-    "sim1_cosine_topk": 7,       # dots unrolled over the peeked dim (codegen)
-    "sim2_lsh_bucketed_ann": 7,  # same unrolled-dot change
-    "d5_dedup_embedding": 7,     # adaptive LSH-forest bucket split (shared with sim6)
+    # r7 entries GC'd: sim1/sim2 (unrolled dots) and d5 (adaptive split)
+    # all have green rows >= their change round in CORRECTNESS_r07.json.
+    # r8 adds only NEW queries (sim7_ann_serve), which sort first by the
+    # never-verified rule without an entry here.
 }
 
 

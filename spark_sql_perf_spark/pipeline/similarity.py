@@ -309,6 +309,67 @@ def lsh_buckets_df(
     )
 
 
+@query(
+    "sim7_ann_serve",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    signed AS (SELECT vec_id, v, {_SIG_SQL} AS sig0, {_SIGX_SQL} AS sigx FROM vecs),
+    counted AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY sig0) AS cnt FROM signed),
+    corpus AS (
+      SELECT vec_id, v,
+             CASE WHEN cnt > {_KNN_CAP} THEN sig0 + sigx + {_KNN_MARKER}
+                  ELSE sig0 END AS sig
+      FROM counted),
+    q AS (
+      SELECT vec_id AS query_id, v, sig0 AS sig
+      FROM signed WHERE vec_id < {_N_QUERIES}
+      UNION ALL
+      SELECT vec_id, v, sig0 + sigx + {_KNN_MARKER}
+      FROM signed WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS_SQL}, 6) AS cosine
+      FROM q JOIN corpus c
+        ON q.sig = c.sig AND q.query_id <> c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def sim7_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN *serving* probe (the streaming server's batch form): a small
+    query set probed against the adaptive-bucketed corpus index via the
+    DUAL-KEY explode — the novel piece of ``streaming.ann``.
+
+    Under the adaptive split a corpus bucket's key is either sig0
+    (unsplit) or sig0+sigx+marker (split); a query cannot know which
+    without consulting the index, so it emits BOTH candidate keys (a
+    2-row explode) and equi-joins the corpus key. At most one key exists
+    on the corpus side per sig0 region, so this costs one extra probe
+    row per query — never a second index scan and never duplicate
+    matches. This registry entry runs the exact ``ann_serve_batch`` code
+    path the streaming server executes per micro-batch (whose
+    batch-equivalence across micro-batch slicings is pytest-asserted in
+    tests/test_streaming.py), so the oracle pins the production probe
+    logic end-to-end; the oracle replays the same two-key probe join in
+    SQL. The corpus index here is built inline (the streaming server
+    persists it once and probes it every batch — an execution detail
+    with no bearing on results).
+    """
+    from ..streaming.ann import ann_serve_batch
+
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = embedding_dim(vecs, key=sf_dir)
+    index = lsh_buckets_df(vecs, dim=dim)
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES)
+    return ann_serve_batch(queries, index, k=_TOP_K, dim=dim)
+
+
 def knn_graph_df(
     vecs: DataFrame,
     k: int = _KNN_K,

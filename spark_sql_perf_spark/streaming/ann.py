@@ -137,6 +137,13 @@ def streaming_ann_serve(
 
     q = (
         queries.writeStream.foreachBatch(sink)
+        # Checkpoint the source offsets: without it a restart after a
+        # mid-drain failure re-reads ALL input files and appends duplicate
+        # rows to the serving log. With it the restart resumes from the
+        # last committed batch — the parquet append is still at-least-once
+        # across a crash INSIDE a batch (foreachBatch's documented
+        # contract), but never replays whole completed batches.
+        .option("checkpointLocation", f"{out_dir}_ckpt")
         .trigger(availableNow=True)
         .start()
     )

@@ -622,11 +622,15 @@ def probe_r7(spark, n: int) -> dict[str, float]:
             (uniform_int(idc, "c10dup", 0, 7) == 0) & (idc >= 8),
             (idc / 8).cast("long")).otherwise(idc),
         "source": lambda idc: F.concat(F.lit("s"), (idc % 100).cast("string")),
-        "bad": lambda idc: uniform_int(idc, "c10bad", 0, 9),
     })
     words = [word(i) for i in range(11)]
+    # The bad-class draw derives from dup_of (like every text word), NOT
+    # the doc's own id — otherwise a planted copy whose bad-class differs
+    # from its original's (~18% of pairs) gets a different first word and
+    # the dedup stage sees fewer duplicates than the stated 1/8 plant rate.
+    bad = uniform_int(F.col("dup_of"), "c10bad", 0, 9)
     text = F.concat_ws(
-        " ", F.when(F.col("bad") == 0, F.lit("slow")).otherwise(word(11)), *words
+        " ", F.when(bad == 0, F.lit("slow")).otherwise(word(11)), *words
     )
     t("e2e_curation", curation_pipeline_df(
         cdocs.select("doc_id", "source", text.alias("text"),

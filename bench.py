@@ -37,6 +37,24 @@ the previous round shifts >20% is re-sampled three more times and its
 raw sample list is emitted under ``variance`` — residual sub-second box
 noise now ships with its own evidence instead of reading as a plan
 regression (the r5 sim1/e3 false alarms).
+
+Round 8 fixes the calibration itself (the r7 artifact's root cause): the
+box-drift median was computed over ALL shared headline queries, so
+queries indirectly accelerated by shared infrastructure (the r7
+graph-edge memo sped g4 −18% raw, d2/c1 −29%/−20% raw with zero direct
+code change) dragged the median to 0.871 and manufactured phantom
++13-16% "normalized regressions" on raw-flat queries (flagship, q1, q5,
+e3 — two rounds running for e3). The median is now pinned to
+``CALIBRATION``: the TPC-H-shaped scan/join/agg/window queries whose
+plans share NO cross-query memoized state (no graph-edge memo, no LSH
+checkpoint reuse) and that rebuild their inputs from the parquet scan
+every iteration — the closest thing the headline set has to pure
+box-drift thermometers. Every shared query's raw ratio is emitted under
+``calibration.ratios`` so a dragged median is auditable instead of
+silent, and the variance-receipt threshold drops 20% -> 10% so ANY
+normalized shift a reader would flag ships with its own re-sampled
+evidence. ``notes`` carries measurement-basis caveats that are true by
+construction (the graph memo one below).
 """
 
 from __future__ import annotations
@@ -75,6 +93,43 @@ HEADLINE = [
     "sim6_knn_graph",
     "cdc1_scd2_compress",
 ]
+
+# Box-drift thermometers: headline queries whose plans read the parquet
+# tables directly every iteration and touch NO cross-query memoized state
+# (graph.py's persisted edge relation, similarity's localCheckpointed
+# signed relation / dim memo). Only these feed the normalization median;
+# everything else is normalized BY it but cannot drag it. Excluded and
+# why: g3/g4 (memoized edge relation — min-of-N measures warm cache),
+# d2/sim1/sim6/c1 (shared pipeline infrastructure that rounds routinely
+# touch indirectly), cdc1 (r7-new, one round of history).
+CALIBRATION = [
+    "flagship_star_agg",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "j2_compound_key",
+    "j4_chain_join",
+    "a8_rollup_grouping",
+    "w2_running_total",
+    "e3_session_window",
+]
+
+# Measurement-basis facts a cross-round reader needs (shipped in the
+# output so the caveat lives WITH the numbers, not in a round's memo):
+NOTES = [
+    "g1-g6 (incl. headline g3/g4) share a per-corpus memoized persisted"
+    " edge relation since r7 (operators/graph.py): min-of-N times measure"
+    " the warm-cache steady state, so graph-query comparisons against"
+    " pre-r7 rounds conflate caching with operator changes.",
+    "normalization median is computed over CALIBRATION only (see"
+    " docstring); per-query ratios for ALL shared queries are under"
+    " calibration.ratios.",
+]
+
+# Variance-receipt threshold: any query whose normalized ratio vs the
+# previous round shifts more than this is re-sampled (+3) and ships its
+# raw sample list. 0.10 since r8 — the bar a reader would flag anyway.
+SHIFT_RECEIPT = 0.10
 
 
 def consume(df) -> None:
@@ -122,6 +177,12 @@ def load_previous_times() -> tuple[str, dict[str, float]] | None:
     return os.path.basename(prev_files[-1]), prev
 
 
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
 def normalize_vs_previous(
     times: dict[str, float], previous: tuple[str, dict[str, float]] | None
 ) -> dict | None:
@@ -132,26 +193,39 @@ def normalize_vs_previous(
     ``total_normalized`` is the plan-quality signal: a single query
     regressing stands out against the normalized baseline instead of
     being buried in (or mistaken for) box noise.
+
+    The median is taken over the CALIBRATION subset only (queries with no
+    cross-query memoized state — see module docstring); if fewer than 5
+    calibration queries overlap the previous round's file, it falls back
+    to the all-query median (flagged in the output). ``ratios`` carries
+    every shared query's raw ratio so the calibration itself is auditable.
     """
     if previous is None:
         return None
     vs, prev = previous
-    ratios = sorted(
-        times[q] / prev[q] for q in times if q in prev and prev[q] > 0
-    )
+    ratios = {
+        q: times[q] / prev[q] for q in times if q in prev and prev[q] > 0
+    }
     if not ratios:
         return None
-    n = len(ratios)
-    med = (ratios[n // 2] if n % 2 else (ratios[n // 2 - 1] + ratios[n // 2]) / 2)
+    cal = [r for q, r in ratios.items() if q in CALIBRATION]
+    basis = "calibration" if len(cal) >= 5 else "all_shared"
+    med = _median(cal if basis == "calibration" else list(ratios.values()))
     return {
         "vs": vs,
         "median_shift": round(med, 3),
         "value_normalized": round(sum(times.values()) / med, 3),
         "queries_normalized": {q: round(t / med, 3) for q, t in times.items()},
+        "calibration": {
+            "basis": basis,
+            "queries": [q for q in CALIBRATION if q in ratios],
+            "ratios": {q: round(r, 3) for q, r in sorted(ratios.items())},
+        },
     }
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = build_session(app_name="spark-sql-perf-spark-bench")
@@ -173,9 +247,9 @@ def main() -> None:
     # Variance receipt (r5 lesson: sim1 +35% / e3 +12% normalized on
     # UNTOUCHED sub-second queries — box noise, but nothing in the
     # artifact proved it). Any query whose box-drift-removed ratio vs the
-    # previous round stands >20% off the 1.0 line gets three MORE
-    # samples; the min over all eight plus the raw sample list land in
-    # the output so a shift either self-corrects or ships with the
+    # previous round stands >SHIFT_RECEIPT off the 1.0 line gets three
+    # MORE samples; the min over all eight plus the raw sample list land
+    # in the output so a shift either self-corrects or ships with the
     # evidence that it is real.
     previous = load_previous_times()
     normalized = normalize_vs_previous(times, previous)
@@ -184,7 +258,8 @@ def main() -> None:
         _, prev = previous
         shifted = [
             q for q, t_norm in normalized["queries_normalized"].items()
-            if q in prev and prev[q] > 0 and abs(t_norm / prev[q] - 1.0) > 0.20
+            if q in prev and prev[q] > 0
+            and abs(t_norm / prev[q] - 1.0) > SHIFT_RECEIPT
         ]
         for q in shifted:
             samples[q].extend(sample(q, 3))
@@ -202,6 +277,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "notes": NOTES,
     }
     if normalized is not None:
         payload["normalized"] = normalized
@@ -209,6 +285,12 @@ def main() -> None:
             for q, v in variance.items():
                 v["normalized_after"] = normalized["queries_normalized"].get(q)
             payload["variance"] = variance
+    # Bench wall-clock self-report: 16 queries x min-of-5 plus receipt
+    # re-samples. The re-sample tier only triggers on shifted queries, so
+    # the bound is ~(16*5 + shifted*3) executions; if every query shifted
+    # (a box-wide event the calibration median would absorb first), the
+    # run grows ~60% — acceptable, and now visible.
+    payload["bench_runtime_sec"] = round(time.perf_counter() - t_start, 1)
     print(json.dumps(payload))
     spark.stop()
 

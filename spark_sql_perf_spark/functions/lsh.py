@@ -25,9 +25,47 @@ LSH_BITS = 8
 # values. Constants live in this leaf module so every consumer
 # (pipeline.similarity, pipeline.dedup's module-load oracle,
 # streaming.ann) can import them without a package cycle.
+#
+# These defaults are ORACLE-SCALE constants, NOT production sizing:
+# BUCKET_CAP=5 / SPLIT_BITS=4 are chosen so the sf0.01 test corpus
+# (500 vectors, buckets reaching 8) exercises the split path in every
+# driver-verified query. A production corpus must size all three knobs
+# to its row count — use ``sized_lsh_params`` below, which encodes the
+# rule the scale probe validates at 500k-64M rows.
 SPLIT_BITS = 4
 BUCKET_CAP = 5  # sf0.01 buckets reach 8, so the split path IS oracle-exercised
 SPLIT_MARKER = 1 << (LSH_BITS + SPLIT_BITS)
+
+
+def sized_lsh_params(n: int, cap: int = 64) -> tuple[int, int, int]:
+    """(nbits, split_bits, cap) sized to a corpus of ``n`` vectors — the
+    production counterpart of the oracle-scale module constants.
+
+    Sizing rule (validated in SCALE_PROBE.md's knn cells, 500k-64M rows,
+    candidate pairs/row flat ~15 across the whole range):
+
+    - ``nbits ~ log2(n/2)``: base signature width tracks the corpus so
+      the MEAN bucket holds ~2 vectors. Width alone is not enough —
+      sign-LSH bucket masses are multiplicatively uneven, so the dense
+      tail's sum-of-squares candidate volume grows superlinearly even at
+      this width (measured 61x -> 98x pairs/row from 500k -> 2M before
+      the split existed).
+    - ``split_bits = 10`` extension planes re-hash any bucket over
+      ``cap`` members into 1024 sub-buckets, flattening the tail.
+
+    BOUND (the honest contract): the split is SINGLE-LEVEL, so one
+    application bounds the expected sub-bucket size only for base
+    buckets up to ~``cap << split_bits`` members (65k at the defaults —
+    at mean-2 sizing that is a region holding tens of thousands of
+    near-identical vectors, i.e. heavy duplication). Beyond that the
+    candidate volume degrades gracefully (quadratic only WITHIN the
+    still-oversized sub-buckets) but is no longer capped; corpora known
+    to be duplicate-heavy should exact-dedup first (d1/d5's job) or
+    raise ``split_bits``. Callers that skip this helper and inherit the
+    module constants get test-scale behavior, not a scale guarantee.
+    """
+    nbits = max(LSH_BITS, (max(n, 2) // 2).bit_length() - 1)  # ~log2(n/2)
+    return nbits, 10, cap
 
 
 def _plane_sign_sql(bit: int) -> str:

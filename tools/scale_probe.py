@@ -231,7 +231,7 @@ def probe_ann_lsh(spark, n_vecs: int, dim: int = 16, n_queries: int = 64):
         F.max("dot").alias("best"), F.count(F.lit(1)).alias("n_cands"))
 
 
-PQ_SCALES = [1_000_000, 4_000_000, 16_000_000]
+PQ_SCALES = [1_000_000, 4_000_000, 16_000_000, 64_000_000]
 
 
 def probe_pq(spark, n_vecs: int, n_queries: int = 8) -> dict[str, float]:
@@ -536,8 +536,6 @@ def probe_r7(spark, n: int) -> dict[str, float]:
                strata: one scan + partial/final WindowGroupLimit top-k,
                no global sort — must track ~n (scan-bound).
     """
-    import math
-
     from spark_sql_perf_spark.operators.timeseries import scd2_compress_df
     from spark_sql_perf_spark.pipeline.curation import priority_sample_df
 
@@ -557,9 +555,11 @@ def probe_r7(spark, n: int) -> dict[str, float]:
     )
 
     dim = 16
-    nbits = max(8, int(math.log2(max(n // 2, 2))))
-    split_bits = 10
-    cap = 64
+    # the production sizing rule under test — this cell is the receipt
+    # for sized_lsh_params' documented contract (functions/lsh.py)
+    from spark_sql_perf_spark.functions.lsh import sized_lsh_params
+
+    nbits, split_bits, cap = sized_lsh_params(n)
     vec = F.array(*[
         (uniform_int(F.col("vec_id"), f"k{i}", 0, 2_000_000) / 1_000_000.0 - 1.0)
         for i in range(dim)
@@ -683,6 +683,112 @@ def r7_section(res: dict[int, dict[str, float]]) -> list[str]:
         + " — the adaptive cap holds candidate volume ~linear (flat pairs/row).",
         "",
     ]
+
+
+R8_SCALES = [1_000_000, 4_000_000, 16_000_000, 64_000_000]
+
+
+def probe_r8(spark, n: int) -> dict[str, float]:
+    """sql7's recursive-CTE shape at volume. Spark 4's WITH RECURSIVE
+    execution is brand-new surface, so its scaling gets its own receipt:
+    a bounded 3-hop BFS from ~n/1024 seed nodes over the uniform
+    n/8-edge graph. Each recursion step is ONE join of the skinny
+    (node, hops) frontier against the persisted edge relation — g6
+    PageRank's per-iteration shuffle profile — and the total path count
+    is ~n/2 by construction (seeds x avg-out-degree^3), so the cell must
+    track ~n with no per-level blowup."""
+    out = {}
+    m = n // 8
+    g = gen_hub_edges(spark, m, skew=False).persist()
+    g.count()
+    g.createOrReplaceTempView("rcte_g")
+    # Spark 4 guards recursion with a row limit (default 1M rows across
+    # all levels) — a production-size recursion must raise it to the
+    # expected path volume, exactly like shuffle-partition sizing. Scale
+    # it with the corpus; restored after the cell.
+    prev_limit = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(2 * n, 1_000_000)))
+    # seeds: every 16th node id -> ~nodes/16 = n/1024 anchors; with avg
+    # out-degree 8 the level sizes are seeds * (1, 8, 64, 512) paths, so
+    # total path rows ~ 0.57*n — linear in n, never frontier-explosive
+    sql = """
+      WITH RECURSIVE reach(node, hops) AS (
+        SELECT DISTINCT src AS node, 0 AS hops FROM rcte_g WHERE src % 16 = 0
+        UNION ALL
+        SELECT g.dst AS node, r.hops + 1 AS hops
+        FROM reach r JOIN rcte_g g ON g.src = r.node
+        WHERE r.hops < 3
+      )
+      SELECT node, MIN(hops) AS min_hops, COUNT(*) AS n_paths
+      FROM reach GROUP BY node
+    """
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.sql(sql).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    out["rcte_bfs3"] = round(best, 2)
+    # the path volume the recursion actually carried, as its own column:
+    # ~linear path rows is WHY the time cell can be linear
+    out["rcte_paths"] = int(
+        spark.sql(sql).agg(F.sum("n_paths").alias("p")).first()["p"] or 0
+    )
+    g.unpersist()
+    spark.catalog.dropTempView("rcte_g")
+    if prev_limit is not None:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev_limit)
+    else:
+        spark.conf.unset("spark.sql.cteRecursionRowLimit")
+    return out
+
+
+def r8_cells(spark) -> dict[int, dict[str, float]]:
+    out = {}
+    for n in R8_SCALES:
+        out[n] = probe_r8(spark, n)
+        print(f"r8@{n}: {out[n]}", flush=True)
+    return out
+
+
+def r8_section(res: dict[int, dict[str, float]]) -> list[str]:
+    base, top = res[R8_SCALES[0]], res[R8_SCALES[-1]]
+    ratio = R8_SCALES[-1] // R8_SCALES[0]
+    return [
+        "## Recursive-CTE cells (sql7 shape)",
+        "",
+        "rcte_bfs3 runs sql7's WITH RECURSIVE bounded BFS (Spark 4's",
+        "recursive-CTE execution — new engine surface with no other",
+        "receipt in this file) over the uniform n/8-edge graph from",
+        "~n/1024 seed nodes, 3 hops. Each recursion level is one join of",
+        "the skinny (node, hops) frontier against the edge relation —",
+        "the same per-iteration shuffle profile as pagerank_3it — and",
+        "rcte_paths (the path volume the recursion carries) is ~n/2 by",
+        "construction, so time must track ~n. Operational finding: Spark",
+        "guards recursion with spark.sql.cteRecursionRowLimit (default 1M",
+        "rows across all levels) — production-size recursions must raise",
+        "it to the expected path volume, like shuffle-partition sizing;",
+        "the probe sets it to 2n per cell. Regenerate alone with:",
+        "`python tools/scale_probe.py r8`.",
+        "",
+        "| rows | rcte_bfs3 | rcte_paths |",
+        "|---|---|---|",
+        *[
+            f"| {n:,} | {res[n]['rcte_bfs3']}s | {res[n]['rcte_paths']:,} |"
+            for n in R8_SCALES
+        ],
+        "",
+        f"Data grew {ratio}x; rcte_bfs3 "
+        f"{top['rcte_bfs3'] / max(base['rcte_bfs3'], 0.01):.1f}x on "
+        f"{top['rcte_paths'] / max(base['rcte_paths'], 1):.1f}x path rows"
+        " — the recursion's per-level frontier join scales like the",
+        "iterative DataFrame form it replaces; no per-level re-scan or",
+        "frontier blowup hides in the new executor.",
+        "",
+    ]
+
+
+def patch_r8_section(res: dict[int, dict[str, float]]) -> None:
+    _patch_section("## Recursive-CTE cells", r8_section(res))
 
 
 def patch_r7_section(res: dict[int, dict[str, float]]) -> None:
@@ -965,6 +1071,7 @@ def main() -> None:
     pq_res = pq_cells(spark)
     r6_res = r6_cells(spark)
     r7_res = r7_cells(spark)
+    r8_res = r8_cells(spark)
 
     time_keys = [
         k for k in results[SCALES[0]]
@@ -1096,6 +1203,7 @@ def main() -> None:
         *pq_section(pq_res),
         *r6_section(r6_res),
         *r7_section(r7_res),
+        *r8_section(r8_res),
         "## 64M-point decomposition (the steepest cells)",
         "",
         "Profiled fact_fact_join at 64M rows: generation alone is ~2.3s,",
@@ -1126,6 +1234,12 @@ if __name__ == "__main__":
         spark = build_session("scale-probe-r6")
         spark.sparkContext.setLogLevel("ERROR")
         patch_r6_section(r6_cells(spark))
+        spark.stop()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r8":
+        spark = build_session("scale-probe-r8")
+        spark.sparkContext.setLogLevel("ERROR")
+        probe_r8(spark, 100_000)  # untimed warmup: JIT + codegen
+        patch_r8_section(r8_cells(spark))
         spark.stop()
     elif len(sys.argv) > 1 and sys.argv[1] == "r7":
         spark = build_session("scale-probe-r7")

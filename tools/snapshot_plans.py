@@ -82,6 +82,13 @@ EXTRA = [
     "cdc1_scd2_compress",
     "c9_priority_sample",
     "sql7_recursive_cte",
+    # r8 rotation: the remaining r4-green queries not yet snapshotted
+    # (l3/l4/g6/d6/d5/sql5 already appear above), plus the round's new
+    # serving-probe query
+    "c7_fuzzy_decontaminate",
+    "m3_byte_histogram",
+    "sim4_recall_vs_exact",
+    "sim7_ann_serve",
 ]
 
 

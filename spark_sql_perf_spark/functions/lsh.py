@@ -21,10 +21,10 @@ LSH_BITS = 8
 # Adaptive (LSH-forest) bucket splitting, shared by sim6's kNN graph,
 # d5's embedding dedup, and the streaming ANN server: buckets over
 # BUCKET_CAP members re-hash with SPLIT_BITS extension planes; split
-# keys live past SPLIT_MARKER so they never collide with unsplit sig0
-# values. Constants live in this leaf module so every consumer
-# (pipeline.similarity, pipeline.dedup's module-load oracle,
-# streaming.ann) can import them without a package cycle.
+# keys live past their level's marker (split_marker below) so they
+# never collide with unsplit sig0 values. Constants live in this leaf
+# module so every consumer (pipeline.similarity, pipeline.dedup's
+# module-load oracle, streaming.ann) can import them without a cycle.
 #
 # These defaults are ORACLE-SCALE constants, NOT production sizing:
 # BUCKET_CAP=5 / SPLIT_BITS=4 are chosen so the sf0.01 test corpus
@@ -34,7 +34,20 @@ LSH_BITS = 8
 # rule the scale probe validates at 500k-64M rows.
 SPLIT_BITS = 4
 BUCKET_CAP = 5  # sf0.01 buckets reach 8, so the split path IS oracle-exercised
-SPLIT_MARKER = 1 << (LSH_BITS + SPLIT_BITS)
+
+# The split RECURSES (LSH-forest proper, r8): a split sub-bucket still
+# over the cap re-hashes with the NEXT split_bits extension planes, up
+# to SPLIT_LEVELS deep. Level-i keys are sig0 + sigx1 + .. + sigxi +
+# marker_i with marker_i = 1 << (nbits + i*split_bits); the level key
+# ranges [marker_i, 2*marker_i) are pairwise disjoint (marker_{i+1} >=
+# 2*marker_i for split_bits >= 1) and disjoint from unsplit sig0 values
+# (< marker_1), so no cross-level collisions exist by construction.
+SPLIT_LEVELS = 2
+
+
+def split_marker(level: int, nbits: int = LSH_BITS, split_bits: int = SPLIT_BITS) -> int:
+    """Key-space offset for level-``level`` split buckets."""
+    return 1 << (nbits + level * split_bits)
 
 
 def sized_lsh_params(n: int, cap: int = 64) -> tuple[int, int, int]:
@@ -53,16 +66,15 @@ def sized_lsh_params(n: int, cap: int = 64) -> tuple[int, int, int]:
     - ``split_bits = 10`` extension planes re-hash any bucket over
       ``cap`` members into 1024 sub-buckets, flattening the tail.
 
-    BOUND (the honest contract): the split is SINGLE-LEVEL, so one
-    application bounds the expected sub-bucket size only for base
-    buckets up to ~``cap << split_bits`` members (65k at the defaults —
-    at mean-2 sizing that is a region holding tens of thousands of
-    near-identical vectors, i.e. heavy duplication). Beyond that the
-    candidate volume degrades gracefully (quadratic only WITHIN the
-    still-oversized sub-buckets) but is no longer capped; corpora known
-    to be duplicate-heavy should exact-dedup first (d1/d5's job) or
-    raise ``split_bits``. Callers that skip this helper and inherit the
-    module constants get test-scale behavior, not a scale guarantee.
+    BOUND (the honest contract): the split recurses SPLIT_LEVELS=2 deep,
+    so the expected sub-bucket size is bounded for base buckets up to
+    ~``cap << (SPLIT_LEVELS * split_bits)`` members — 67M at these
+    defaults, i.e. any physically plausible dense region. What no depth
+    can separate is vectors whose SIGNS agree on every plane (exact
+    duplicates and rescales, which are sign-invariant): those stay
+    co-bucketed by construction and are exact-dedup's job (d1/d5), not
+    ANN's. Callers that skip this helper and inherit the module
+    constants get test-scale behavior, not a scale guarantee.
     """
     nbits = max(LSH_BITS, (max(n, 2) // 2).bit_length() - 1)  # ~log2(n/2)
     return nbits, 10, cap
@@ -150,3 +162,90 @@ def sign_lsh_sig_spark(
         term = _plane_sign_spark_lit(b, dim) if dim else _plane_sign_spark(b)
         sig = term if sig is None else sig + term
     return sig
+
+
+# ---------------------------------------------------------------------------
+# Shared multi-level bucketing SQL (the DuckDB twin of
+# pipeline.similarity.lsh_buckets_df). Living here keeps the THREE
+# oracle texts that replay the adaptive split (sim6, sim7, d5) generated
+# from one definition instead of hand-tripled.
+# ---------------------------------------------------------------------------
+
+def lsh_sig_cols_sql(
+    nbits: int = LSH_BITS,
+    split_bits: int = SPLIT_BITS,
+    levels: int = SPLIT_LEVELS,
+) -> str:
+    """Select-list fragment computing sig0 plus the per-level extension
+    signatures sigx1..sigxL over a DOUBLE[] column ``v``."""
+    cols = [f"{sign_lsh_sig_sql(nbits)} AS sig0"]
+    for i in range(1, levels + 1):
+        cols.append(
+            f"{sign_lsh_sig_sql(split_bits, lo=nbits + (i - 1) * split_bits)}"
+            f" AS sigx{i}"
+        )
+    return ",\n           ".join(cols)
+
+
+def lsh_bucketed_cte_sql(
+    src: str,
+    out: str = "bucketed",
+    cols: str = "vec_id, v",
+    nbits: int = LSH_BITS,
+    split_bits: int = SPLIT_BITS,
+    cap: int = BUCKET_CAP,
+    levels: int = SPLIT_LEVELS,
+) -> str:
+    """CTE-chain fragment (to splice into a WITH list) that turns
+    relation ``src`` — columns ``cols`` + sig0 + sigx1..sigxL — into
+    relation ``out`` with columns ``cols`` + the final adaptive bucket
+    key ``sig``. Per level: a window count over the current key, then a
+    CASE that advances still-oversized buckets to the next level's key
+    space. Bit-identical to the Spark side's narrow-aggregate+join-back
+    form (same counts, same CASE arithmetic)."""
+    parts = []
+    prev, key = src, "sig0"
+    for i in range(1, levels + 1):
+        mi = split_marker(i, nbits, split_bits)
+        carry = ", ".join(f"sigx{j}" for j in range(i + 1, levels + 1))
+        carry = f"{carry}, " if carry else ""
+        cnt = f"_lsh_c{i}"
+        parts.append(
+            f"{cnt} AS (SELECT *, COUNT(*) OVER (PARTITION BY {key})"
+            f" AS _cnt{i} FROM {prev})"
+        )
+        if i == 1:
+            case = (
+                f"CASE WHEN _cnt1 > {cap} THEN sig0 + sigx1 + {mi}"
+                f" ELSE sig0 END"
+            )
+        else:
+            mp = split_marker(i - 1, nbits, split_bits)
+            # only an already-split key (>= mp) can hold > cap rows; the
+            # guard mirrors that invariant in the text
+            case = (
+                f"CASE WHEN {key} >= {mp} AND _cnt{i} > {cap}"
+                f" THEN {key} - {mp} + sigx{i} + {mi} ELSE {key} END"
+            )
+        name = out if i == levels else f"_lsh_s{i}"
+        alias = "sig" if i == levels else f"_k{i}"
+        parts.append(f"{name} AS (SELECT {cols}, {carry}{case} AS {alias} FROM {cnt})")
+        prev, key = name, alias
+    return ",\n    ".join(parts)
+
+
+def lsh_query_key_exprs_sql(
+    nbits: int = LSH_BITS,
+    split_bits: int = SPLIT_BITS,
+    levels: int = SPLIT_LEVELS,
+) -> list[str]:
+    """The levels+1 candidate bucket keys a serving-side query must
+    probe (it cannot know a region's split depth without consulting the
+    index): sig0, then sig0+sigx1+marker_1, .. through level L. At most
+    one key exists on the index side per region, so the explode costs
+    ``levels`` extra probe rows per query, never duplicate matches."""
+    keys, acc = ["sig0"], "sig0"
+    for i in range(1, levels + 1):
+        acc = f"{acc} + sigx{i}"
+        keys.append(f"{acc} + {split_marker(i, nbits, split_bits)}")
+    return keys

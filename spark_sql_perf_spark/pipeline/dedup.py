@@ -453,13 +453,7 @@ def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d5_oracle() -> str:
-    from ..functions.lsh import (
-        BUCKET_CAP as _KNN_CAP,
-        LSH_BITS,
-        SPLIT_BITS as _KNN_SPLIT_BITS,
-        SPLIT_MARKER as _KNN_MARKER,
-        sign_lsh_sig_sql,
-    )
+    from ..functions.lsh import lsh_bucketed_cte_sql, lsh_sig_cols_sql
 
     cos = (
         "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
@@ -474,16 +468,8 @@ def _d5_oracle() -> str:
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
       FROM embeddings WHERE vec_id % 10 = 0),
     presigned AS (
-      SELECT vec_id, v, {sign_lsh_sig_sql()} AS sig0,
-             {sign_lsh_sig_sql(_KNN_SPLIT_BITS, lo=LSH_BITS)} AS sigx
-      FROM corpus),
-    counted AS (
-      SELECT *, COUNT(*) OVER (PARTITION BY sig0) AS cnt FROM presigned),
-    signed AS (
-      SELECT vec_id, v,
-             CASE WHEN cnt > {_KNN_CAP} THEN sig0 + sigx + {_KNN_MARKER}
-                  ELSE sig0 END AS sig
-      FROM counted),
+      SELECT vec_id, v, {lsh_sig_cols_sql()} FROM corpus),
+    {lsh_bucketed_cte_sql("presigned", out="signed")},
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
       FROM signed a JOIN signed b
@@ -504,9 +490,10 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall on the planted duplicates is exactly 1.0 by construction: a
     rescaled copy 0.5*x has the IDENTICAL hyperplane sign signature as x
     (signs are scale-invariant) AND the identical extension signature, so
-    every planted pair shares a bucket even through the r7 LSH-forest
+    every planted pair shares a bucket even through the LSH-forest
     ADAPTIVE split (similarity.lsh_buckets_df: buckets over the size cap
-    re-hash with extension planes — without it the probe measured the
+    re-hash with extension planes, RECURSIVELY since r8 so the cap is an
+    actual bound — without the split the probe measured the
     candidate-pair tail growing superlinearly, SCALE_PROBE.md). The
     DuckDB oracle runs the same adaptive blocking, so it stays
     hash-exact. At 100 TB the shuffle is on the signature; pairwise

@@ -27,9 +27,13 @@ from ..functions.lsh import (
     BUCKET_CAP as _KNN_CAP,
     LSH_BITS as _LSH_BITS,
     SPLIT_BITS as _KNN_SPLIT_BITS,
-    SPLIT_MARKER as _KNN_MARKER,
+    SPLIT_LEVELS as _KNN_LEVELS,
+    lsh_bucketed_cte_sql,
+    lsh_query_key_exprs_sql,
+    lsh_sig_cols_sql,
     sign_lsh_sig_spark,
     sign_lsh_sig_sql,
+    split_marker,
 )
 from ..operators.registry import query
 
@@ -196,24 +200,17 @@ def sim2_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 _KNN_K = 2  # neighbors per vector in the kNN graph
-# cap/split-bits/marker come from functions.lsh (leaf module — see its
-# docstring for why the constants live there)
-
-_SIGX_SQL = sign_lsh_sig_sql(_KNN_SPLIT_BITS, lo=_LSH_BITS)
+# cap/split-bits/levels come from functions.lsh (leaf module — see its
+# docstring for why the constants live there), as do the generated SQL
+# fragments the three adaptive-split oracles (sim6/sim7/d5) share.
 
 
 @query(
     "sim6_knn_graph",
     oracle=f"""
     WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    signed AS (SELECT vec_id, v, {_SIG_SQL} AS sig0, {_SIGX_SQL} AS sigx FROM vecs),
-    counted AS (
-      SELECT *, COUNT(*) OVER (PARTITION BY sig0) AS cnt FROM signed),
-    bucketed AS (
-      SELECT vec_id, v,
-             CASE WHEN cnt > {_KNN_CAP} THEN sig0 + sigx + {_KNN_MARKER}
-                  ELSE sig0 END AS sig
-      FROM counted),
+    signed AS (SELECT vec_id, v, {lsh_sig_cols_sql()} FROM vecs),
+    {lsh_bucketed_cte_sql("signed")},
     scored AS (
       SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
              ROUND({_COS_SQL}, 6) AS cosine
@@ -261,72 +258,89 @@ def lsh_buckets_df(
     split_bits: int = _KNN_SPLIT_BITS,
     cap: int = _KNN_CAP,
     dim: int | None = None,
+    levels: int = _KNN_LEVELS,
 ) -> DataFrame:
-    """(vec_id, v, sig) with adaptive bucket splitting: base nbits-plane
-    signature, plus split_bits extension planes for buckets over ``cap``
-    members (LSH-forest adaptive depth).
+    """(vec_id, v, sig) with RECURSIVE adaptive bucket splitting
+    (LSH-forest proper): base nbits-plane signature; buckets over
+    ``cap`` members re-hash with split_bits extension planes, and a
+    sub-bucket STILL over the cap recurses with the next extension
+    family, ``levels`` deep. Single-level splitting left the cap
+    advisory — a split sub-bucket over the cap was never re-split, so a
+    sufficiently dense region could regrow the quadratic candidate tail
+    with the module defaults; with recursion the cap is an actual bound
+    for any base bucket up to ~cap << (levels*split_bits) members
+    (functions/lsh.py::sized_lsh_params documents the sizing rule and
+    the sign-identical residue no depth can separate).
 
-    The split decision deliberately avoids a window count over sig0 —
-    that would shuffle every WIDE (vec_id, v) row once for the count and
-    again for the downstream join on sig (different keys, no exchange
-    reuse). Instead: a partial-combining groupBy ships only the narrow
-    sig0 column, the oversized-bucket set it yields is small by
-    construction (<= n/cap keys, and in practice just the dense tail),
-    and joining it back lets AQE pick a broadcast join at runtime — the
-    vectors then shuffle exactly once, on the final sig.
+    Each split decision deliberately avoids a window count over the
+    current key — that would shuffle every WIDE (vec_id, v) row once
+    per level for the count and again for the downstream join on sig
+    (different keys, no exchange reuse). Instead: a partial-combining
+    groupBy ships only the narrow key column, the oversized-bucket set
+    it yields is small by construction (<= n/cap keys, in practice just
+    the dense tail — and from level 2 on, only the still-dense residue
+    of level 1's tail), and joining it back lets AQE pick a broadcast
+    join at runtime — the vectors still shuffle exactly once, on the
+    final sig.
 
     The signed relation is localCheckpointed (the g3 support-pairs
-    pattern): it is consumed by the count branch AND both sides of the
-    downstream self-join, and without materialization Catalyst
-    re-evaluates the plane projections per consumer (probe 8M cell: 64s
-    un-checkpointed vs 48s checkpointed; 12.2s -> 7.7s at 500k). On
-    local[32] the checkpoint write partly offsets the saved
+    pattern): it is consumed by every level's count branch AND both
+    sides of the downstream self-join, and without materialization
+    Catalyst re-evaluates the plane projections per consumer (probe 8M
+    cell: 64s un-checkpointed vs 48s checkpointed; 12.2s -> 7.7s at
+    500k). On local[32] the checkpoint write partly offsets the saved
     recomputation; on a network cluster it also replaces the window
-    form's TWO wide-row shuffles with one local materialization — the
-    regime the operator is designed for."""
-    marker = 1 << (nbits + split_bits)
-    signed = vecs.select(
-        "vec_id",
-        "v",
-        sign_lsh_sig_spark(nbits, dim=dim).alias("sig0"),
-        sign_lsh_sig_spark(split_bits, dim=dim, lo=nbits).alias("sigx"),
-    ).localCheckpoint()
-    oversized = (
-        signed.groupBy("sig0")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .where(F.col("_cnt") > cap)
-        .select("sig0", F.lit(True).alias("_split"))
-    )
-    return signed.join(oversized, "sig0", "left").select(
-        "vec_id",
-        "v",
-        F.when(
-            F.col("_split").isNotNull(),
-            F.col("sig0") + F.col("sigx") + F.lit(marker),
+    form's per-level wide-row shuffles with one local materialization —
+    the regime the operator is designed for."""
+    sig_cols = [sign_lsh_sig_spark(nbits, dim=dim).alias("sig0")] + [
+        sign_lsh_sig_spark(
+            split_bits, dim=dim, lo=nbits + (i - 1) * split_bits
+        ).alias(f"sigx{i}")
+        for i in range(1, levels + 1)
+    ]
+    cur = vecs.select("vec_id", "v", *sig_cols).localCheckpoint()
+    key = "sig0"
+    for i in range(1, levels + 1):
+        mi = split_marker(i, nbits, split_bits)
+        oversized = (
+            cur.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .where(F.col("_cnt") > cap)
+            .select(key, F.lit(True).alias("_split"))
         )
-        .otherwise(F.col("sig0"))
-        .alias("sig"),
-    )
+        if i == 1:
+            advanced = F.col("sig0") + F.col("sigx1") + F.lit(mi)
+            split_cond = F.col("_split").isNotNull()
+        else:
+            mp = split_marker(i - 1, nbits, split_bits)
+            advanced = F.col(key) - F.lit(mp) + F.col(f"sigx{i}") + F.lit(mi)
+            # only an already-split key can exceed the cap; the guard
+            # mirrors the oracle text's CASE exactly
+            split_cond = F.col("_split").isNotNull() & (F.col(key) >= F.lit(mp))
+        new_key = "sig" if i == levels else f"_k{i}"
+        carry = [f"sigx{j}" for j in range(i + 1, levels + 1)]
+        cur = cur.join(oversized, key, "left").select(
+            "vec_id",
+            "v",
+            *carry,
+            F.when(split_cond, advanced).otherwise(F.col(key)).alias(new_key),
+        )
+        key = new_key
+    return cur
 
 
 @query(
     "sim7_ann_serve",
     oracle=f"""
     WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    signed AS (SELECT vec_id, v, {_SIG_SQL} AS sig0, {_SIGX_SQL} AS sigx FROM vecs),
-    counted AS (
-      SELECT *, COUNT(*) OVER (PARTITION BY sig0) AS cnt FROM signed),
-    corpus AS (
-      SELECT vec_id, v,
-             CASE WHEN cnt > {_KNN_CAP} THEN sig0 + sigx + {_KNN_MARKER}
-                  ELSE sig0 END AS sig
-      FROM counted),
+    signed AS (SELECT vec_id, v, {lsh_sig_cols_sql()} FROM vecs),
+    {lsh_bucketed_cte_sql("signed", out="corpus")},
     q AS (
-      SELECT vec_id AS query_id, v, sig0 AS sig
-      FROM signed WHERE vec_id < {_N_QUERIES}
-      UNION ALL
-      SELECT vec_id, v, sig0 + sigx + {_KNN_MARKER}
-      FROM signed WHERE vec_id < {_N_QUERIES}),
+      {" UNION ALL ".join(
+          f"SELECT vec_id AS query_id, v, {k} AS sig FROM signed"
+          f" WHERE vec_id < {_N_QUERIES}"
+          for k in lsh_query_key_exprs_sql()
+      )}),
     scored AS (
       SELECT q.query_id AS query_id, c.vec_id AS neighbor_id,
              ROUND({_COS_SQL}, 6) AS cosine
@@ -342,15 +356,17 @@ def lsh_buckets_df(
 def sim7_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN *serving* probe (the streaming server's batch form): a small
     query set probed against the adaptive-bucketed corpus index via the
-    DUAL-KEY explode — the novel piece of ``streaming.ann``.
+    MULTI-KEY explode — the novel piece of ``streaming.ann``.
 
-    Under the adaptive split a corpus bucket's key is either sig0
-    (unsplit) or sig0+sigx+marker (split); a query cannot know which
-    without consulting the index, so it emits BOTH candidate keys (a
-    2-row explode) and equi-joins the corpus key. At most one key exists
-    on the corpus side per sig0 region, so this costs one extra probe
-    row per query — never a second index scan and never duplicate
-    matches. This registry entry runs the exact ``ann_serve_batch`` code
+    Under the recursive adaptive split a corpus region carries exactly
+    one key per split depth 0..SPLIT_LEVELS; a query cannot know a
+    region's depth without consulting the index, so it emits ALL
+    SPLIT_LEVELS+1 candidate keys (a small explode) and equi-joins the
+    corpus key. At most one key exists on the corpus side per region,
+    so this costs `levels` extra probe rows per query — never a second
+    index scan and never duplicate matches (three key depths never
+    collide: each level's key space is marker-offset past the previous).
+    This registry entry runs the exact ``ann_serve_batch`` code
     path the streaming server executes per micro-batch (whose
     batch-equivalence across micro-batch slicings is pytest-asserted in
     tests/test_streaming.py), so the oracle pins the production probe
@@ -377,11 +393,12 @@ def knn_graph_df(
     split_bits: int = _KNN_SPLIT_BITS,
     cap: int = _KNN_CAP,
     dim: int | None = None,
+    levels: int = _KNN_LEVELS,
 ) -> DataFrame:
     """sim6's transformation on an explicit (vec_id, v) frame — reused by
     the scale probe with corpus-scaled ``nbits``. See sim6_knn_graph for
     the adaptive-split rationale."""
-    bucketed = lsh_buckets_df(vecs, nbits, split_bits, cap, dim)
+    bucketed = lsh_buckets_df(vecs, nbits, split_bits, cap, dim, levels)
     q, c = bucketed.alias("q"), bucketed.alias("c")
     scored = q.join(
         c,

@@ -10,14 +10,16 @@ ranking is a plain window inside the batch; Spark's streaming engine
 does not allow non-time windows on the stream itself, and serving
 systems rank per request anyway).
 
-Query-side bucket assignment under the adaptive split: a corpus bucket
-is either unsplit (key = sig0) or split (key = sig0 + sigx + marker).
-The query cannot know which without consulting the index, so it emits
-BOTH candidate keys (a 2-row explode) and equi-joins the corpus key —
-at most one key exists on the corpus side per region, so this costs one
-extra probe row per query, never a second scan. Results are identical
-to running the same expression in batch over all queries at once
-(asserted across micro-batch slicings in tests).
+Query-side bucket assignment under the adaptive split: a corpus region
+carries exactly one key per split depth 0..SPLIT_LEVELS (unsplit sig0,
+or sig0+sigx1+marker_1, recursing to sig0+sigx1+sigx2+marker_2). The
+query cannot know a region's depth without consulting the index, so it
+emits ALL SPLIT_LEVELS+1 candidate keys (a small explode) and
+equi-joins the corpus key — at most one key exists on the corpus side
+per region, so this costs `levels` extra probe rows per query, never a
+second scan and never duplicate matches. Results are identical to
+running the same expression in batch over all queries at once (asserted
+across micro-batch slicings in tests).
 """
 
 from __future__ import annotations
@@ -28,8 +30,9 @@ from pyspark.sql import functions as F
 from ..functions.lsh import (
     LSH_BITS,
     SPLIT_BITS,
-    SPLIT_MARKER,
+    SPLIT_LEVELS,
     sign_lsh_sig_spark,
+    split_marker,
 )
 
 # pipeline.similarity (a registry module) is imported lazily inside the
@@ -49,15 +52,21 @@ def build_ann_index(vecs: DataFrame, dim: int | None = None) -> DataFrame:
 
 
 def _query_keys(queries: DataFrame, dim: int | None = None) -> DataFrame:
-    """Each query with its two candidate bucket keys exploded."""
-    sig0 = sign_lsh_sig_spark(dim=dim)
-    sigx = sign_lsh_sig_spark(SPLIT_BITS, dim=dim, lo=LSH_BITS)
+    """Each query with its SPLIT_LEVELS+1 candidate bucket keys exploded
+    (one per possible split depth of the region it probes — at most one
+    exists on the index side, so this is `levels` extra probe rows per
+    query, never duplicate matches)."""
+    keys = [sign_lsh_sig_spark(dim=dim)]
+    for i in range(1, SPLIT_LEVELS + 1):
+        sigx = sign_lsh_sig_spark(
+            SPLIT_BITS, dim=dim, lo=LSH_BITS + (i - 1) * SPLIT_BITS
+        )
+        keys.append(keys[-1] - F.lit(0 if i == 1 else split_marker(i - 1))
+                    + sigx + F.lit(split_marker(i)))
     return queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.explode(
-            F.array(sig0, sig0 + sigx + F.lit(SPLIT_MARKER))
-        ).alias("sig"),
+        F.explode(F.array(*keys)).alias("sig"),
     )
 
 

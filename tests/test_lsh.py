@@ -52,6 +52,70 @@ def test_plane_value_matches_engine_derivation(spark):
         assert got == _plane_value(bit, i)
 
 
+def test_recursive_split_level2_fires_and_matches_oracle(spark, duck, tmp_path):
+    """The r8 recursive split, exercised PAST level 1: with nbits=2 /
+    split_bits=1 / cap=2 over 64 vectors, base buckets (~16 rows) split,
+    their sub-buckets (~8 rows) are still over the cap and MUST recurse
+    to level 2 — the case the single-level form silently left unsplit.
+    Asserts (a) level-2 keys actually appear, (b) the full multi-level
+    bucketing is bit-identical between lsh_buckets_df and the generated
+    DuckDB CTE chain (the same generator the sim6/sim7/d5 oracles
+    splice in), and (c) recursion strictly reduces the candidate-pair
+    volume vs the single-level form on the same data."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spark_sql_perf_spark.functions.lsh import (
+        lsh_bucketed_cte_sql,
+        lsh_sig_cols_sql,
+        split_marker,
+    )
+    from spark_sql_perf_spark.pipeline.similarity import lsh_buckets_df
+
+    nbits, split_bits, cap = 2, 1, 2
+    # deterministic pseudo-random vectors (no RNG): md5-ish spread via
+    # integer arithmetic, dim 4
+    rows = [
+        (i, [((i * 2654435761 + d * 40503) % 1000) / 500.0 - 1.0
+             for d in range(4)])
+        for i in range(64)
+    ]
+    path = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(rows, "vec_id: long, v: array<double>").write.parquet(path)
+
+    vecs = spark.read.parquet(path)
+    got = lsh_buckets_df(
+        vecs, nbits=nbits, split_bits=split_bits, cap=cap, dim=4, levels=2
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+
+    m2 = split_marker(2, nbits, split_bits)
+    assert (got["sig"] >= m2).any(), "level-2 split never fired"
+
+    sql = f"""
+    WITH vecs AS (SELECT vec_id, v FROM read_parquet('{path}/*.parquet')),
+    signed AS (SELECT vec_id, v,
+        {lsh_sig_cols_sql(nbits, split_bits, levels=2)} FROM vecs),
+    {lsh_bucketed_cte_sql("signed", nbits=nbits, split_bits=split_bits,
+                          cap=cap, levels=2)}
+    SELECT vec_id, sig FROM bucketed ORDER BY vec_id
+    """
+    want = duck.execute(sql).df()
+    assert list(got["sig"].astype("int64")) == list(want["sig"].astype("int64"))
+
+    one_level = lsh_buckets_df(
+        vecs, nbits=nbits, split_bits=split_bits, cap=cap, dim=4, levels=1
+    ).groupBy("sig").agg(F.count(F.lit(1)).alias("c"))
+    two_level = lsh_buckets_df(
+        vecs, nbits=nbits, split_bits=split_bits, cap=cap, dim=4, levels=2
+    ).groupBy("sig").agg(F.count(F.lit(1)).alias("c"))
+
+    def pairs(df: pd.DataFrame) -> int:
+        return int((df["c"] * (df["c"] - 1)).sum())
+
+    p1, p2 = pairs(one_level.toPandas()), pairs(two_level.toPandas())
+    assert p2 < p1, f"recursion did not reduce candidate volume ({p1} -> {p2})"
+
+
 def test_sim6_knn_graph_properties(spark):
     """kNN-graph invariants the oracle only checks statistically: no self
     edges, at most K neighbors per vector with contiguous ranks, every

@@ -742,17 +742,63 @@ def probe_r8(spark, n: int) -> dict[str, float]:
     return out
 
 
+def probe_rsplit(spark, n: int, split_bits: int = 3) -> dict[str, int]:
+    """Receipt for the r8 RECURSIVE split: candidate-pair volume on the
+    same corpus when the split level is deliberately under-provisioned
+    (split_bits=3 -> only 8 sub-buckets per split). Sign-LSH bucket
+    masses are multiplicatively uneven, so the natural dense tail at
+    this width exceeds cap*8 — a single level leaves still-oversized
+    sub-buckets (the exact defect ADVICE r7 named: the cap was
+    advisory), while level 2 re-splits them. The delta IS the recursion
+    working on natural data, no planted pathology needed."""
+    from spark_sql_perf_spark.functions.lsh import sized_lsh_params
+    from spark_sql_perf_spark.pipeline.similarity import lsh_buckets_df
+
+    dim = 16
+    nbits, _, cap = sized_lsh_params(n)
+    vec = F.array(*[
+        (uniform_int(F.col("vec_id"), f"k{i}", 0, 2_000_000) / 1_000_000.0 - 1.0)
+        for i in range(dim)
+    ])
+    vecs = (gen_table(spark, n, {"vec_id": lambda idc: idc})
+            .select("vec_id", vec.alias("v")))
+    out = {}
+    for levels in (1, 2):
+        row = (
+            lsh_buckets_df(vecs, nbits, split_bits, cap, dim, levels=levels)
+            .groupBy("sig").agg(F.count(F.lit(1)).alias("s"))
+            .agg(
+                F.sum(F.col("s") * (F.col("s") - 1)).alias("p"),
+                # the pairs the cap PROMISES to bound: those still inside
+                # over-cap buckets after splitting
+                F.sum(
+                    F.when(F.col("s") > cap, F.col("s") * (F.col("s") - 1))
+                    .otherwise(F.lit(0))
+                ).alias("oc"),
+            )
+            .first()
+        )
+        out[f"rsplit_pairs_l{levels}"] = int(row["p"] or 0)
+        out[f"rsplit_overcap_l{levels}"] = int(row["oc"] or 0)
+    return out
+
+
 def r8_cells(spark) -> dict[int, dict[str, float]]:
     out = {}
     for n in R8_SCALES:
         out[n] = probe_r8(spark, n)
         print(f"r8@{n}: {out[n]}", flush=True)
+    out["rsplit"] = probe_rsplit(spark, 8_000_000)
+    print(f"rsplit@8M: {out['rsplit']}", flush=True)
     return out
 
 
 def r8_section(res: dict[int, dict[str, float]]) -> list[str]:
     base, top = res[R8_SCALES[0]], res[R8_SCALES[-1]]
     ratio = R8_SCALES[-1] // R8_SCALES[0]
+    rs = res.get("rsplit", {})
+    l1, l2 = rs.get("rsplit_pairs_l1", 0), rs.get("rsplit_pairs_l2", 0)
+    oc1, oc2 = rs.get("rsplit_overcap_l1", 0), rs.get("rsplit_overcap_l2", 0)
     return [
         "## Recursive-CTE cells (sql7 shape)",
         "",
@@ -783,6 +829,21 @@ def r8_section(res: dict[int, dict[str, float]]) -> list[str]:
         " — the recursion's per-level frontier join scales like the",
         "iterative DataFrame form it replaces; no per-level re-scan or",
         "frontier blowup hides in the new executor.",
+        "",
+        "Recursive-split receipt (the r8 LSH change, natural data, no",
+        "planted pathology): 8M vectors bucketed with DELIBERATELY",
+        "under-provisioned split_bits=3 (8 sub-buckets per split — the",
+        "regime where one level cannot absorb the dense tail and the",
+        "old code's cap went advisory). Total candidate pairs:",
+        f"levels=1 {l1:,} vs levels=2 {l2:,}"
+        + (f" ({l1 / l2:.1f}x)." if l2 else "."),
+        "The decisive column is pairs still inside OVER-CAP buckets —",
+        "the volume the cap promises to bound:",
+        f"levels=1 {oc1:,} vs levels=2 {oc2:,}"
+        + (f" ({oc1 / oc2:.1f}x reduction)." if oc2 else " (fully bounded)."),
+        "At the production sizing (split_bits=10) level 2 rarely fires;",
+        "it exists so the cap HOLDS when a real corpus's densest region",
+        "exceeds what one extension family can spread.",
         "",
     ]
 

@@ -128,18 +128,45 @@ def _plane_value(bit: int, i: int) -> float:
     return int(h, 16) / 2147483648.0 - 1.0
 
 
-def _plane_sign_spark_lit(bit: int, dim: int) -> F.Column:
-    plane = F.array(*[F.lit(_plane_value(bit, i)) for i in range(1, dim + 1)])
-    proj = F.aggregate(
-        F.zip_with(F.col("v"), plane, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+# Optionally unroll a plane dot into plain column arithmetic: the
+# zip_with/aggregate fold is a higher-order expression Spark evaluates
+# INTERPRETED, and one such node inside a projection drags the whole
+# projection out of whole-stage codegen — measured 2x on the knn probe's
+# self-join, whose both sides re-evaluate the bucketing projection's
+# conditional deep-level extension. The unrolled sum adds strictly
+# left-to-right from element 0 and x + 0.0 == x for every non-(-0.0)
+# IEEE value, so it is bit-identical to the fold and to the DuckDB
+# list_sum (the same argument as similarity._dot). Unrolling is OPT-IN
+# per call site because it only wins for FEW planes in one projection:
+# a full base signature (17-24 planes x dim terms) unrolled blows the
+# codegen method budget and lands in per-node interpreted evaluation,
+# measured SLOWER than the fold's tight loop — the checkpoint
+# signatures keep the fold, the split_bits-plane inline extension
+# unrolls.
+_PLANE_UNROLL_MAX_DIM = 32
+
+
+def _plane_sign_spark_lit(bit: int, dim: int, unroll: bool = False) -> F.Column:
+    if unroll and dim <= _PLANE_UNROLL_MAX_DIM:
+        proj = sum(
+            F.col("v")[i - 1] * F.lit(_plane_value(bit, i))
+            for i in range(1, dim + 1)
+        )
+    else:
+        plane = F.array(*[F.lit(_plane_value(bit, i)) for i in range(1, dim + 1)])
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
 
 
 def sign_lsh_sig_spark(
-    nbits: int = LSH_BITS, dim: int | None = None, lo: int = 0
+    nbits: int = LSH_BITS,
+    dim: int | None = None,
+    lo: int = 0,
+    unroll: bool = False,
 ) -> F.Column:
     """Spark twin of ``sign_lsh_sig_sql`` over an array<double> column
     ``v``.
@@ -159,7 +186,7 @@ def sign_lsh_sig_spark(
     """
     sig = None
     for b in range(lo, lo + nbits):
-        term = _plane_sign_spark_lit(b, dim) if dim else _plane_sign_spark(b)
+        term = _plane_sign_spark_lit(b, dim, unroll) if dim else _plane_sign_spark(b)
         sig = term if sig is None else sig + term
     return sig
 

@@ -668,6 +668,17 @@ def r7_section(res: dict[int, dict[str, float]]) -> list[str]:
         "plan over n/4 generated docs with planted copies. Regenerate",
         "alone with: `python tools/scale_probe.py r7`.",
         "",
+        "Measurement basis (r8 re-run): knn_graph now runs the RECURSIVE",
+        "split (levels=2 default) and the c10 docs generator's planted",
+        "copies are byte-identical (dup_of-derived bad class), so",
+        "absolute times are NOT comparable to the r7-era table; this",
+        "box also drifted ~40-50% slower between the two sessions",
+        "(untouched cells scd2/psample/e2e moved by the same factor).",
+        "A same-session alternating A/B at 8M pinned the code change",
+        "itself: levels=2 66.7s vs levels=1 69.7s INCLUDING index",
+        "construction — the recursion is free-to-negative cost because",
+        "level 2 trims the candidate tail it exists to bound.",
+        "",
         "| rows | " + " | ".join(keys) + " | knn bits | knn cand pairs |",
         "|---|" + "---|" * (len(keys) + 2),
         *[
@@ -841,8 +852,13 @@ def r8_section(res: dict[int, dict[str, float]]) -> list[str]:
         "the volume the cap promises to bound:",
         f"levels=1 {oc1:,} vs levels=2 {oc2:,}"
         + (f" ({oc1 / oc2:.1f}x reduction)." if oc2 else " (fully bounded)."),
-        "At the production sizing (split_bits=10) level 2 rarely fires;",
-        "it exists so the cap HOLDS when a real corpus's densest region",
+        "Each level multiplies the base-bucket mass the cap can absorb",
+        "by 2^split_bits (the measured reduction tracks that factor",
+        "minus sub-bucket unevenness), so the bound is",
+        "cap << (levels*split_bits) — 4096 rows/base-bucket in this",
+        "deliberately starved config, 67M at the production sizing",
+        "(split_bits=10), where level 2 therefore rarely fires: it",
+        "exists so the cap HOLDS when a real corpus's densest region",
         "exceeds what one extension family can spread.",
         "",
     ]

@@ -272,23 +272,27 @@ def lsh_buckets_df(
     (functions/lsh.py::sized_lsh_params documents the sizing rule and
     the sign-identical residue no depth can separate).
 
-    Each split decision deliberately avoids a window count over the
-    current key — that would shuffle every WIDE (vec_id, v) row once
-    per level for the count and again for the downstream join on sig
-    (different keys, no exchange reuse). Instead: a partial-combining
-    groupBy ships only the narrow key column, the oversized-bucket set
-    it yields is small by construction (<= n/cap keys, in practice just
-    the dense tail — and from level 2 on, only the still-dense residue
-    of level 1's tail), and joining it back lets AQE pick a broadcast
-    join at runtime — the vectors still shuffle exactly once, on the
-    final sig.
+    The split decisions deliberately avoid window counts over the wide
+    (vec_id, v) rows — per level that would shuffle every wide row once
+    for the count and again for the downstream join on sig (different
+    keys, no exchange reuse). Instead ONE partial-combining groupBy at
+    the finest grain (sig0, sigx1, ..) ships only narrow key columns;
+    every level's decision is a rollup of that small counts relation;
+    and the join-back carries only sub-buckets of OVERSIZED bases
+    (<= n/cap keys, in practice just the dense tail), so AQE picks a
+    broadcast join at runtime. The wide rows are touched exactly twice
+    regardless of depth — once by the count, once by the join-back —
+    and still shuffle exactly once, on the final sig (a naive per-level
+    count loop measured +40% on the 8M probe cell; the same-session A/B
+    after this rewrite has levels=2 at 66.7s vs levels=1 at 69.7s
+    INCLUDING construction, because level 2 trims the candidate tail).
 
     The signed relation is localCheckpointed (the g3 support-pairs
-    pattern): it is consumed by every level's count branch AND both
-    sides of the downstream self-join, and without materialization
-    Catalyst re-evaluates the plane projections per consumer (probe 8M
-    cell: 64s un-checkpointed vs 48s checkpointed; 12.2s -> 7.7s at
-    500k). On local[32] the checkpoint write partly offsets the saved
+    pattern): it is consumed by the count branch AND both sides of the
+    downstream self-join, and without materialization Catalyst
+    re-evaluates the plane projections per consumer (probe 8M cell: 64s
+    un-checkpointed vs 48s checkpointed; 12.2s -> 7.7s at 500k). On
+    local[32] the checkpoint write partly offsets the saved
     recomputation; on a network cluster it also replaces the window
     form's per-level wide-row shuffles with one local materialization —
     the regime the operator is designed for."""

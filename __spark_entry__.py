@@ -60,11 +60,11 @@ def _correctness_files() -> list[str]:
 # be garbage-collected at leisure (it no longer needs hand-clearing each
 # round; a stale green row simply never vouches for newer code).
 _IMPL_CHANGED: dict[str, int] = {
-    # r7 entries GC'd: sim1/sim2 (unrolled dots) and the single-level d5
-    # all have green rows >= their change round in CORRECTNESS_r07.json.
-    # (sim7_ann_serve is NEW in r8 and sorts first without an entry.)
-    "sim6_knn_graph": 8,      # adaptive split made RECURSIVE (LSH-forest proper)
-    "d5_dedup_embedding": 8,  # same shared lsh_buckets_df change
+    # r8 entries GC'd: sim6/d5 (recursive lsh_buckets_df) both have r8
+    # green rows in CORRECTNESS_r08.json, so the entries were inert.
+    # r9's LSH param-threading keeps every registry query pinned to the
+    # oracle-scale defaults (identical plans and hashes), so no new
+    # entries are needed this round.
 }
 
 

@@ -408,8 +408,8 @@ def sim7_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path the streaming server executes per micro-batch (whose
     batch-equivalence across micro-batch slicings is pytest-asserted in
     tests/test_streaming.py), so the oracle pins the production probe
-    logic end-to-end; the oracle replays the same two-key probe join in
-    SQL. The corpus index here is built inline (the streaming server
+    logic end-to-end; the oracle replays the same multi-key
+    (SPLIT_LEVELS+1-key) probe join in SQL. The corpus index here is built inline (the streaming server
     persists it once and probes it every batch — an execution detail
     with no bearing on results).
     """

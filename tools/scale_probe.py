@@ -719,37 +719,44 @@ def probe_r8(spark, n: int) -> dict[str, float]:
     # it with the corpus; restored after the cell.
     prev_limit = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(2 * n, 1_000_000)))
+    try:
     # seeds: every 16th node id -> ~nodes/16 = n/1024 anchors; with avg
     # out-degree 8 the level sizes are seeds * (1, 8, 64, 512) paths, so
     # total path rows ~ 0.57*n — linear in n, never frontier-explosive
-    sql = """
-      WITH RECURSIVE reach(node, hops) AS (
-        SELECT DISTINCT src AS node, 0 AS hops FROM rcte_g WHERE src % 16 = 0
-        UNION ALL
-        SELECT g.dst AS node, r.hops + 1 AS hops
-        FROM reach r JOIN rcte_g g ON g.src = r.node
-        WHERE r.hops < 3
-      )
-      SELECT node, MIN(hops) AS min_hops, COUNT(*) AS n_paths
-      FROM reach GROUP BY node
-    """
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.sql(sql).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    out["rcte_bfs3"] = round(best, 2)
-    # the path volume the recursion actually carried, as its own column:
-    # ~linear path rows is WHY the time cell can be linear
-    out["rcte_paths"] = int(
-        spark.sql(sql).agg(F.sum("n_paths").alias("p")).first()["p"] or 0
-    )
-    g.unpersist()
-    spark.catalog.dropTempView("rcte_g")
-    if prev_limit is not None:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", prev_limit)
-    else:
-        spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        sql = """
+          WITH RECURSIVE reach(node, hops) AS (
+            SELECT DISTINCT src AS node, 0 AS hops FROM rcte_g WHERE src % 16 = 0
+            UNION ALL
+            SELECT g.dst AS node, r.hops + 1 AS hops
+            FROM reach r JOIN rcte_g g ON g.src = r.node
+            WHERE r.hops < 3
+          )
+          SELECT node, MIN(hops) AS min_hops, COUNT(*) AS n_paths
+          FROM reach GROUP BY node
+        """
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.sql(sql).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out["rcte_bfs3"] = round(best, 2)
+        # the path volume the recursion actually carried, as its own column:
+        # ~linear path rows is WHY the time cell can be linear
+        out["rcte_paths"] = int(
+            spark.sql(sql).agg(F.sum("n_paths").alias("p")).first()["p"] or 0
+        )
+    finally:
+        # restore even when the timed cell throws, or the raised limit
+        # leaks into every subsequent cell. (conf.get(key, None) returns
+        # the registered DEFAULT for a defined SQL conf, so prev_limit is
+        # normally non-None and this pins the default back explicitly —
+        # the unset branch is a belt for future Spark versions only.)
+        if prev_limit is not None:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev_limit)
+        else:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        g.unpersist()
+        spark.catalog.dropTempView("rcte_g")
     return out
 
 

@@ -12,6 +12,8 @@ cycle.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import functions as F
 
 from .text import md5_hash32_sql
@@ -48,6 +50,30 @@ SPLIT_LEVELS = 2
 def split_marker(level: int, nbits: int = LSH_BITS, split_bits: int = SPLIT_BITS) -> int:
     """Key-space offset for level-``level`` split buckets."""
     return 1 << (nbits + level * split_bits)
+
+
+class LshParams(NamedTuple):
+    """The complete adaptive-bucketing key space: everything a probe
+    must agree on with the index it probes. An index built with one
+    tuple and probed with another computes keys in a DIFFERENT space and
+    silently returns no/wrong matches (the r8 ADVICE latent bug), so the
+    serving layer carries this tuple WITH the index — in memory on the
+    ``AnnIndex`` handle, at rest in the ``_params`` sidecar next to the
+    partitioned layout — and every key computation takes it explicitly.
+    Defaults are the ORACLE-SCALE module constants (see above); use
+    ``sized_params`` for a production corpus."""
+
+    nbits: int = LSH_BITS
+    split_bits: int = SPLIT_BITS
+    cap: int = BUCKET_CAP
+    levels: int = SPLIT_LEVELS
+
+
+def sized_params(n: int, cap: int = 64, levels: int = SPLIT_LEVELS) -> LshParams:
+    """``sized_lsh_params``' rule as a full LshParams (the form the
+    serving/dedup builders thread through key computation)."""
+    nbits, split_bits, cap = sized_lsh_params(n, cap)
+    return LshParams(nbits, split_bits, cap, levels)
 
 
 def sized_lsh_params(n: int, cap: int = 64) -> tuple[int, int, int]:

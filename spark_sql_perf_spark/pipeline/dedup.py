@@ -500,7 +500,7 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine work happens only within capped buckets — never |corpus|^2
     and never a quadratic dense-bucket tail.
     """
-    from .similarity import _cosine, embedding_dim, lsh_buckets_df
+    from .similarity import embedding_dim
 
     emb = table(spark, sf_dir, "embeddings")
     orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -509,7 +509,30 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 0.5).alias("v"),
     )
     dim = embedding_dim(orig, key=sf_dir)
-    signed = lsh_buckets_df(orig.unionAll(planted), dim=dim)
+    # registry pin: oracle-scale params (the DuckDB twin replays them)
+    return embedding_near_dup_df(orig.unionAll(planted), dim=dim)
+
+
+def embedding_near_dup_df(
+    vecs: DataFrame,
+    dim: int | None = None,
+    threshold: float = 0.999,
+    params=None,
+    n: int | None = None,
+) -> DataFrame:
+    """d5's blocking + pairwise-cosine on an explicit (vec_id, v) frame —
+    the production entry point. Pass ``n`` (corpus rows) to size the LSH
+    key space with ``functions.lsh.sized_params`` (the rule the scale
+    probe validates), or an explicit ``params``; the default is the
+    oracle-scale module constants d5's registry oracle pins."""
+    from ..functions.lsh import LshParams, sized_params
+    from .similarity import _cosine, lsh_buckets_df
+
+    if params is None:
+        params = sized_params(n) if n is not None else LshParams()
+    signed = lsh_buckets_df(
+        vecs, params.nbits, params.split_bits, params.cap, dim, params.levels
+    )
     a = signed.alias("a")
     b = signed.alias("b")
 
@@ -525,7 +548,7 @@ def d5_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             cos.alias("cos"),
         )
-        .where(F.col("cos") >= 0.999)
+        .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )
 

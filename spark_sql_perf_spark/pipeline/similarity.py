@@ -432,10 +432,24 @@ def knn_graph_df(
     cap: int = _KNN_CAP,
     dim: int | None = None,
     levels: int = _KNN_LEVELS,
+    params: "LshParams | None" = None,
+    n: int | None = None,
 ) -> DataFrame:
     """sim6's transformation on an explicit (vec_id, v) frame — reused by
     the scale probe with corpus-scaled ``nbits``. See sim6_knn_graph for
-    the adaptive-split rationale."""
+    the adaptive-split rationale.
+
+    Production sizing: pass ``n`` (the corpus row count) to derive the
+    key space from ``functions.lsh.sized_params`` — the rule the scale
+    probe validates at 500k-64M rows — or an explicit ``params`` tuple;
+    either overrides the individual scalars, whose defaults are the
+    ORACLE-SCALE module constants (sim6's registry pin)."""
+    if params is None and n is not None:
+        from ..functions.lsh import sized_params
+
+        params = sized_params(n)
+    if params is not None:
+        nbits, split_bits, cap, levels = params
     bucketed = lsh_buckets_df(vecs, nbits, split_bits, cap, dim, levels)
     q, c = bucketed.alias("q"), bucketed.alias("c")
     scored = q.join(

@@ -419,12 +419,17 @@ def test_streaming_ann_serve_matches_batch(spark):
     against the static adaptive-bucketed index yields EXACTLY the rows
     the same expression produces in one batch over all queries — batch
     slicing is invisible because serving is stateless per query. Every
-    query finds its split-bucket home via the two-key probe (the corpus
-    at sf0.001 has split buckets at the shared cap)."""
+    query finds its split-bucket home via the multi-key probe (the
+    corpus at sf0.001 has split buckets at the shared cap). Params are
+    PINNED to the oracle-scale constants on both sides: the server's
+    default is sized_params (production rule, no splits at this corpus
+    size), and the equivalence needs both sides in one key space with
+    the split path exercised."""
     import shutil
 
     from pyspark.sql import functions as F
 
+    from spark_sql_perf_spark.functions.lsh import LshParams
     from spark_sql_perf_spark.pipeline.similarity import embedding_dim
     from spark_sql_perf_spark.streaming.ann import (
         ann_serve_batch,
@@ -447,7 +452,8 @@ def test_streaming_ann_serve_matches_batch(spark):
         shutil.rmtree(pdir)
 
     streaming_ann_serve(
-        spark, SF_DIR_TINY, stream_dir, out_dir, k=3, max_files_per_trigger=1
+        spark, SF_DIR_TINY, stream_dir, out_dir, k=3, max_files_per_trigger=1,
+        params=LshParams(),
     )
 
     got = {
@@ -458,10 +464,10 @@ def test_streaming_ann_serve_matches_batch(spark):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dim = embedding_dim(corpus)
-    index = build_ann_index(corpus, dim)
+    index = build_ann_index(corpus, dim)  # default = oracle-scale LshParams()
     want = {
         (r.query_id, r.rn): (r.neighbor_id, r.cosine)
-        for r in ann_serve_batch(corpus, index, 3, dim).collect()
+        for r in ann_serve_batch(corpus, index).collect()
     }
-    index.unpersist(blocking=False)
+    index.df.unpersist(blocking=False)
     assert got == want and len(got) > 0

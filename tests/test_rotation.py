@@ -63,6 +63,30 @@ def test_cost_order_rotates_oldest_green_first():
     )
 
 
+def test_coverage_histogram_is_fresh():
+    """COVERAGE.md's committed green-round histogram must match a clean
+    regeneration at HEAD (the doc drifted one state behind the
+    _IMPL_CHANGED flags in both r7 and r8 — generated before the flag
+    edits landed). Same validate-the-committed-doc pattern as
+    test_plans.py's PLANS.md index check."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from green_histogram import BEGIN, END, render
+
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        doc = f.read()
+    assert BEGIN in doc and END in doc, "histogram block missing"
+    committed = doc.split(BEGIN, 1)[1].split(END, 1)[0]
+    fresh = render().split(BEGIN, 1)[1].split(END, 1)[0]
+    assert committed == fresh, (
+        "COVERAGE.md's green-round histogram is stale — rerun"
+        " tools/green_histogram.py after editing _IMPL_CHANGED or"
+        " committing a CORRECTNESS round"
+    )
+
+
 def test_every_registered_query_reaches_the_driver():
     """queries() must expose the full registry (a silent filter would
     permanently starve whatever it drops) and every oracle key must

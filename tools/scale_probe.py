@@ -880,6 +880,247 @@ def patch_r7_section(res: dict[int, dict[str, float]]) -> None:
         "## kNN-graph, SCD2 & priority-sample cells", r7_section(res))
 
 
+# ---------------------------------------------------------------------------
+# Session calibration (r9): the cross-era normalizer. The per-family
+# patch modes mean SCALE_PROBE.md accumulates tables measured in
+# different sessions, and this VM drifts 40-50% between sessions with
+# zero code changes (observed r7 -> r8) — so, like bench.py's
+# CALIBRATION median, every probe session measures one fixed memo-free
+# thermometer cell and records its ratio against a pinned reference.
+# Cells from different eras divide by their session's factor to compare.
+# ---------------------------------------------------------------------------
+
+CAL_ROWS = 64_000_000  # 16M measured 0.68s — too close to the fixed job
+# overhead to thermometer reliably; 64M puts the cell in whole seconds
+# (era, seconds): this exact cell's min-of-3 in the session that pinned
+# the reference. Re-pin only together with a same-session regeneration
+# of the tables it normalizes.
+CAL_REFERENCE = ("r9", 1.79)
+
+
+def probe_calibration(spark) -> float:
+    """The star_join_agg shape at a FIXED 16M rows, rebuilt from the
+    deterministic datagen every run (no persisted/memoized state, no
+    LSH checkpoints) — the closest thing the probe corpus has to a pure
+    box-drift thermometer. min-of-3 like bench.py's estimator."""
+    fact = gen_table(
+        spark, CAL_ROWS,
+        {
+            "dim_k": lambda idc: uniform_int(idc, "d", 1, 10_000),
+            "v": lambda idc: (uniform_int(idc, "v", 0, 1_000_000) / 100.0),
+        },
+    )
+    dim = gen_table(
+        spark, 10_000,
+        {"dim_k": lambda idc: idc + 1, "grp": lambda idc: idc % 50},
+    )
+    df = (fact.join(F.broadcast(dim), "dim_k").groupBy("grp")
+          .agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("s")))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def calibration_section(measured: float) -> list[str]:
+    era, ref = CAL_REFERENCE
+    factor = measured / ref
+    return [
+        "## Session calibration (cross-era normalization)",
+        "",
+        "The per-family patch modes below accumulate tables measured in",
+        "DIFFERENT sessions, and this box drifts 40-50% between sessions",
+        "with zero code changes (observed r7 -> r8). Every probe session",
+        "therefore measures one fixed memo-free thermometer — the",
+        f"star_join_agg shape at {CAL_ROWS:,} rows, rebuilt from datagen,",
+        "min-of-3 — and records its ratio against the pinned reference.",
+        "To compare a cell across eras, divide it by its session's box",
+        "factor first; a table is single-era unless its text says",
+        "otherwise. Regenerate with: `python tools/scale_probe.py cal`",
+        "(every family mode also refreshes this section).",
+        "",
+        f"Latest session: {measured}s vs pinned {era} reference {ref}s —",
+        f"box factor {factor:.2f}.",
+        "",
+    ]
+
+
+def run_calibration(spark) -> float:
+    measured = probe_calibration(spark)
+    print(f"calibration star{CAL_ROWS // 1_000_000}M: {measured}s "
+          f"(factor {measured / CAL_REFERENCE[1]:.2f} vs {CAL_REFERENCE[0]})",
+          flush=True)
+    _patch_section("## Session calibration", calibration_section(measured))
+    return measured
+
+
+# ---------------------------------------------------------------------------
+# r9: ANN SERVING at volume (sim7 / streaming.ann / the at-rest layout).
+# The knn cells above cover the index BUILD; these cover the probe side.
+# ---------------------------------------------------------------------------
+
+R9_SCALES = [1_000_000, 4_000_000, 8_000_000]
+
+
+def probe_r9(spark, n: int) -> dict[str, float]:
+    """ANN serving shapes at volume, sized index (sized_params):
+
+    index_write    write_lsh_partitioned — bucket the corpus and lay it
+                   out partitioned by sig % 64 with the params sidecar
+                   (the one-time cost the serving path amortizes).
+    serve_rest_10k ann_serve_at_rest, 10k-query batch: the multi-key
+                   probe explode (levels+1 keys/query) against the
+                   at-rest layout. At 10k queries the probed partitions
+                   saturate nparts=64, so the cost is ONE pruned-to-full
+                   corpus scan + the bucket equi-join — must track ~n,
+                   proving the probe never pays a second index scan.
+    serve_rest_64  the small-batch regime where partition pruning bites:
+                   64 queries probe <= 64*(levels+1) keys, so the scan
+                   reads only parts_64/64 of the partitions (recorded).
+                   At a production corpus nparts scales with the table
+                   (LSH_NPARTS is a test default), keeping large batches
+                   in this pruned regime too.
+    serve_mem_10k  the same 10k batch against the persisted in-memory
+                   AnnIndex (the streaming server's small-corpus mode):
+                   isolates the probe join from the parquet scan.
+    """
+    import shutil
+    import tempfile
+
+    from spark_sql_perf_spark.functions.lsh import sized_params
+    from spark_sql_perf_spark.pipeline.similarity import lsh_buckets_df
+    from spark_sql_perf_spark.streaming.ann import (
+        AnnIndex,
+        _query_keys,
+        ann_serve_at_rest,
+        ann_serve_batch,
+        read_lsh_params,
+        write_lsh_partitioned,
+    )
+
+    dim = 16
+    params = sized_params(n)
+    vec = F.array(*[
+        (uniform_int(F.col("vec_id"), f"k{i}", 0, 2_000_000) / 1_000_000.0 - 1.0)
+        for i in range(dim)
+    ])
+    vecs = (gen_table(spark, n, {"vec_id": lambda idc: idc})
+            .select("vec_id", vec.alias("v")))
+    out = {}
+    root = tempfile.mkdtemp(prefix="ann-rest-probe-")
+    path = os.path.join(root, "idx")
+    try:
+        t0 = time.perf_counter()
+        write_lsh_partitioned(vecs, path, dim, params)
+        out["index_write"] = round(time.perf_counter() - t0, 2)
+
+        q10k = vecs.where(F.col("vec_id") < 10_000)
+        q64 = vecs.where(F.col("vec_id") < 64)
+        for name, q in (("serve_rest_10k", q10k), ("serve_rest_64", q64)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                (ann_serve_at_rest(spark, q, path, k=3)
+                 .write.format("noop").mode("overwrite").save())
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 2)
+        # the pruning receipt for the small batch: partitions probed
+        side_params, nparts, _ = read_lsh_params(spark, path)
+        out["parts_64"] = (
+            _query_keys(q64, dim, side_params)
+            .select(F.pmod(F.col("sig"), F.lit(nparts)).alias("p"))
+            .distinct().count()
+        )
+        out["nparts"] = nparts
+
+        idx_df = lsh_buckets_df(
+            vecs, params.nbits, params.split_bits, params.cap, dim,
+            params.levels,
+        ).persist()
+        idx_df.count()
+        index = AnnIndex(idx_df, params, dim)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (ann_serve_batch(q10k, index)
+             .write.format("noop").mode("overwrite").save())
+            best = min(best, time.perf_counter() - t0)
+        out["serve_mem_10k"] = round(best, 2)
+        idx_df.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def r9_cells(spark) -> dict[int, dict[str, float]]:
+    out = {}
+    for n in R9_SCALES:
+        out[n] = probe_r9(spark, n)
+        print(f"r9@{n}: {out[n]}", flush=True)
+    return out
+
+
+def r9_section(res: dict[int, dict[str, float]]) -> list[str]:
+    base, top = res[R9_SCALES[0]], res[R9_SCALES[-1]]
+    ratio = R9_SCALES[-1] // R9_SCALES[0]
+    keys = ["index_write", "serve_rest_10k", "serve_rest_64", "serve_mem_10k"]
+    return [
+        "## ANN serving cells (sim7 / streaming.ann / at-rest layout)",
+        "",
+        "The kNN cells above receipt the index BUILD; these receipt the",
+        "PROBE side — the multi-key explode (levels+1 candidate keys per",
+        "query, at most one exists index-side) that lets a query find",
+        "its region's split depth without a second index scan.",
+        "index_write lays the sized-params bucketed corpus out",
+        "partitioned by sig % 64 with the key-space sidecar",
+        "(write_lsh_partitioned). A layout property the cells confirm:",
+        "split markers and extension planes live at bit nbits and",
+        "above, so sig % nparts (nparts <= 2^nbits) depends only on the",
+        "BASE signature's low bits — every one of a query's levels+1",
+        "candidate keys lands in the SAME partition, and a split",
+        "sub-bucket colocates with its base. Pruning is therefore",
+        "per-query-region exact: 64 queries read exactly their",
+        "|distinct sig0 mod 64| partitions (parts_64 below), never one",
+        "extra directory per probe depth. serve_rest_* probe via",
+        "ann_serve_at_rest: the 10k-query batch touches ~all partitions",
+        "(cost = ONE pruned-to-full corpus scan + the bucket equi-join);",
+        "the 64-query batch is the pruned regime, and at production",
+        "nparts scales with the corpus so large batches stay pruned",
+        "too. serve_mem_10k is the same batch against the persisted",
+        "in-memory AnnIndex. Regenerate alone with:",
+        "`python tools/scale_probe.py r9`.",
+        "",
+        "| rows | " + " | ".join(keys) + " | parts probed (64-q) |",
+        "|---|" + "---|" * (len(keys) + 1),
+        *[
+            f"| {n:,} | "
+            + " | ".join(f"{res[n][k]}s" for k in keys)
+            + f" | {res[n]['parts_64']}/{res[n]['nparts']} |"
+            for n in R9_SCALES
+        ],
+        "",
+        f"Data grew {ratio}x; "
+        + ", ".join(f"{k} {top[k] / max(base[k], 0.01):.1f}x" for k in keys)
+        + ".",
+        "",
+        "The bound to hold: serves must never track n*queries — the",
+        "explode costs levels+1 probe ROWS per query, not extra index",
+        "scans. Measured: both 10k serves are near-FLAT (the broadcast",
+        "probe join over capped buckets dominates the pruned corpus",
+        "scan at these sizes; the scan term that must track ~n is",
+        "visible but small), and the pruned 64-query serve stays flat",
+        "on partitions-read grounds. index_write is the one ~n cell,",
+        "as a one-time layout cost should be.",
+        "",
+    ]
+
+
+def patch_r9_section(res: dict[int, dict[str, float]]) -> None:
+    _patch_section("## ANN serving cells", r9_section(res))
+
+
 def probe_seq_packing(spark, n_docs: int):
     """c6's plan shape at volume: global cumulative token sum via the
     two-pass scheme (range shuffle -> per-partition totals to the driver
@@ -1156,6 +1397,8 @@ def main() -> None:
     r6_res = r6_cells(spark)
     r7_res = r7_cells(spark)
     r8_res = r8_cells(spark)
+    r9_res = r9_cells(spark)
+    cal = probe_calibration(spark)
 
     time_keys = [
         k for k in results[SCALES[0]]
@@ -1171,6 +1414,7 @@ def main() -> None:
         "min-of-2 (a one-shot 64M cell can catch a GC/disk hiccup and",
         "misreport by 2-3x).",
         "",
+        *calibration_section(cal),
         "| rows | " + " | ".join(time_keys) + " |",
         "|---|" + "---|" * len(time_keys),
     ]
@@ -1288,6 +1532,7 @@ def main() -> None:
         *r6_section(r6_res),
         *r7_section(r7_res),
         *r8_section(r8_res),
+        *r9_section(r9_res),
         "## 64M-point decomposition (the steepest cells)",
         "",
         "Profiled fact_fact_join at 64M rows: generation alone is ~2.3s,",
@@ -1308,28 +1553,48 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "pq":
+    # every family mode also measures + patches the session calibration
+    # cell, so any table added to SCALE_PROBE.md carries its box era
+    mode = sys.argv[1] if len(sys.argv) > 1 else None
+    if mode == "pq":
         spark = build_session("scale-probe-pq")
         spark.sparkContext.setLogLevel("ERROR")
         # no separate warmup: min-of-2 absorbs JIT in the 1M cell's first shot
+        run_calibration(spark)
         patch_pq_section(pq_cells(spark))
         spark.stop()
-    elif len(sys.argv) > 1 and sys.argv[1] == "r6":
+    elif mode == "r6":
         spark = build_session("scale-probe-r6")
         spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
         patch_r6_section(r6_cells(spark))
         spark.stop()
-    elif len(sys.argv) > 1 and sys.argv[1] == "r8":
+    elif mode == "r8":
         spark = build_session("scale-probe-r8")
         spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
         probe_r8(spark, 100_000)  # untimed warmup: JIT + codegen
         patch_r8_section(r8_cells(spark))
         spark.stop()
-    elif len(sys.argv) > 1 and sys.argv[1] == "r7":
+    elif mode == "r7":
         spark = build_session("scale-probe-r7")
         spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
         probe_r7(spark, 100_000)  # untimed warmup: JIT + codegen for all shapes
         patch_r7_section(r7_cells(spark))
+        spark.stop()
+    elif mode == "r9":
+        spark = build_session("scale-probe-r9")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
+        probe_r9(spark, 100_000)  # untimed warmup: JIT + codegen
+        patch_r9_section(r9_cells(spark))
+        spark.stop()
+    elif mode == "cal":
+        spark = build_session("scale-probe-cal")
+        spark.sparkContext.setLogLevel("ERROR")
+        probe_calibration(spark)  # untimed-in-effect warmup shot
+        run_calibration(spark)
         spark.stop()
     else:
         main()

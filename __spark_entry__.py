@@ -62,9 +62,16 @@ def _correctness_files() -> list[str]:
 _IMPL_CHANGED: dict[str, int] = {
     # r8 entries GC'd: sim6/d5 (recursive lsh_buckets_df) both have r8
     # green rows in CORRECTNESS_r08.json, so the entries were inert.
-    # r9's LSH param-threading keeps every registry query pinned to the
-    # oracle-scale defaults (identical plans and hashes), so no new
-    # entries are needed this round.
+    # r9: the serving path was restructured (ann_serve_batch now routes
+    # through _query_keys/_rank_probe with an explicit LshParams key
+    # space) and d5's body moved into dedup.embedding_near_dup_df —
+    # defaults keep the plans identical (session-verified hash-exact),
+    # but the r8 greens predate the new code paths, so both re-verify.
+    # (sim8_ann_serve_at_rest is NEW in r9 and sorts first without an
+    # entry; sim6 only gained pass-through kwargs, executed path
+    # untouched.)
+    "sim7_ann_serve": 9,
+    "d5_dedup_embedding": 9,
 }
 
 

@@ -367,9 +367,11 @@ def lsh_buckets_df(
     )
 
 
-@query(
-    "sim7_ann_serve",
-    oracle=f"""
+# Shared by sim7 (in-memory index) and sim8 (index at rest): the probe
+# is the SAME algorithm over the same key space, so one oracle text
+# certifies both — and a hash-exact sim8 row is, by construction, a
+# residency-invariance proof.
+_ANN_SERVE_ORACLE = f"""
     WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     signed AS (SELECT vec_id, v, {lsh_sig_cols_sql()} FROM vecs),
     {lsh_bucketed_cte_sql("signed", out="corpus")},
@@ -389,8 +391,10 @@ def lsh_buckets_df(
                                    ORDER BY cosine DESC, neighbor_id) AS rn
       FROM scored)
     SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {_TOP_K}
-    """,
-)
+    """
+
+
+@query("sim7_ann_serve", oracle=_ANN_SERVE_ORACLE)
 def sim7_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN *serving* probe (the streaming server's batch form): a small
     query set probed against the adaptive-bucketed corpus index via the
@@ -422,6 +426,49 @@ def sim7_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = lsh_buckets_df(vecs, dim=dim)
     queries = vecs.where(F.col("vec_id") < _N_QUERIES)
     return ann_serve_batch(queries, index, k=_TOP_K, dim=dim)
+
+
+# sf_dir -> at-rest index path, written once per process: sim8 is about
+# RESIDENCY invariance, and rewriting the parquet layout on every call
+# would dominate a bench min-of-N loop with the same results.
+_AT_REST_MEMO: dict[str, str] = {}
+
+
+@query("sim8_ann_serve_at_rest", oracle=_ANN_SERVE_ORACLE)
+def sim8_ann_serve_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim7's probe against the index AT REST (r9): the adaptive-bucketed
+    corpus written to a partitioned parquet layout once
+    (``write_lsh_partitioned``: sig % nparts directories + a key-space
+    sidecar), then served via ``ann_serve_at_rest`` — the bounded
+    distinct-partition collect and an ``isin`` partition filter, so the
+    probe reads only the directories the batch's candidate keys hash
+    into (scan-level pruning asserted in tests/test_ann_at_rest.py).
+
+    The oracle is sim7's text verbatim: results must not depend on
+    where the index lives, so the driver's hash-exact row certifies the
+    at-rest layout end-to-end (write -> sidecar -> pruned probe) rather
+    than a weaker rows-only check. Registry pins the oracle-scale
+    params; production passes ``sized_params`` through
+    ``write_lsh_partitioned(n=...)``.
+    """
+    import os
+    import tempfile
+
+    from ..streaming.ann import ann_serve_at_rest, write_lsh_partitioned
+
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = embedding_dim(vecs, key=sf_dir)
+    path = _AT_REST_MEMO.get(sf_dir)
+    if path is None or not os.path.exists(path + "_params"):
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="sim8-at-rest-"), "lsh_index"
+        )
+        write_lsh_partitioned(vecs, path, dim)  # oracle-scale LshParams()
+        _AT_REST_MEMO[sf_dir] = path
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES)
+    return ann_serve_at_rest(spark, queries, path, k=_TOP_K)
 
 
 def knn_graph_df(

@@ -89,6 +89,9 @@ EXTRA = [
     "m3_byte_histogram",
     "sim4_recall_vs_exact",
     "sim7_ann_serve",
+    # r9: the at-rest serving probe — the plan must show the sig_part
+    # partition filter reaching the parquet scan (PartitionFilters)
+    "sim8_ann_serve_at_rest",
 ]
 
 

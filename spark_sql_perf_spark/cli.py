@@ -10,6 +10,9 @@
   -t/--timeout     per-query timeout seconds
   --mode           collect | foreach | count | hash
   --variations     comma list of conf variations key=v1|v2,key2=...
+  --ml-config      YAML ML-benchmark grid (yaml.scala semantics:
+                   output / timeoutSeconds / common / benchmarks with
+                   cartesian list expansion); runs the grid and exits
 
 Example:
   python -m spark_sql_perf_spark.cli -b tpch -i 3 \
@@ -63,6 +66,30 @@ def parse_variations(spec: str | None) -> list[Variation]:
     return out
 
 
+def run_ml_config_file(spark, path: str, location: str | None = None) -> list:
+    """--ml-config: run a YAML ML-benchmark grid (the reference's
+    ``bin/run --compile`` + yaml config path, yaml.scala:29-75) — each
+    benchmark's common++params grid expanded cartesian and executed
+    against the standard battery; results land as JSON lines under the
+    config's ``output`` dir (or ``location`` if given)."""
+    import dataclasses
+    import os
+
+    from .ml.benchmarks import load_ml_config, run_ml_config
+
+    with open(path) as f:
+        cfg = load_ml_config(f.read())
+    results = run_ml_config(spark, cfg["runs"])
+    out_dir = location or cfg["output"]
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "ml_results.json")
+    with open(out_path, "w") as f:
+        for r in results:
+            f.write(json.dumps(dataclasses.asdict(r)) + "\n")
+    print(f"{len(results)} ML runs -> {out_path}", file=sys.stderr)
+    return results
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-b", "--benchmark", default="all")
@@ -79,6 +106,12 @@ def main(argv: list[str] | None = None) -> None:
         help="sample executor-thread stacks during each query "
              "(collapsed-stack lines in the results JSON)",
     )
+    ap.add_argument(
+        "--ml-config", default=None,
+        help="YAML ML-benchmark grid (common/benchmarks/output/"
+             "timeoutSeconds, yaml.scala semantics); runs the grid and"
+             " exits",
+    )
     args = ap.parse_args(argv)
 
     extra = {}
@@ -86,6 +119,11 @@ def main(argv: list[str] | None = None) -> None:
         extra["spark.sql.shuffle.partitions"] = args.shuffle_partitions
     spark = build_session("spark-sql-perf-spark-cli", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.ml_config:
+        run_ml_config_file(spark, args.ml_config)
+        spark.stop()
+        return
 
     if args.benchmark.startswith("suite:"):
         from .suites import SUITES

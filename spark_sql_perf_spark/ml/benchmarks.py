@@ -68,6 +68,54 @@ def expand_params(grid: dict[str, list[Any]]) -> list[dict[str, Any]]:
     return [dict(zip(keys, combo)) for combo in itertools.product(*[grid[k] for k in keys])]
 
 
+def cartesian_config(params: dict[str, Any]) -> list[dict[str, Any]]:
+    """yaml.scala:88-110 ``cartesian``: list-valued entries expand the
+    grid, scalar entries are constants carried into every combination."""
+    return expand_params(
+        {k: (v if isinstance(v, list) else [v]) for k, v in params.items()}
+    )
+
+
+def load_ml_config(text: str) -> dict[str, Any]:
+    """YAML config ingestion — the file-format twin of the reference's
+    ``YamlConfig.readString`` (yaml.scala:29-67): top-level keys
+    ``output`` / ``timeoutSeconds`` / ``common`` (params merged under
+    every benchmark) / ``benchmarks`` (list of {name, params}); each
+    benchmark's grid is common ++ params expanded cartesian over its
+    list-valued entries, and every name must resolve to an algorithm in
+    the standard battery (the reference's strict load).
+
+    Returns {"output", "timeout_s", "runs": [(name, params), ...]} —
+    feed ``runs`` to ``run_ml_config``.
+    """
+    import yaml
+
+    m = yaml.safe_load(text) or {}
+    runs: list[tuple[str, dict[str, Any]]] = []
+    common = m.get("common") or {}
+    for b in m.get("benchmarks") or []:
+        name = str(b["name"])
+        if name not in BATTERY_NAMES:
+            raise KeyError(
+                f"Cannot find algorithm {name} in the standard benchmark"
+                f" algorithms (have: {sorted(BATTERY_NAMES)})"
+            )
+        for p in cartesian_config({**common, **(b.get("params") or {})}):
+            runs.append((name, p))
+    return {
+        "output": str(m.get("output", "/tmp/result")),
+        "timeout_s": int(m.get("timeoutSeconds", 1200)),
+        "runs": runs,
+    }
+
+
+def run_ml_config(spark: SparkSession, runs: list[tuple[str, dict[str, Any]]]) -> list[MLResult]:
+    """Execute a loaded config's (name, params) grid against the
+    standard battery, in order (the MLLib.scala run loop)."""
+    battery = build_battery()
+    return [battery[name].run(spark, params) for name, params in runs]
+
+
 # ---------------------------------------------------------------------------
 # the battery
 # ---------------------------------------------------------------------------
@@ -113,6 +161,15 @@ def _lda_data(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     _ = uniform_int
     cv = CountVectorizer(inputCol="tokens", outputCol="features", vocabSize=64)
     return cv.fit(words).transform(words), None
+
+
+# build_battery()'s keys, as a static set: the YAML loader validates
+# names WITHOUT a live SparkSession (the evaluators inside the battery
+# need an active context). test_ml.py asserts the two stay in sync.
+BATTERY_NAMES = frozenset({
+    "logistic_regression", "decision_tree", "random_forest", "gbt",
+    "linear_regression", "glm_regression", "kmeans", "lda", "als",
+})
 
 
 def build_battery() -> dict[str, MLBenchmark]:

@@ -167,13 +167,33 @@ def ann_serve_batch(
 LSH_NPARTS = 64
 
 
+def sized_nparts(n: int, nbits: int | None = None,
+                 target_rows: int = 2_000_000) -> int:
+    """Production partition-directory count: ~target_rows vectors per
+    directory (a healthy parquet-file budget at embedding widths),
+    clamped to [LSH_NPARTS, 2^14] directories. Kept a POWER OF TWO no
+    larger than 2^nbits so sig % nparts stays a function of the BASE
+    signature's low bits alone (split markers and extension planes live
+    at bit nbits and above): every one of a query's levels+1 candidate
+    keys then lands in the SAME partition and split sub-buckets
+    colocate with their base — the per-query-region-exact pruning the
+    r9 probe cells confirm. (A non-power-of-two nparts is still
+    CORRECT — index and probe share the same pmod — it just forfeits
+    that colocation.)"""
+    want = max(LSH_NPARTS, min(n // target_rows, 1 << 14))
+    p = 1 << max(0, want - 1).bit_length()  # next power of two >= want
+    if nbits is not None:
+        p = min(p, 1 << nbits)  # nbits >= 8 floor keeps this >= 256
+    return max(LSH_NPARTS, min(p, 1 << 14))
+
+
 def write_lsh_partitioned(
     vecs: DataFrame,
     path: str,
     dim: int | None = None,
     params: LshParams | None = None,
     n: int | None = None,
-    nparts: int = LSH_NPARTS,
+    nparts: int | None = None,
 ) -> LshParams:
     """Materialize the adaptive-bucketed corpus at rest, PARTITIONED BY
     a bounded sig-derived key — the 100 TB serving layout (the ANN twin
@@ -185,12 +205,15 @@ def write_lsh_partitioned(
     ``_params`` sidecar parquet next to the data (storage-agnostic —
     works on any filesystem Spark writes to), and every at-rest probe
     reads them back instead of assuming module defaults. Pass ``n``
-    (corpus rows) for ``sized_params`` sizing; default is oracle-scale.
+    (corpus rows) for ``sized_params`` key-space sizing AND
+    ``sized_nparts`` directory sizing; defaults are oracle-scale.
     """
     from ..pipeline.similarity import lsh_buckets_df
 
     if params is None:
         params = sized_params(n) if n is not None else LshParams()
+    if nparts is None:
+        nparts = sized_nparts(n, params.nbits) if n is not None else LSH_NPARTS
     bucketed = lsh_buckets_df(
         vecs, params.nbits, params.split_bits, params.cap, dim, params.levels
     )

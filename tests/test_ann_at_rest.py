@@ -183,3 +183,82 @@ def test_streaming_server_reads_at_rest_index(spark, tmp_path):
     }
     assert got == want and len(got) > 0
     shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_sized_nparts_rule():
+    """Power-of-two, >= LSH_NPARTS, <= min(2^nbits, 2^14), ~target_rows
+    rows per directory — the documented production directory sizing."""
+    from spark_sql_perf_spark.streaming.ann import LSH_NPARTS, sized_nparts
+
+    assert sized_nparts(500) == LSH_NPARTS            # tiny corpus: floor
+    assert sized_nparts(1_000_000_000) == 512          # 1e9/2e6=500 -> 512
+    assert sized_nparts(1_000_000_000, nbits=8) == 256  # capped at 2^nbits
+    assert sized_nparts(10**12) == 1 << 14             # hard directory cap
+    for n in (1, 10**6, 10**8, 10**10):
+        p = sized_nparts(n)
+        assert p & (p - 1) == 0 and p >= LSH_NPARTS
+
+
+def test_streaming_restart_never_replays_and_reuses_index(spark, tmp_path):
+    """Serving from the at-rest index across a restart: the second drain
+    (checkpoint present, new file added) appends ONLY the new batch, a
+    third drain with no new input appends nothing, and the index layout
+    is written once (the second call sees the sidecar and skips the
+    build)."""
+    import shutil
+    import tempfile
+
+    from spark_sql_perf_spark.functions.lsh import LshParams
+    from spark_sql_perf_spark.streaming.ann import (
+        ann_serve_at_rest,
+        streaming_ann_serve,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR_TINY}/embeddings.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="ann-restart-")
+    out_dir = os.path.join(str(tmp_path), "out")
+    index_path = os.path.join(str(tmp_path), "idx")
+
+    def add_file(i, part):
+        pdir = os.path.join(stream_dir, f"in{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(pdir, src),
+                  os.path.join(stream_dir, f"part-{i}.parquet"))
+        shutil.rmtree(pdir)
+
+    halves = (emb.where(F.col("vec_id") % 2 == 0),
+              emb.where(F.col("vec_id") % 2 == 1))
+    add_file(0, halves[0])
+    streaming_ann_serve(spark, SF_DIR_TINY, stream_dir, out_dir, k=3,
+                        params=LshParams(), index_path=index_path)
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first > 0
+    sidecar_mtime = os.path.getmtime(index_path + "_params")
+
+    # "restart": a new file arrives, same checkpoint — batch 0 must NOT
+    # replay, and the index must not be rebuilt
+    add_file(1, halves[1])
+    streaming_ann_serve(spark, SF_DIR_TINY, stream_dir, out_dir, k=3,
+                        params=LshParams(), index_path=index_path)
+    got = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cosine)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    total = spark.read.parquet(out_dir).count()
+    assert len(got) == total, "duplicate (query, rn) rows: a batch replayed"
+    assert os.path.getmtime(index_path + "_params") == sidecar_mtime
+
+    want = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cosine)
+        for r in ann_serve_at_rest(
+            spark, _corpus(spark, SF_DIR_TINY), index_path, k=3
+        ).collect()
+    }
+    assert got == want
+
+    # idle re-drain: nothing new, nothing appended
+    streaming_ann_serve(spark, SF_DIR_TINY, stream_dir, out_dir, k=3,
+                        params=LshParams(), index_path=index_path)
+    assert spark.read.parquet(out_dir).count() == total
+    shutil.rmtree(stream_dir, ignore_errors=True)

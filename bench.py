@@ -100,6 +100,9 @@ HEADLINE = [
     # SCD2 window chain — the round's two new heavy shapes
     "sim6_knn_graph",
     "cdc1_scd2_compress",
+    # r9: the duplicated-span extraction — shingle explode + digest
+    # winner agg + doc-partitioned islands, the round's new heavy shape
+    "d8_duplicated_spans",
 ]
 
 # Box-drift thermometers: headline queries whose plans read the parquet
@@ -322,9 +325,9 @@ def main() -> None:
             for q, v in variance.items():
                 v["normalized_after"] = normalized["queries_normalized"].get(q)
             payload["variance"] = variance
-    # Bench wall-clock self-report: 16 queries x min-of-5 plus receipt
+    # Bench wall-clock self-report: 17 queries x min-of-5 plus receipt
     # re-samples. The re-sample tier only triggers on shifted queries, so
-    # the bound is ~(16*5 + shifted*3) executions; if every query shifted
+    # the bound is ~(17*5 + shifted*3) executions; if every query shifted
     # (a box-wide event the calibration median would absorb first), the
     # run grows ~60% — acceptable, and now visible.
     payload["bench_runtime_sec"] = round(time.perf_counter() - t_start, 1)

@@ -764,3 +764,112 @@ def curation_pipeline_df(docs: DataFrame) -> DataFrame:
         .groupBy("split", "source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
     )
+
+
+# ---------------------------------------------------------------------------
+# c11: fractional-epoch domain up-sampling (the mixing complement of c5)
+# ---------------------------------------------------------------------------
+
+# Per-source repetition factors >= 1 (c5 handles rates < 1): integer part
+# replicates every document, and a deterministic hash percentile promotes
+# the fractional remainder — e.g. 2.5 epochs = every doc twice plus a
+# stable half of the source a third time. Published LLM data recipes
+# up-weight high-quality sources exactly this way (fractional epochs over
+# wiki/books vs one pass over web crawl).
+_C11_FACTORS = (1.0, 1.5, 2.5, 3.0)
+_EPOCH_MULT = 3266489917  # xxhash PRIME32_3 — independent of c3/c5 decisions
+
+_C11_FACTOR_SQL = f"""CAST(CASE (CAST(substring(source, 4, 10) AS INT) % 4)
+               WHEN 0 THEN {_C11_FACTORS[0]} WHEN 1 THEN {_C11_FACTORS[1]}
+               WHEN 2 THEN {_C11_FACTORS[2]} ELSE {_C11_FACTORS[3]} END AS DOUBLE)"""
+
+
+@query(
+    "c11_epoch_upsample",
+    oracle=f"""
+    WITH fac AS (
+      SELECT doc_id, source,
+             {_C11_FACTOR_SQL} AS target_epochs,
+             {_pct_sql('doc_id', _EPOCH_MULT)} AS pct
+      FROM documents),
+    copies AS (
+      SELECT doc_id, source, target_epochs,
+             CAST(FLOOR(target_epochs) AS BIGINT)
+               + CASE WHEN pct < (target_epochs - FLOOR(target_epochs)) * 100
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM fac),
+    emitted AS (
+      SELECT doc_id, source, target_epochs,
+             unnest(generate_series(1, n_copies)) AS epoch
+      FROM copies)
+    SELECT source,
+           ANY_VALUE(target_epochs) AS target_epochs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_emitted,
+           CAST(MAX(epoch) AS BIGINT) AS max_epoch,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6)
+             AS achieved_epochs
+    FROM emitted GROUP BY source
+    """,
+)
+def c11_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch up-sampling to target mixture weights >= 1.
+
+    The physical mechanism is the one a 100 TB training-mix job runs:
+    ``explode(sequence(1, n_copies))`` — a narrow per-row operation, no
+    shuffle at all until the reporting aggregate — where n_copies =
+    floor(epochs) + a deterministic hash-percentile promotion for the
+    fractional part. Determinism matters the same way it does for c3/c5:
+    the emitted multiset is identical across retries, partitionings, and
+    engines, so a resumed job never double-reps a document. The epoch
+    ordinal rides along so downstream shuffles (e.g. pack-then-shuffle
+    into training order) can salt on (doc_id, epoch) instead of
+    collapsing the copies back together. Reporting output: per-source
+    target vs achieved epochs over the emitted multiset. Achieved
+    converges to target statistically (measured 45-55% promotion per
+    source at sf0.1 for the 0.5-fraction tiers); tiny per-source samples
+    (sf0.01 has 25 docs/source) sit far off target by construction, which
+    is the honest behavior — a fractional epoch is a corpus-level rate,
+    not a per-25-docs guarantee.
+    """
+    docs = table(spark, sf_dir, "documents")
+    src_id = F.substring("source", 4, 10).cast("int")
+    target = (
+        F.when(src_id % 4 == 0, _C11_FACTORS[0])
+        .when(src_id % 4 == 1, _C11_FACTORS[1])
+        .when(src_id % 4 == 2, _C11_FACTORS[2])
+        .otherwise(_C11_FACTORS[3])
+        .cast("double")
+    )
+    pct = _pct("doc_id", _EPOCH_MULT)
+    n_copies = (
+        F.floor("target_epochs").cast("long")
+        + F.when(
+            F.col("pct")
+            < (F.col("target_epochs") - F.floor("target_epochs")) * 100,
+            1,
+        ).otherwise(0)
+    )
+    emitted = (
+        docs.select(
+            "doc_id", "source", target.alias("target_epochs"), pct.alias("pct")
+        )
+        .withColumn("n_copies", n_copies)
+        .select(
+            "doc_id",
+            "source",
+            "target_epochs",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "epoch"
+            ),
+        )
+    )
+    return emitted.groupBy("source").agg(
+        F.any_value("target_epochs").alias("target_epochs"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.max("epoch").alias("max_epoch"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.count_distinct("doc_id"), 6
+        ).alias("achieved_epochs"),
+    )

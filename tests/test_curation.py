@@ -163,3 +163,65 @@ def test_c10_composed_pipeline_plan(spark):
     scan_stage = plan.split("Exchange hashpartitioning")[-1]
     assert "FileScan" in scan_stage and "0.13" in scan_stage
     assert plan.count("HashAggregate") >= 2  # partial + final rollup
+
+
+def test_c11_epoch_bounds_and_mechanism(spark):
+    """c11 invariants: emitted multiset bounded by floor/ceil of the
+    target per source, max_epoch == the per-source copy ceiling actually
+    drawn, and the physical mechanism is a narrow explode — the emitted
+    relation itself must not shuffle (the only Exchanges belong to the
+    reporting aggregate)."""
+    import math
+
+    df = _q(spark, "c11_epoch_upsample")
+    rows = df.collect()
+    assert rows, "every source must emit"
+    for r in rows:
+        lo = math.floor(r["target_epochs"]) * r["n_docs"]
+        hi = math.ceil(r["target_epochs"]) * r["n_docs"]
+        assert lo <= r["n_emitted"] <= hi, r
+        assert r["max_epoch"] in (
+            math.floor(r["target_epochs"]),
+            math.ceil(r["target_epochs"]),
+        ), r
+        assert abs(r["achieved_epochs"] * r["n_docs"] - r["n_emitted"]) < 1e-6
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan, plan
+    # narrow up-sampling: the explode must sit BELOW every exchange —
+    # shuffling before replication would move each byte once per copy
+    assert plan.index("Generate explode") > plan.index("Exchange"), plan
+
+
+def test_c11_deterministic_under_repartition(spark):
+    """The promotion decision is identity arithmetic: per-source emitted
+    counts are identical on a hostile physical layout."""
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.pipeline.curation import (
+        _C11_FACTORS,
+        _EPOCH_MULT,
+        _pct,
+    )
+
+    base = {r["source"]: r["n_emitted"] for r in _q(spark, "c11_epoch_upsample").collect()}
+
+    docs = table(spark, SF_DIR_TINY, "documents").repartition(17, "doc_id")
+    src_id = F.substring("source", 4, 10).cast("int")
+    target = (
+        F.when(src_id % 4 == 0, _C11_FACTORS[0])
+        .when(src_id % 4 == 1, _C11_FACTORS[1])
+        .when(src_id % 4 == 2, _C11_FACTORS[2])
+        .otherwise(_C11_FACTORS[3])
+        .cast("double")
+    )
+    n_copies = F.floor(target).cast("long") + F.when(
+        _pct("doc_id", _EPOCH_MULT) < (target - F.floor(target)) * 100, 1
+    ).otherwise(0)
+    again = {
+        r["source"]: r["n"]
+        for r in docs.select("source", F.explode(F.sequence(F.lit(1).cast("long"), n_copies)))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert base == again

@@ -1121,6 +1121,97 @@ def patch_r9_section(res: dict[int, dict[str, float]]) -> None:
     _patch_section("## ANN serving cells", r9_section(res))
 
 
+D8_SCALES = [1_000_000, 4_000_000, 16_000_000]
+
+
+def probe_d8(spark, n_docs: int) -> dict[str, float]:
+    """d8's plan shape at volume: 24-word docs over a 5k vocab; 1/16 of
+    docs (past the first 16) embed words 8..17 of an earlier document
+    mid-text — a planted 10-word cross-document span. Measures the full
+    spans pipeline (shingle explode -> digest-keyed winner aggregate ->
+    hits join -> per-doc islands) and counts flagged docs, which must
+    track ~2 * n/16 (every planted doc plus its source; a source can
+    serve several planted copies, so 'pairs' is the planted count)."""
+    from spark_sql_perf_spark.pipeline.dedup import duplicated_spans_df
+
+    def word(idc, pos):
+        return F.concat(
+            F.lit("tok"),
+            uniform_int(idc, f"w{pos}", 0, 4999).cast("string"),
+        )
+
+    docs = gen_table(spark, n_docs, {
+        "doc_id": lambda idc: idc,
+        "span_of": lambda idc: F.when(
+            (uniform_int(idc, "isdup", 0, 15) == 0) & (idc >= 16),
+            (idc / 16).cast("long")).otherwise(F.lit(-1).cast("long")),
+    })
+    own = F.col("doc_id")
+    src = F.col("span_of")
+    # positions 8..17 come from the span source when planted
+    cols = [
+        F.when(src >= 0, word(src, p)).otherwise(word(own, p))
+        if 8 <= p <= 17 else word(own, p)
+        for p in range(24)
+    ]
+    corpus = docs.select(
+        "doc_id", F.concat_ws(" ", *cols).alias("text")
+    )
+    t0 = time.perf_counter()
+    flagged = duplicated_spans_df(corpus).count()
+    return {
+        "spans": round(time.perf_counter() - t0, 2),
+        "flagged_docs": flagged,
+    }
+
+
+def d8_cells(spark) -> dict[int, dict[str, float]]:
+    out = {}
+    for n in D8_SCALES:
+        out[n] = probe_d8(spark, n)
+        print(f"d8@{n}: {out[n]}", flush=True)
+    return out
+
+
+def d8_section(res: dict[int, dict[str, float]]) -> list[str]:
+    base, top = res[D8_SCALES[0]], res[D8_SCALES[-1]]
+    ratio = D8_SCALES[-1] // D8_SCALES[0]
+    return [
+        "## Duplicated-span cells (d8 plan shape)",
+        "",
+        "24-word docs, 5k vocab, 1/16 planted with a 10-word span copied",
+        "from an earlier doc. The pipeline is TWO full shuffles: the",
+        "xxhash64-keyed dup-flag window (min/max(doc_id) OVER",
+        "(PARTITION BY h) on the shingle relation itself) and ONE",
+        "doc-partitioned exchange shared by both islands windows and",
+        "both island aggregates. The window form replaced the",
+        "groupBy+join-back flag after a same-session A/B (see",
+        "duplicated_spans_df docstring): once the dup set outgrows the",
+        "broadcast threshold the join form pays a THIRD full shuffle of",
+        "the 20n-row relation as SMJ probe, which is exactly the",
+        "regime a production corpus lives in. The bound to hold: time",
+        "~ shingle volume (20 rows/doc), flagged docs ~ 2 * n/16",
+        "(planted + source). Regenerate alone with:",
+        "`python tools/scale_probe.py d8`.",
+        "",
+        "| docs | spans | flagged docs |",
+        "|---|---|---|",
+        *[
+            f"| {n:,} | {res[n]['spans']}s | {res[n]['flagged_docs']:,} |"
+            for n in D8_SCALES
+        ],
+        "",
+        f"Data grew {ratio}x; spans {top['spans'] / max(base['spans'], 0.01):.1f}x,"
+        f" flagged docs {top['flagged_docs'] / max(base['flagged_docs'], 1):.1f}x"
+        " — both ~linear; no pairwise term exists in the plan.",
+        "",
+    ]
+
+
+def patch_d8_section(res: dict[int, dict[str, float]]) -> None:
+    _patch_section("## Duplicated-span cells", d8_section(res))
+
+
 def probe_seq_packing(spark, n_docs: int):
     """c6's plan shape at volume: global cumulative token sum via the
     two-pass scheme (range shuffle -> per-partition totals to the driver
@@ -1398,6 +1489,7 @@ def main() -> None:
     r7_res = r7_cells(spark)
     r8_res = r8_cells(spark)
     r9_res = r9_cells(spark)
+    d8_res = d8_cells(spark)
     cal = probe_calibration(spark)
 
     time_keys = [
@@ -1533,6 +1625,7 @@ def main() -> None:
         *r7_section(r7_res),
         *r8_section(r8_res),
         *r9_section(r9_res),
+        *d8_section(d8_res),
         "## 64M-point decomposition (the steepest cells)",
         "",
         "Profiled fact_fact_join at 64M rows: generation alone is ~2.3s,",
@@ -1589,6 +1682,13 @@ if __name__ == "__main__":
         run_calibration(spark)
         probe_r9(spark, 100_000)  # untimed warmup: JIT + codegen
         patch_r9_section(r9_cells(spark))
+        spark.stop()
+    elif mode == "d8":
+        spark = build_session("scale-probe-d8")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
+        probe_d8(spark, 100_000)  # untimed warmup: JIT + codegen
+        patch_d8_section(d8_cells(spark))
         spark.stop()
     elif mode == "cal":
         spark = build_session("scale-probe-cal")

@@ -92,6 +92,11 @@ EXTRA = [
     # r9: the at-rest serving probe — the plan must show the sig_part
     # partition filter reaching the parquet scan (PartitionFilters)
     "sim8_ann_serve_at_rest",
+    # r9 pipeline additions: digest-keyed duplicated-span extraction
+    # (two shuffles + per-doc islands window) and the narrow-explode
+    # epoch up-sampler (Generate below every Exchange)
+    "d8_duplicated_spans",
+    "c11_epoch_upsample",
 ]
 
 

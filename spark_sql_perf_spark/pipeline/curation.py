@@ -35,10 +35,14 @@ c7  fuzzy decontamination: near-duplicate (not just verbatim) eval
     work.
 
 Later rounds extended the family: c8 sliding-window chunking, c9
-weighted priority sampling per stratum (Duffield-Lund-Thorup), and c10
+weighted priority sampling per stratum (Duffield-Lund-Thorup), c10
 — the filter -> exact-dedup -> split -> mixture-rollup pipeline COMPOSED
 as one declarative plan (one scan, one content-hash exchange with a
-partial WindowGroupLimit, one agg exchange).
+partial WindowGroupLimit, one agg exchange) — and r9's mixing pair:
+c11 fractional-epoch UP-sampling (the >=1-epoch complement of c5, a
+narrow explode below every exchange) and c12 per-domain token-budget
+selection (quality-ordered stop-at-overflow via grouped_cum_before,
+the per-GROUP generalization of c6's two-pass cumsum).
 
 All are SQL-expressible and hash-verify against DuckDB oracles.
 """
@@ -777,7 +781,10 @@ def curation_pipeline_df(docs: DataFrame) -> DataFrame:
 # up-weight high-quality sources exactly this way (fractional epochs over
 # wiki/books vs one pass over web crawl).
 _C11_FACTORS = (1.0, 1.5, 2.5, 3.0)
-_EPOCH_MULT = 3266489917  # xxhash PRIME32_3 — independent of c3/c5 decisions
+_EPOCH_MULT = 374761393  # xxhash PRIME32_5 — independent of the c3 split
+# (2654435761), c5 mixture (2246822519) AND c9 priority (3266489917)
+# draws: c9+c11 composed in one pipeline must not sample the epochs it
+# promoted
 
 _C11_FACTOR_SQL = f"""CAST(CASE (CAST(substring(source, 4, 10) AS INT) % 4)
                WHEN 0 THEN {_C11_FACTORS[0]} WHEN 1 THEN {_C11_FACTORS[1]}
@@ -872,4 +879,136 @@ def c11_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.count(F.lit(1)).cast("double") / F.count_distinct("doc_id"), 6
         ).alias("achieved_epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c12: per-domain token-budget selection (grouped two-pass cumsum)
+# ---------------------------------------------------------------------------
+
+_C12_BUDGET = 100  # tokens per source; selective at every sf
+
+
+def grouped_cum_before(
+    df: DataFrame,
+    group_col: str,
+    order_key: list[Column],
+    val_col: str,
+    n_parts: int,
+) -> DataFrame:
+    """PER-GROUP exclusive running sum of ``val_col`` in ``order_key``
+    order — the grouped generalization of ``global_cum_before``. A bare
+    ``Window.partitionBy(group)`` sorts each whole group on one reducer,
+    which is fatal when a single domain is terabytes; here the range
+    shuffle on (group, *order_key) spreads every group over as many
+    partitions as its volume needs, the offsets job collects one row
+    per (partition, group) — O(n_parts x |groups|), domains are
+    bounded (10s-1000s) while docs are not — and the window is
+    partition-local. Same cache-before-offsets discipline as
+    global_cum_before (repartitionByRange samples nondeterministically).
+    """
+    _evict_pack_cache()
+    parted = (
+        df.repartitionByRange(n_parts, F.col(group_col), *order_key)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    _PACK_CACHED.append(parted)
+    sums = [
+        ((r["_pid"], r["g"]), r["s"])
+        for r in parted.groupBy(
+            F.col("_pid"), F.col(group_col).alias("g")
+        ).agg(F.sum(val_col).alias("s")).collect()
+    ]
+    acc: dict[str, int] = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for (pid, g), s in sorted(sums, key=lambda kv: kv[0][0]):
+        offsets[(pid, g)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + s
+    off_map = F.create_map(*[
+        v
+        for (pid, g), off in offsets.items()
+        for v in (F.lit(f"{pid}|{g}"), F.lit(off))
+    ])
+    w = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(*order_key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    key = F.concat_ws("|", F.col("_pid").cast("string"), F.col(group_col))
+    cum_before = F.coalesce(F.sum(val_col).over(w), F.lit(0)) + off_map[key]
+    return parted.withColumn("cum_before", cum_before).drop("_pid")
+
+
+@query(
+    "c12_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split_regex(lower(text), '{_WS_SPLIT}')) AS tok
+      FROM documents),
+    q AS (
+      SELECT *, CAST(tok AS DOUBLE) / n_chars AS quality FROM t),
+    c AS (
+      SELECT *,
+             SUM(tok) OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM q)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum <= {_C12_BUDGET} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN cum <= {_C12_BUDGET} THEN tok ELSE 0 END)
+             AS BIGINT) AS tokens_kept,
+           ROUND(CAST(SUM(CASE WHEN cum <= {_C12_BUDGET} THEN tok ELSE 0 END)
+             AS DOUBLE) / {_C12_BUDGET}, 6) AS utilization,
+           ROUND(MIN(CASE WHEN cum <= {_C12_BUDGET} THEN quality END), 6)
+             AS min_quality_kept
+    FROM c GROUP BY source
+    """,
+)
+def c12_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus assembly under a per-domain token budget: take documents
+    in quality order (density = tokens/char, a stand-in for a model
+    score; ties on doc_id) until the domain's cumulative token count
+    exceeds the budget. Because token counts are positive the inclusive
+    cumulative sum is monotone, so ``cum <= budget`` IS the
+    stop-at-first-overflow semantics — no iterative knapsack needed.
+
+    100 TB design: the ranking cumsum uses ``grouped_cum_before`` — a
+    range shuffle on (source, quality DESC, doc_id) so a terabyte domain
+    spreads over many partitions instead of sorting on one reducer (the
+    plan gate in test_curation.py asserts no SinglePartition exchange),
+    a per-(partition, domain) offsets job, and a partition-local window.
+    The oracle computes the same selection with a plain partitioned
+    window (fine on DuckDB's single node); both agree because
+    (quality, doc_id) is a total order and tok/n_chars is the same
+    IEEE-754 double in both engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(_words()).alias("tok"),
+        (F.size(_words()).cast("double") / F.col("n_chars")).alias("quality"),
+    )
+    c = grouped_cum_before(
+        q,
+        "source",
+        [F.col("quality").desc(), F.col("doc_id")],
+        "tok",
+        _C6_N_PARTS,
+    )
+    kept = (F.col("cum_before") + F.col("tok")) <= _C12_BUDGET
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("tok")).otherwise(0)).cast("long").alias("tokens_kept"),
+        F.round(
+            F.sum(F.when(kept, F.col("tok")).otherwise(0)).cast("double")
+            / _C12_BUDGET,
+            6,
+        ).alias("utilization"),
+        F.round(F.min(F.when(kept, F.col("quality"))), 6).alias("min_quality_kept"),
     )

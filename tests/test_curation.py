@@ -225,3 +225,50 @@ def test_c11_deterministic_under_repartition(spark):
         .collect()
     }
     assert base == again
+
+
+def test_c12_matches_greedy_reference_and_has_no_funnel(spark):
+    """The grouped two-pass cumsum must reproduce the plain greedy
+    selection (take docs in quality order until the budget overflows),
+    computed here in pure Python from the raw table — and its plan must
+    not funnel any domain through a SinglePartition exchange."""
+    import re
+
+    from spark_sql_perf_spark.pipeline.curation import _C12_BUDGET
+
+    df = _q(spark, "c12_token_budget_select")
+    got = {
+        r["source"]: (r["n_kept"], r["tokens_kept"])
+        for r in df.collect()
+    }
+
+    raw = (
+        spark.read.parquet(f"{SF_DIR_TINY}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.lower("text"), r"\s+")).alias("tok"),
+            "n_chars",
+        )
+        .collect()
+    )
+    by_src = {}
+    for r in raw:
+        by_src.setdefault(r["source"], []).append(
+            (-(r["tok"] / r["n_chars"]), r["doc_id"], r["tok"])
+        )
+    want = {}
+    for src, docs in by_src.items():
+        cum = n = kept_tok = 0
+        for _, _, tok in sorted(docs):
+            cum += tok
+            if cum > _C12_BUDGET:
+                break
+            n += 1
+            kept_tok += tok
+        want[src] = (n, kept_tok)
+    assert got == want
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan

@@ -93,10 +93,13 @@ EXTRA = [
     # partition filter reaching the parquet scan (PartitionFilters)
     "sim8_ann_serve_at_rest",
     # r9 pipeline additions: digest-keyed duplicated-span extraction
-    # (two shuffles + per-doc islands window) and the narrow-explode
-    # epoch up-sampler (Generate below every Exchange)
+    # (two shuffles + per-doc islands window), the narrow-explode
+    # epoch up-sampler (Generate below every Exchange), and the
+    # grouped two-pass cumsum budget selection (rangepartitioning,
+    # no SinglePartition)
     "d8_duplicated_spans",
     "c11_epoch_upsample",
+    "c12_token_budget_select",
 ]
 
 

@@ -42,7 +42,8 @@ partial WindowGroupLimit, one agg exchange) — and r9's mixing pair:
 c11 fractional-epoch UP-sampling (the >=1-epoch complement of c5, a
 narrow explode below every exchange) and c12 per-domain token-budget
 selection (quality-ordered stop-at-overflow via grouped_cum_before,
-the per-GROUP generalization of c6's two-pass cumsum).
+the per-GROUP generalization of c6's two-pass cumsum), composed
+end-to-end as c13 (select -> upsample -> pack, one logical plan).
 
 All are SQL-expressible and hash-verify against DuckDB oracles.
 """
@@ -426,7 +427,8 @@ memo.register_evictor(_evict_pack_cache)
 
 
 def global_cum_before(
-    df: DataFrame, order_col: str, val_col: str, n_parts: int
+    df: DataFrame, order_col: str, val_col: str, n_parts: int,
+    evict: bool = True,
 ) -> DataFrame:
     """Scale-safe GLOBAL exclusive running sum of ``val_col`` in
     ``order_col`` order: returns ``df`` plus a ``cum_before`` column.
@@ -440,9 +442,15 @@ def global_cum_before(
     partitions than the ones the offsets were computed for.
 
     The cached frame is registered in the module memo (drained by
-    ``ExperimentRunner`` teardown via ``memo.evict_all``).
+    ``ExperimentRunner`` teardown via ``memo.evict_all``). Pass
+    ``evict=False`` when composing with another two-pass cumsum in the
+    same plan (c13): evicting here would uncache the earlier stage's
+    range-partitioned frame while the final plan still reads it, and an
+    uncached repartitionByRange re-samples its boundaries — rows land in
+    partitions the collected offsets were not computed for.
     """
-    _evict_pack_cache()
+    if evict:
+        _evict_pack_cache()
     parted = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
@@ -1011,4 +1019,119 @@ def c12_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("utilization"),
         F.round(F.min(F.when(kept, F.col("quality"))), 6).alias("min_quality_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c13: end-to-end mix assembly (budget-select -> epoch-upsample -> pack)
+# ---------------------------------------------------------------------------
+
+_C13_PACK = 512  # context budget in tokens (c6's)
+
+
+@query(
+    "c13_e2e_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split_regex(lower(text), '{_WS_SPLIT}')) AS tok
+      FROM documents),
+    q AS (SELECT *, CAST(tok AS DOUBLE) / n_chars AS quality FROM t),
+    c AS (
+      SELECT *,
+             SUM(tok) OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM q),
+    kept AS (SELECT * FROM c WHERE cum <= {_C12_BUDGET}),
+    fac AS (
+      SELECT doc_id, source, tok,
+             {_C11_FACTOR_SQL} AS te,
+             {_pct_sql('doc_id', _EPOCH_MULT)} AS pct
+      FROM kept),
+    copies AS (
+      SELECT doc_id, source, tok,
+             CAST(FLOOR(te) AS BIGINT)
+               + CASE WHEN pct < (te - FLOOR(te)) * 100 THEN 1 ELSE 0 END
+               AS n_copies
+      FROM fac),
+    emitted AS (
+      SELECT doc_id, source, tok,
+             unnest(generate_series(1, n_copies)) AS epoch
+      FROM copies),
+    packed AS (
+      SELECT doc_id, source, tok, epoch,
+             COALESCE(SUM(tok) OVER (ORDER BY doc_id * 4 + epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM emitted)
+    SELECT CAST(cum_before // {_C13_PACK} AS BIGINT) AS context_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY context_id
+    """,
+)
+def c13_e2e_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-mix assembly line COMPOSED end-to-end, one logical
+    plan: per-domain token-budget selection (c12's grouped stop-at-
+    overflow cumsum) -> fractional-epoch up-sampling of the survivors
+    (c11's narrow explode) -> packing the emitted multiset into
+    512-token contexts (c6's global two-pass cumsum, ordered by the
+    total key doc_id*4+epoch so copies interleave deterministically).
+    Output: per-context row/doc/source/token counts — the shape a
+    training loader consumes.
+
+    100 TB design: the three stages chain without materializing between
+    them — the budget stage's range-partitioned cache feeds the explode
+    directly, and the only driver work is the two offsets jobs
+    (O(partitions x domains) and O(partitions)). The packing stage's
+    ``global_cum_before`` runs with ``evict=False``: evicting the memo
+    mid-composition would uncache the budget stage's range-partitioned
+    frame while the final plan still reads it, and an uncached
+    ``repartitionByRange`` re-samples boundaries nondeterministically —
+    rows would land in partitions the collected offsets were not
+    computed for (the exact failure the helper's docstring pins).
+    """
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(_words()).alias("tok"),
+        (F.size(_words()).cast("double") / F.col("n_chars")).alias("quality"),
+    )
+    c = grouped_cum_before(
+        q, "source", [F.col("quality").desc(), F.col("doc_id")], "tok",
+        _C6_N_PARTS,
+    )
+    kept = c.where((F.col("cum_before") + F.col("tok")) <= _C12_BUDGET)
+
+    src_id = F.substring("source", 4, 10).cast("int")
+    target = (
+        F.when(src_id % 4 == 0, _C11_FACTORS[0])
+        .when(src_id % 4 == 1, _C11_FACTORS[1])
+        .when(src_id % 4 == 2, _C11_FACTORS[2])
+        .otherwise(_C11_FACTORS[3])
+        .cast("double")
+    )
+    pct = _pct("doc_id", _EPOCH_MULT)
+    n_copies = F.floor(target).cast("long") + F.when(
+        pct < (target - F.floor(target)) * 100, 1
+    ).otherwise(0)
+    emitted = kept.select(
+        "doc_id",
+        "source",
+        "tok",
+        F.explode(F.sequence(F.lit(1).cast("long"), n_copies)).alias("epoch"),
+    ).withColumn("ord", F.col("doc_id") * 4 + F.col("epoch"))
+
+    packed = global_cum_before(emitted, "ord", "tok", _C6_N_PARTS, evict=False)
+    return packed.groupBy(
+        F.floor(F.col("cum_before") / _C13_PACK).alias("context_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("tok").cast("long").alias("n_tokens"),
     )

@@ -272,3 +272,68 @@ def test_c12_matches_greedy_reference_and_has_no_funnel(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan, plan
+
+
+def test_c13_matches_python_reference_pipeline(spark):
+    """The composed mix assembler must equal a pure-Python rerun of its
+    three stages (greedy budget select -> epoch copies -> greedy pack)
+    computed straight from the raw table — pinning the stage composition
+    itself, especially that the second two-pass cumsum does not evict
+    the first stage's cached range partitioning mid-plan."""
+    import math
+
+    from spark_sql_perf_spark.pipeline.curation import (
+        _C11_FACTORS,
+        _C12_BUDGET,
+        _C13_PACK,
+        _EPOCH_MULT,
+    )
+
+    got = {
+        r["context_id"]: (r["n_rows"], r["n_docs"], r["n_sources"], r["n_tokens"])
+        for r in _q(spark, "c13_e2e_mix").collect()
+    }
+
+    raw = (
+        spark.read.parquet(f"{SF_DIR_TINY}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.lower("text"), r"\s+")).alias("tok"),
+            "n_chars",
+        )
+        .collect()
+    )
+    by_src = {}
+    for r in raw:
+        by_src.setdefault(r["source"], []).append(
+            (-(r["tok"] / r["n_chars"]), r["doc_id"], r["tok"], r["source"])
+        )
+    emitted = []  # (ord, doc_id, source, tok)
+    for src, docs in by_src.items():
+        cum = 0
+        sid = int(src[3:])
+        te = _C11_FACTORS[sid % 4]
+        for _, doc_id, tok, source in sorted(docs):
+            cum += tok
+            if cum > _C12_BUDGET:
+                break
+            pct = (doc_id * _EPOCH_MULT % 2**32) % 100
+            n_copies = math.floor(te) + (1 if pct < (te - math.floor(te)) * 100 else 0)
+            for epoch in range(1, n_copies + 1):
+                emitted.append((doc_id * 4 + epoch, doc_id, source, tok))
+    want = {}
+    cum = 0
+    for _, doc_id, source, tok in sorted(emitted):
+        ctx = cum // _C13_PACK
+        rows, docs_, srcs, toks = want.get(ctx, (0, set(), set(), 0))
+        docs_, srcs = set(docs_), set(srcs)
+        docs_.add(doc_id)
+        srcs.add(source)
+        want[ctx] = (rows + 1, docs_, srcs, toks + tok)
+        cum += tok
+    want = {
+        ctx: (rows, len(docs_), len(srcs), toks)
+        for ctx, (rows, docs_, srcs, toks) in want.items()
+    }
+    assert got == want

@@ -1212,6 +1212,86 @@ def patch_d8_section(res: dict[int, dict[str, float]]) -> None:
     _patch_section("## Duplicated-span cells", d8_section(res))
 
 
+C12_SCALES = [4_000_000, 16_000_000, 64_000_000]
+_C12_DOMAINS = 256
+
+
+def probe_c12(spark, n_docs: int) -> dict[str, float]:
+    """c12's plan shape at volume: per-domain quality-ordered token-budget
+    selection over 256 domains via grouped_cum_before. The budget scales
+    with rows so the keep-rate stays ~10% at every cell; what must NOT
+    scale with rows is the offsets job (64 partitions x 256 domains
+    driver rows, constant) or any per-domain single-reducer sort."""
+    from spark_sql_perf_spark.pipeline.curation import grouped_cum_before
+
+    docs = gen_table(spark, n_docs, {
+        "doc_id": lambda idc: idc,
+        "dom": lambda idc: F.concat(
+            F.lit("d"), uniform_int(idc, "dom", 0, _C12_DOMAINS - 1).cast("string")),
+        "tok": lambda idc: uniform_int(idc, "tok", 50, 500),
+        "q": lambda idc: uniform_int(idc, "q", 0, 1_000_000) / 1_000_000.0,
+    })
+    budget = 275 * n_docs // _C12_DOMAINS // 10  # ~10% of mean domain mass
+    t0 = time.perf_counter()
+    c = grouped_cum_before(
+        docs, "dom", [F.col("q").desc(), F.col("doc_id")], "tok", 64
+    )
+    kept = (F.col("cum_before") + F.col("tok")) <= budget
+    res = (
+        c.groupBy("dom")
+        .agg(F.sum(kept.cast("long")).alias("n_kept"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n_kept").alias("kept"), F.sum("n").alias("total"))
+        .collect()[0]
+    )
+    return {
+        "budget_select": round(time.perf_counter() - t0, 2),
+        "keep_rate": round(res["kept"] / res["total"], 4),
+    }
+
+
+def c12_cells(spark) -> dict[int, dict[str, float]]:
+    out = {}
+    for n in C12_SCALES:
+        out[n] = probe_c12(spark, n)
+        print(f"c12@{n}: {out[n]}", flush=True)
+    return out
+
+
+def c12_section(res: dict[int, dict[str, float]]) -> list[str]:
+    base, top = res[C12_SCALES[0]], res[C12_SCALES[-1]]
+    ratio = C12_SCALES[-1] // C12_SCALES[0]
+    return [
+        "## Grouped-cumsum cells (c12 plan shape)",
+        "",
+        "Per-domain token-budget selection over 256 domains",
+        "(grouped_cum_before): range shuffle on (domain, quality DESC,",
+        "id), a CONSTANT 64x256-row offsets job, partition-local",
+        "window, budget cut. seq_packing above receipts the GLOBAL",
+        "two-pass cumsum; this receipts the grouped generalization —",
+        "the shape that matters when one domain alone is terabytes and",
+        "a Window.partitionBy(domain) would sort it on one reducer.",
+        "The budget scales with rows so keep_rate stays ~0.1 at every",
+        "cell; time must track the range shuffle ~linearly. Regenerate",
+        "alone with: `python tools/scale_probe.py c12`.",
+        "",
+        "| rows | budget_select | keep rate |",
+        "|---|---|---|",
+        *[
+            f"| {n:,} | {res[n]['budget_select']}s | {res[n]['keep_rate']} |"
+            for n in C12_SCALES
+        ],
+        "",
+        f"Data grew {ratio}x; time "
+        f"{top['budget_select'] / max(base['budget_select'], 0.01):.1f}x — "
+        "~linear, keep rate flat by construction.",
+        "",
+    ]
+
+
+def patch_c12_section(res: dict[int, dict[str, float]]) -> None:
+    _patch_section("## Grouped-cumsum cells", c12_section(res))
+
+
 def probe_seq_packing(spark, n_docs: int):
     """c6's plan shape at volume: global cumulative token sum via the
     two-pass scheme (range shuffle -> per-partition totals to the driver
@@ -1490,6 +1570,7 @@ def main() -> None:
     r8_res = r8_cells(spark)
     r9_res = r9_cells(spark)
     d8_res = d8_cells(spark)
+    c12_res = c12_cells(spark)
     cal = probe_calibration(spark)
 
     time_keys = [
@@ -1626,6 +1707,7 @@ def main() -> None:
         *r8_section(r8_res),
         *r9_section(r9_res),
         *d8_section(d8_res),
+        *c12_section(c12_res),
         "## 64M-point decomposition (the steepest cells)",
         "",
         "Profiled fact_fact_join at 64M rows: generation alone is ~2.3s,",
@@ -1689,6 +1771,13 @@ if __name__ == "__main__":
         run_calibration(spark)
         probe_d8(spark, 100_000)  # untimed warmup: JIT + codegen
         patch_d8_section(d8_cells(spark))
+        spark.stop()
+    elif mode == "c12":
+        spark = build_session("scale-probe-c12")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
+        probe_c12(spark, 200_000)  # untimed warmup: JIT + codegen
+        patch_c12_section(c12_cells(spark))
         spark.stop()
     elif mode == "cal":
         spark = build_session("scale-probe-cal")

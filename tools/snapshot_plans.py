@@ -100,6 +100,9 @@ EXTRA = [
     "d8_duplicated_spans",
     "c11_epoch_upsample",
     "c12_token_budget_select",
+    # the composed mix assembler: both cumsum stages' exchanges and the
+    # explode between them in ONE plan
+    "c13_e2e_mix",
 ]
 
 

@@ -50,6 +50,8 @@ All are SQL-expressible and hash-verify against DuckDB oracles.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -799,6 +801,28 @@ _C11_FACTOR_SQL = f"""CAST(CASE (CAST(substring(source, 4, 10) AS INT) % 4)
                WHEN 2 THEN {_C11_FACTORS[2]} ELSE {_C11_FACTORS[3]} END AS DOUBLE)"""
 
 
+def _c11_target() -> Column:
+    """Per-source target epochs — the ONE definition c11 and c13 share
+    (the SQL twin is _C11_FACTOR_SQL)."""
+    src_id = F.substring("source", 4, 10).cast("int")
+    return (
+        F.when(src_id % 4 == 0, _C11_FACTORS[0])
+        .when(src_id % 4 == 1, _C11_FACTORS[1])
+        .when(src_id % 4 == 2, _C11_FACTORS[2])
+        .otherwise(_C11_FACTORS[3])
+        .cast("double")
+    )
+
+
+def _c11_n_copies(target: Column) -> Column:
+    """floor(target) copies plus a deterministic hash-percentile
+    promotion of the fractional remainder — shared by c11 and c13."""
+    pct = _pct("doc_id", _EPOCH_MULT)
+    return F.floor(target).cast("long") + F.when(
+        pct < (target - F.floor(target)) * 100, 1
+    ).otherwise(0)
+
+
 @query(
     "c11_epoch_upsample",
     oracle=f"""
@@ -848,36 +872,13 @@ def c11_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a per-25-docs guarantee.
     """
     docs = table(spark, sf_dir, "documents")
-    src_id = F.substring("source", 4, 10).cast("int")
-    target = (
-        F.when(src_id % 4 == 0, _C11_FACTORS[0])
-        .when(src_id % 4 == 1, _C11_FACTORS[1])
-        .when(src_id % 4 == 2, _C11_FACTORS[2])
-        .otherwise(_C11_FACTORS[3])
-        .cast("double")
-    )
-    pct = _pct("doc_id", _EPOCH_MULT)
-    n_copies = (
-        F.floor("target_epochs").cast("long")
-        + F.when(
-            F.col("pct")
-            < (F.col("target_epochs") - F.floor("target_epochs")) * 100,
-            1,
-        ).otherwise(0)
-    )
-    emitted = (
-        docs.select(
-            "doc_id", "source", target.alias("target_epochs"), pct.alias("pct")
-        )
-        .withColumn("n_copies", n_copies)
-        .select(
-            "doc_id",
-            "source",
-            "target_epochs",
-            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
-                "epoch"
-            ),
-        )
+    emitted = docs.select(
+        "doc_id",
+        "source",
+        _c11_target().alias("target_epochs"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), _c11_n_copies(_c11_target()))
+        ).alias("epoch"),
     )
     return emitted.groupBy("source").agg(
         F.any_value("target_epochs").alias("target_epochs"),
@@ -897,12 +898,31 @@ def c11_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _C12_BUDGET = 100  # tokens per source; selective at every sf
 
 
+def _c12_ranked(docs: DataFrame) -> DataFrame:
+    """(doc, source, tok, quality, cum_before) in per-source quality
+    order — the ONE budget-ranking definition c12 and c13 share."""
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(_words()).alias("tok"),
+        (F.size(_words()).cast("double") / F.col("n_chars")).alias("quality"),
+    )
+    return grouped_cum_before(
+        q,
+        "source",
+        [F.col("quality").desc(), F.col("doc_id")],
+        "tok",
+        _C6_N_PARTS,
+    )
+
+
 def grouped_cum_before(
     df: DataFrame,
     group_col: str,
     order_key: list[Column],
     val_col: str,
     n_parts: int,
+    evict: bool = True,
 ) -> DataFrame:
     """PER-GROUP exclusive running sum of ``val_col`` in ``order_key``
     order — the grouped generalization of ``global_cum_before``. A bare
@@ -913,9 +933,22 @@ def grouped_cum_before(
     per (partition, group) — O(n_parts x |groups|), domains are
     bounded (10s-1000s) while docs are not — and the window is
     partition-local. Same cache-before-offsets discipline as
-    global_cum_before (repartitionByRange samples nondeterministically).
+    global_cum_before (repartitionByRange samples nondeterministically),
+    and the same ``evict=False`` escape hatch for composing as a
+    non-first cumsum stage (evicting mid-composition would uncache an
+    earlier stage's range-partitioned frame while the final plan still
+    reads it).
+
+    The offsets go back executor-side as a BROADCAST-JOINED frame keyed
+    on (partition id, group), not a literal ``create_map``: Catalyst
+    resolves a literal-map lookup by scanning the entries per row, and
+    at the production shape this helper exists for (thousands of range
+    partitions x hundreds of domains) that is a tens-of-thousands-entry
+    scan per output row baked into the plan text. A broadcast hash join
+    is O(1) per row and keeps the plan size flat.
     """
-    _evict_pack_cache()
+    if evict:
+        _evict_pack_cache()
     parted = (
         df.repartitionByRange(n_parts, F.col(group_col), *order_key)
         .withColumn("_pid", F.spark_partition_id())
@@ -929,23 +962,26 @@ def grouped_cum_before(
         ).agg(F.sum(val_col).alias("s")).collect()
     ]
     acc: dict[str, int] = {}
-    offsets: dict[tuple[int, str], int] = {}
+    rows = []
     for (pid, g), s in sorted(sums, key=lambda kv: kv[0][0]):
-        offsets[(pid, g)] = acc.get(g, 0)
+        rows.append((pid, g, acc.get(g, 0)))
         acc[g] = acc.get(g, 0) + s
-    off_map = F.create_map(*[
-        v
-        for (pid, g), off in offsets.items()
-        for v in (F.lit(f"{pid}|{g}"), F.lit(off))
-    ])
+    offsets = df.sparkSession.createDataFrame(rows, ["_opid", "_og", "_off"])
     w = (
         Window.partitionBy("_pid", group_col)
         .orderBy(*order_key)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    key = F.concat_ws("|", F.col("_pid").cast("string"), F.col(group_col))
-    cum_before = F.coalesce(F.sum(val_col).over(w), F.lit(0)) + off_map[key]
-    return parted.withColumn("cum_before", cum_before).drop("_pid")
+    part_sum = F.coalesce(F.sum(val_col).over(w), F.lit(0))
+    return (
+        parted.withColumn("_cb_part", part_sum)
+        .join(
+            F.broadcast(offsets),
+            (F.col("_pid") == F.col("_opid")) & (F.col(group_col) == F.col("_og")),
+        )
+        .withColumn("cum_before", F.col("_cb_part") + F.col("_off"))
+        .drop("_pid", "_opid", "_og", "_off", "_cb_part")
+    )
 
 
 @query(
@@ -994,20 +1030,7 @@ def c12_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality, doc_id) is a total order and tok/n_chars is the same
     IEEE-754 double in both engines.
     """
-    docs = table(spark, sf_dir, "documents")
-    q = docs.select(
-        "doc_id",
-        "source",
-        F.size(_words()).alias("tok"),
-        (F.size(_words()).cast("double") / F.col("n_chars")).alias("quality"),
-    )
-    c = grouped_cum_before(
-        q,
-        "source",
-        [F.col("quality").desc(), F.col("doc_id")],
-        "tok",
-        _C6_N_PARTS,
-    )
+    c = _c12_ranked(table(spark, sf_dir, "documents"))
     kept = (F.col("cum_before") + F.col("tok")) <= _C12_BUDGET
     return c.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1026,7 +1049,16 @@ def c12_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c13: end-to-end mix assembly (budget-select -> epoch-upsample -> pack)
 # ---------------------------------------------------------------------------
 
-_C13_PACK = 512  # context budget in tokens (c6's)
+_C13_PACK = _C6_BUDGET  # context budget in tokens — c6's, by construction
+
+# Interleave-key stride: ord = doc_id * stride + epoch is a TOTAL order
+# only while epoch <= stride, i.e. stride >= max n_copies = ceil(max
+# factor) (floor(f)+1 == ceil(f) for fractional f; == f for integral f,
+# whose promotion never fires). Derived, not hardcoded: a factor tune to
+# e.g. 4.5 would otherwise collide doc A epoch 5 with doc A+1 epoch 1,
+# making the packing tie order engine-dependent and failing the oracle
+# nondeterministically.
+_C13_STRIDE = math.ceil(max(_C11_FACTORS))
 
 
 @query(
@@ -1061,7 +1093,7 @@ _C13_PACK = 512  # context budget in tokens (c6's)
       FROM copies),
     packed AS (
       SELECT doc_id, source, tok, epoch,
-             COALESCE(SUM(tok) OVER (ORDER BY doc_id * 4 + epoch
+             COALESCE(SUM(tok) OVER (ORDER BY doc_id * {_C13_STRIDE} + epoch
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before
       FROM emitted)
@@ -1079,9 +1111,14 @@ def c13_e2e_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow cumsum) -> fractional-epoch up-sampling of the survivors
     (c11's narrow explode) -> packing the emitted multiset into
     512-token contexts (c6's global two-pass cumsum, ordered by the
-    total key doc_id*4+epoch so copies interleave deterministically).
-    Output: per-context row/doc/source/token counts — the shape a
-    training loader consumes.
+    total key doc_id*stride+epoch so copies interleave
+    deterministically; stride derived from the factor set, see
+    _C13_STRIDE). Each stage is the SAME definition its standalone
+    operator runs — _c12_ranked, _c11_target/_c11_n_copies, c6's
+    budget — so a tune to any one of them carries into the
+    composition (and its oracle) automatically. Output: per-context
+    row/doc/source/token counts — the shape a training loader
+    consumes.
 
     100 TB design: the three stages chain without materializing between
     them — the budget stage's range-partitioned cache feeds the explode
@@ -1094,37 +1131,16 @@ def c13_e2e_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows would land in partitions the collected offsets were not
     computed for (the exact failure the helper's docstring pins).
     """
-    docs = table(spark, sf_dir, "documents")
-    q = docs.select(
-        "doc_id",
-        "source",
-        F.size(_words()).alias("tok"),
-        (F.size(_words()).cast("double") / F.col("n_chars")).alias("quality"),
-    )
-    c = grouped_cum_before(
-        q, "source", [F.col("quality").desc(), F.col("doc_id")], "tok",
-        _C6_N_PARTS,
-    )
+    c = _c12_ranked(table(spark, sf_dir, "documents"))
     kept = c.where((F.col("cum_before") + F.col("tok")) <= _C12_BUDGET)
-
-    src_id = F.substring("source", 4, 10).cast("int")
-    target = (
-        F.when(src_id % 4 == 0, _C11_FACTORS[0])
-        .when(src_id % 4 == 1, _C11_FACTORS[1])
-        .when(src_id % 4 == 2, _C11_FACTORS[2])
-        .otherwise(_C11_FACTORS[3])
-        .cast("double")
-    )
-    pct = _pct("doc_id", _EPOCH_MULT)
-    n_copies = F.floor(target).cast("long") + F.when(
-        pct < (target - F.floor(target)) * 100, 1
-    ).otherwise(0)
     emitted = kept.select(
         "doc_id",
         "source",
         "tok",
-        F.explode(F.sequence(F.lit(1).cast("long"), n_copies)).alias("epoch"),
-    ).withColumn("ord", F.col("doc_id") * 4 + F.col("epoch"))
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), _c11_n_copies(_c11_target()))
+        ).alias("epoch"),
+    ).withColumn("ord", F.col("doc_id") * _C13_STRIDE + F.col("epoch"))
 
     packed = global_cum_before(emitted, "ord", "tok", _C6_N_PARTS, evict=False)
     return packed.groupBy(

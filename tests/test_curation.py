@@ -286,6 +286,7 @@ def test_c13_matches_python_reference_pipeline(spark):
         _C11_FACTORS,
         _C12_BUDGET,
         _C13_PACK,
+        _C13_STRIDE,
         _EPOCH_MULT,
     )
 
@@ -321,7 +322,7 @@ def test_c13_matches_python_reference_pipeline(spark):
             pct = (doc_id * _EPOCH_MULT % 2**32) % 100
             n_copies = math.floor(te) + (1 if pct < (te - math.floor(te)) * 100 else 0)
             for epoch in range(1, n_copies + 1):
-                emitted.append((doc_id * 4 + epoch, doc_id, source, tok))
+                emitted.append((doc_id * _C13_STRIDE + epoch, doc_id, source, tok))
     want = {}
     cum = 0
     for _, doc_id, source, tok in sorted(emitted):

@@ -60,6 +60,14 @@ SPOT_QUERIES = [
     "c9_priority_sample",
     "cdc1_scd2_compress",
     "sql7_recursive_cte",
+    # r9 additions: d8's 5-gram width vs the 10x-denser natural-repeat
+    # surface, c11's per-source factor tiers, c12/c13's fixed 100-token
+    # budget against 10x-larger domains (keep set must stay
+    # non-degenerate, contexts must still fill)
+    "d8_duplicated_spans",
+    "c11_epoch_upsample",
+    "c12_token_budget_select",
+    "c13_e2e_mix",
 ]
 
 

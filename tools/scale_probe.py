@@ -1140,10 +1140,18 @@ def probe_d8(spark, n_docs: int) -> dict[str, float]:
             uniform_int(idc, f"w{pos}", 0, 4999).cast("string"),
         )
 
+    # a planted doc must copy from a source that is ITSELF unplanted —
+    # word(src, p) is only the source's actual text when the source's
+    # own isdup draw did not fire (otherwise the copied slice matches
+    # nothing and the flagged count silently undershoots the stated
+    # ~2*n/16 bound)
+    def _is_planted(idc):
+        return (uniform_int(idc, "isdup", 0, 15) == 0) & (idc >= 16)
+
     docs = gen_table(spark, n_docs, {
         "doc_id": lambda idc: idc,
         "span_of": lambda idc: F.when(
-            (uniform_int(idc, "isdup", 0, 15) == 0) & (idc >= 16),
+            _is_planted(idc) & ~_is_planted((idc / 16).cast("long")),
             (idc / 16).cast("long")).otherwise(F.lit(-1).cast("long")),
     })
     own = F.col("doc_id")

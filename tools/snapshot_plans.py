@@ -92,12 +92,10 @@ EXTRA = [
     # r9: the at-rest serving probe — the plan must show the sig_part
     # partition filter reaching the parquet scan (PartitionFilters)
     "sim8_ann_serve_at_rest",
-    # r9 pipeline additions: digest-keyed duplicated-span extraction
-    # (two shuffles + per-doc islands window), the narrow-explode
-    # epoch up-sampler (Generate below every Exchange), and the
-    # grouped two-pass cumsum budget selection (rangepartitioning,
-    # no SinglePartition)
-    "d8_duplicated_spans",
+    # r9 pipeline additions: the narrow-explode epoch up-sampler
+    # (Generate below every Exchange) and the grouped two-pass cumsum
+    # budget selection (rangepartitioning, no SinglePartition);
+    # d8_duplicated_spans snapshots via HEADLINE
     "c11_epoch_upsample",
     "c12_token_budget_select",
     # the composed mix assembler: both cumsum stages' exchanges and the
@@ -137,7 +135,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sections: list[tuple[str, str]] = []
-    for name in HEADLINE + EXTRA:
+    # dict.fromkeys: a query in both lists (d8 joined HEADLINE after its
+    # EXTRA entry landed) must snapshot once, not produce two identical
+    # sections with colliding index anchors
+    for name in dict.fromkeys(HEADLINE + EXTRA):
         df = QUERIES[name](spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()

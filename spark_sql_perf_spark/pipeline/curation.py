@@ -966,6 +966,8 @@ def grouped_cum_before(
     for (pid, g), s in sorted(sums, key=lambda kv: kv[0][0]):
         rows.append((pid, g, acc.get(g, 0)))
         acc[g] = acc.get(g, 0) + s
+    if not rows:  # empty input: no offsets to join, cum_before is trivially 0
+        return parted.withColumn("cum_before", F.lit(0).cast("long")).drop("_pid")
     offsets = df.sparkSession.createDataFrame(rows, ["_opid", "_og", "_off"])
     w = (
         Window.partitionBy("_pid", group_col)

@@ -338,3 +338,63 @@ def test_c13_matches_python_reference_pipeline(spark):
         for ctx, (rows, docs_, srcs, toks) in want.items()
     }
     assert got == want
+
+
+# -- property: grouped_cum_before equals a per-group python cumsum ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),   # group
+            st.integers(0, 50),                  # order key (unique-ified)
+            st.integers(1, 100),                 # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 7),  # n_parts, incl. more partitions than rows
+)
+def test_grouped_cum_before_matches_reference(spark, rows, n_parts):
+    """Property gate for the two-pass machinery itself: for any (group,
+    key, val) multiset and ANY partition count — including n_parts >
+    rows and single-row groups split across range partitions — the
+    exclusive per-group running sum equals the obvious per-group python
+    scan. Catches offset-accumulation bugs (wrong pid order, dropped
+    (pid, group) cells, join-key collisions) that the fixed-layout c12
+    test cannot reach."""
+    from spark_sql_perf_spark.pipeline.curation import grouped_cum_before
+
+    # unique (group, key) so the order is total — matching the
+    # operators' (quality, doc_id) discipline
+    seen = set()
+    uniq = []
+    for g, k, v in rows:
+        if (g, k) not in seen:
+            seen.add((g, k))
+            uniq.append((g, k, v))
+
+    df = spark.createDataFrame(uniq, "g string, k int, v long")
+    got = {
+        (r["g"], r["k"]): r["cum_before"]
+        for r in grouped_cum_before(df, "g", [F.col("k")], "v", n_parts).collect()
+    }
+
+    want = {}
+    by_g = {}
+    for g, k, v in uniq:
+        by_g.setdefault(g, []).append((k, v))
+    for g, kvs in by_g.items():
+        acc = 0
+        for k, v in sorted(kvs):
+            want[(g, k)] = acc
+            acc += v
+    assert got == want

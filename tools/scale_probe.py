@@ -1165,12 +1165,12 @@ def probe_d8(spark, n_docs: int) -> dict[str, float]:
     corpus = docs.select(
         "doc_id", F.concat_ws(" ", *cols).alias("text")
     )
-    t0 = time.perf_counter()
-    flagged = duplicated_spans_df(corpus).count()
-    return {
-        "spans": round(time.perf_counter() - t0, 2),
-        "flagged_docs": flagged,
-    }
+    best, flagged = float("inf"), 0
+    for _ in range(2):  # min-of-2, like the main probe's cells
+        t0 = time.perf_counter()
+        flagged = duplicated_spans_df(corpus).count()
+        best = min(best, time.perf_counter() - t0)
+    return {"spans": round(best, 2), "flagged_docs": flagged}
 
 
 def d8_cells(spark) -> dict[int, dict[str, float]]:
@@ -1240,19 +1240,22 @@ def probe_c12(spark, n_docs: int) -> dict[str, float]:
         "q": lambda idc: uniform_int(idc, "q", 0, 1_000_000) / 1_000_000.0,
     })
     budget = 275 * n_docs // _C12_DOMAINS // 10  # ~10% of mean domain mass
-    t0 = time.perf_counter()
-    c = grouped_cum_before(
-        docs, "dom", [F.col("q").desc(), F.col("doc_id")], "tok", 64
-    )
-    kept = (F.col("cum_before") + F.col("tok")) <= budget
-    res = (
-        c.groupBy("dom")
-        .agg(F.sum(kept.cast("long")).alias("n_kept"), F.count(F.lit(1)).alias("n"))
-        .agg(F.sum("n_kept").alias("kept"), F.sum("n").alias("total"))
-        .collect()[0]
-    )
+    best, res = float("inf"), None
+    for _ in range(2):  # min-of-2, like the main probe's cells
+        t0 = time.perf_counter()
+        c = grouped_cum_before(
+            docs, "dom", [F.col("q").desc(), F.col("doc_id")], "tok", 64
+        )
+        kept = (F.col("cum_before") + F.col("tok")) <= budget
+        res = (
+            c.groupBy("dom")
+            .agg(F.sum(kept.cast("long")).alias("n_kept"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("n_kept").alias("kept"), F.sum("n").alias("total"))
+            .collect()[0]
+        )
+        best = min(best, time.perf_counter() - t0)
     return {
-        "budget_select": round(time.perf_counter() - t0, 2),
+        "budget_select": round(best, 2),
         "keep_rate": round(res["kept"] / res["total"], 4),
     }
 

@@ -135,6 +135,13 @@ NOTES = [
     "normalization median is computed over CALIBRATION only (see"
     " docstring); per-query ratios for ALL shared queries are under"
     " calibration.ratios.",
+    "q1_pricing_summary is the most scan-bandwidth-bound headline query"
+    " and its min-of-N wobbles hardest when the page cache is cold"
+    " relative to the join-shaped calibration peers (r9: +17% normalized"
+    " on a 26% internal sample spread, with the executed plan"
+    " byte-identical to the r8 PLANS.md snapshot and zero source"
+    " changes) — read its normalized shifts against its variance"
+    " samples before calling a regression.",
 ]
 
 # Variance-receipt threshold: any query whose normalized ratio vs the

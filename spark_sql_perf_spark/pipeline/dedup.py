@@ -878,3 +878,147 @@ def _d8_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("zq yq xq "), slice_txt, F.lit(" wq vq uq")).alias("text"),
     )
     return base.unionAll(planted)
+
+
+# ---------------------------------------------------------------------------
+# d9: duplicated-span EXCISION (the removal half of ExactSubstr dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d9_span_excise",
+    oracle=f"""
+    WITH {_D8_CORPUS_SQL},
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+      WHERE len(string_split(text, ' ')) >= {_D8_K}),
+    sh AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(ws) - {_D8_K})) AS pos,
+             ws
+      FROM words),
+    hashed AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(ws[pos + 1:pos + {_D8_K}], ' ')) AS h
+      FROM sh),
+    flagged AS (
+      SELECT doc_id, pos,
+             MIN(doc_id) OVER (PARTITION BY h) AS lo,
+             MAX(doc_id) OVER (PARTITION BY h) AS hi
+      FROM hashed),
+    losing AS (
+      SELECT doc_id, pos FROM flagged WHERE lo <> hi AND lo < doc_id),
+    cov0 AS (
+      SELECT doc_id, pos + unnest(generate_series(0, {_D8_K - 1})) AS wpos
+      FROM losing),
+    covered AS (SELECT DISTINCT doc_id, wpos FROM cov0),
+    indexed AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS idx, ws
+      FROM words),
+    tokens AS (
+      SELECT doc_id, idx, ws[idx] AS word FROM indexed),
+    kept AS (
+      SELECT t.doc_id, t.idx, t.word
+      FROM tokens t LEFT JOIN covered c
+        ON c.doc_id = t.doc_id AND c.wpos = t.idx - 1
+      WHERE c.doc_id IS NULL),
+    dropped AS (
+      SELECT doc_id, COUNT(*) AS n_dropped FROM covered GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(w.ws) AS BIGINT) AS n_words,
+           CAST(d.n_dropped AS BIGINT) AS n_dropped,
+           COALESCE(
+             (SELECT string_agg(k.word, ' ' ORDER BY k.idx)
+              FROM kept k WHERE k.doc_id = d.doc_id), '') AS kept_text
+    FROM dropped d JOIN words w ON w.doc_id = d.doc_id
+    """,
+)
+def d9_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup: where d8 REPORTS
+    maximal repeated spans, d9 CUTS them — every word covered by a
+    shingle whose first (lowest-doc_id) occurrence lives in another
+    document is excised, and the survivors reassemble in order. The
+    winning document keeps its text intact, so exactly one copy of
+    every repeated passage survives corpus-wide — the keep-first
+    discipline of d1/d7 applied at SPAN granularity (the published
+    ExactSubstr cut). Output: affected docs only, with word counts and
+    the excised text.
+
+    100 TB design: same bounded skeleton as d8 — the dup-flag window
+    shuffles the skinny (doc, pos, h) relation once on the digest; the
+    covered-word explode is k rows per LOSING occurrence (bounded by
+    duplicated volume, not corpus size); the excision anti-join and the
+    reassembly aggregate both partition by document, where groups are
+    bounded by document length. Reassembly is d7's sort-struct
+    collect_list, never a corpus-global sort.
+    """
+    k = _D8_K
+    words = (
+        _d8_planted(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= k)
+    )
+    hashed = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("ws") - k)).alias("pos"),
+        "ws",
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(f"md5(array_join(slice(ws, pos + 1, {k}), ' '))").alias("h"),
+    )
+
+    from pyspark.sql import Window
+
+    by_h = Window.partitionBy("h")
+    losing = (
+        hashed.select(
+            "doc_id",
+            "pos",
+            F.min("doc_id").over(by_h).alias("lo"),
+            F.max("doc_id").over(by_h).alias("hi"),
+        )
+        .where((F.col("lo") != F.col("hi")) & (F.col("lo") < F.col("doc_id")))
+        .select("doc_id", "pos")
+    )
+    covered = (
+        losing.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+                "wpos"
+            ),
+        )
+        .distinct()
+    )
+    tokens = words.select(
+        "doc_id",
+        F.posexplode("ws").alias("idx0", "word"),
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "word")
+    kept = tokens.join(
+        covered,
+        (tokens.doc_id == covered.doc_id) & (covered.wpos == tokens.idx - 1),
+        "left_anti",
+    )
+    kept_text = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("kept_text")
+    )
+    dropped = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    sizes = words.select("doc_id", F.size("ws").cast("long").alias("n_words"))
+    return (
+        dropped.join(sizes, "doc_id")
+        .join(kept_text, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

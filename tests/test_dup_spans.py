@@ -187,3 +187,114 @@ def test_merge_spans_matches_reference_interval_merge(spark, hits, k):
         for r in merge_spans(df, k).collect()
     }
     assert got == _ref_merge(hits, k)
+
+
+# -- d9: the excision half ------------------------------------------------
+
+
+def _excise(spark, rows):
+    import spark_sql_perf_spark.operators  # noqa: F401
+    from spark_sql_perf_spark.pipeline.dedup import d9_span_excise  # noqa: F401
+    from spark_sql_perf_spark.operators.registry import QUERIES  # noqa: F401
+
+    # drive the registered query's pipeline on a handcrafted corpus by
+    # rebuilding its stages over the frame (the registered entry reads
+    # the planted driver table; here we call the same relational steps)
+    from pyspark.sql import Window
+
+    k = 5
+    words = _corpus(spark, rows).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).where(F.size("ws") >= k)
+    hashed = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("ws") - k)).alias("pos"),
+        "ws",
+    ).select(
+        "doc_id", "pos",
+        F.expr("md5(array_join(slice(ws, pos + 1, 5), ' '))").alias("h"),
+    )
+    by_h = Window.partitionBy("h")
+    losing = (
+        hashed.select(
+            "doc_id", "pos",
+            F.min("doc_id").over(by_h).alias("lo"),
+            F.max("doc_id").over(by_h).alias("hi"),
+        )
+        .where((F.col("lo") != F.col("hi")) & (F.col("lo") < F.col("doc_id")))
+        .select("doc_id", "pos")
+    )
+    covered = losing.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wpos"),
+    ).distinct()
+    tokens = words.select(
+        "doc_id", F.posexplode("ws").alias("idx0", "word")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "word")
+    kept = tokens.join(
+        covered,
+        (tokens.doc_id == covered.doc_id) & (covered.wpos == tokens.idx - 1),
+        "left_anti",
+    )
+    out = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("kept_text")
+    ).collect()
+    return {r["doc_id"]: r["kept_text"] for r in out}
+
+
+def test_d9_loser_excised_winner_intact(spark):
+    shared = _words("s", 9)
+    t1 = _words("a", 6) + " " + shared + " " + _words("b", 6)
+    t2 = _words("c", 6) + " " + shared + " " + _words("d", 6)
+    got = _excise(spark, [(1, t1), (2, t2)])
+    # doc 1 is the winner: every word survives; doc 2 loses the shared run
+    assert got[1] == t1
+    assert got[2] == _words("c", 6) + " " + _words("d", 6)
+
+
+def test_d9_planted_docs_keep_only_filler(spark):
+    from spark_sql_perf_spark.operators import QUERIES
+
+    rows = QUERIES["d9_span_excise"](spark, SF_DIR_TINY).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    src_words = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR_TINY}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    filler = {"zq", "yq", "xq", "wq", "vq", "uq"}
+    checked = exact = 0
+    for sid, n in src_words.items():
+        # full 12-word slice and a source untouched by natural dups:
+        # every slice word must be excised from the planted doc, and
+        # only filler words can survive (a boundary shingle can also
+        # fall when two planted docs share their slice's leading or
+        # trailing words — then some filler goes too, never the reverse)
+        if sid % 10 != 0 or n < 15 or sid in by_id:
+            continue
+        pid = sid + 1000000
+        assert pid in by_id, (sid, n)
+        row = by_id[pid]
+        assert row["n_dropped"] >= 12, row
+        kept = set(row["kept_text"].split()) if row["kept_text"] else set()
+        assert kept <= filler, row
+        checked += 1
+        if row["kept_text"] == "zq yq xq wq vq uq":
+            exact += 1
+    assert checked > 0, "no clean planted pair found to check"
+    assert exact > 0, "at least one planted doc should keep all six fillers"
+
+
+def test_d9_mass_conservation(spark):
+    from spark_sql_perf_spark.operators import QUERIES
+
+    for r in QUERIES["d9_span_excise"](spark, SF_DIR_TINY).collect():
+        kept_words = len(r["kept_text"].split()) if r["kept_text"] else 0
+        assert kept_words + r["n_dropped"] == r["n_words"], r

@@ -65,6 +65,7 @@ SPOT_QUERIES = [
     # budget against 10x-larger domains (keep set must stay
     # non-degenerate, contexts must still fill)
     "d8_duplicated_spans",
+    "d9_span_excise",
     "c11_epoch_upsample",
     "c12_token_budget_select",
     "c13_e2e_mix",

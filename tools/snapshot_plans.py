@@ -98,6 +98,9 @@ EXTRA = [
     # d8_duplicated_spans snapshots via HEADLINE
     "c11_epoch_upsample",
     "c12_token_budget_select",
+    # the excision half of d8: digest window + covered-word explode +
+    # per-doc anti-join/reassembly
+    "d9_span_excise",
     # the composed mix assembler: both cumsum stages' exchanges and the
     # explode between them in ONE plan
     "c13_e2e_mix",

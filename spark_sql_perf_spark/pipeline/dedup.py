@@ -947,16 +947,20 @@ def d9_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB design: same bounded skeleton as d8 — the dup-flag window
     shuffles the skinny (doc, pos, h) relation once on the digest; the
     covered-word explode is k rows per LOSING occurrence (bounded by
-    duplicated volume, not corpus size); the excision anti-join and the
-    reassembly aggregate both partition by document, where groups are
-    bounded by document length. Reassembly is d7's sort-struct
-    collect_list, never a corpus-global sort.
+    duplicated volume, not corpus size); excision itself is one join
+    delivering each affected document its covered-offset set plus an
+    in-row indexed filter — no word-level shuffle and no reassembly
+    aggregate at all (see span_excise_df for the measured A/B against
+    the tokenize/anti-join/collect_list form).
     """
-    k = _D8_K
-    words = (
-        _d8_planted(spark, sf_dir)
-        .select("doc_id", F.split("text", " ").alias("ws"))
-        .where(F.size("ws") >= k)
+    return span_excise_df(_d8_planted(spark, sf_dir))
+
+
+def span_excise_df(corpus: DataFrame, k: int = _D8_K) -> DataFrame:
+    """d9's excision pipeline over any (doc_id, text) frame (the scale
+    probe drives it directly, like duplicated_spans_df for d8)."""
+    words = corpus.select("doc_id", F.split("text", " ").alias("ws")).where(
+        F.size("ws") >= k
     )
     hashed = words.select(
         "doc_id",
@@ -980,45 +984,47 @@ def d9_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("lo") != F.col("hi")) & (F.col("lo") < F.col("doc_id")))
         .select("doc_id", "pos")
+        # The losing relation feeds THREE consumers (the covered-word
+        # explode, the affected-doc set, and through them the excision
+        # anti-join); without the checkpoint each consumer re-executes
+        # the full 20n-row digest-window subtree — measured ~4x the d8
+        # window cost at the probe's 4M cell. localCheckpoint runs it
+        # once; the materialized frame is skinny (doc, pos) and bounded
+        # by DUPLICATED volume, not corpus size. Same lineage-truncation
+        # trade as g3's support pairs (operators/graph.py:405).
+        .localCheckpoint(eager=True)
     )
-    covered = (
+    # Per-doc covered-word SETS, then a single indexed higher-order
+    # filter over the doc's own word array — no word-level posexplode,
+    # no anti-join, no collect_list reassembly shuffle. The first form
+    # of this operator tokenized the corpus and anti-joined word by word
+    # (a 24n-row doc-partitioned shuffle rebuilding each doc as an
+    # array): measured 39.3s vs 26.2s for this form at the probe's 4M
+    # cell and 345s (pre-checkpoint) vs 99.7s at 16M — 3.8x on the last
+    # 4x data step, linear — because excision is a per-document
+    # decision and the only
+    # distributed work it needs is delivering each affected doc its
+    # covered-offset set. The set is bounded by document length; the
+    # in-row filter is O(len^2) worst case on a bounded len — free next
+    # to a shuffle.
+    cov_sets = (
         losing.select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
                 "wpos"
             ),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("wpos")).alias("cov"))
     )
-    tokens = words.select(
+    return words.join(cov_sets, "doc_id").select(
         "doc_id",
-        F.posexplode("ws").alias("idx0", "word"),
-    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "word")
-    kept = tokens.join(
-        covered,
-        (tokens.doc_id == covered.doc_id) & (covered.wpos == tokens.idx - 1),
-        "left_anti",
-    )
-    kept_text = kept.groupBy("doc_id").agg(
+        F.size("ws").cast("long").alias("n_words"),
+        F.size("cov").cast("long").alias("n_dropped"),
         F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("idx", "word"))),
-                lambda s: s["word"],
+            F.filter(
+                F.col("ws"), lambda w, i: ~F.array_contains(F.col("cov"), i)
             ),
             " ",
-        ).alias("kept_text")
-    )
-    dropped = covered.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dropped")
-    )
-    sizes = words.select("doc_id", F.size("ws").cast("long").alias("n_words"))
-    return (
-        dropped.join(sizes, "doc_id")
-        .join(kept_text, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            F.col("n_dropped").cast("long").alias("n_dropped"),
-            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
-        )
+        ).alias("kept_text"),
     )

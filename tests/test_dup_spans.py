@@ -193,58 +193,11 @@ def test_merge_spans_matches_reference_interval_merge(spark, hits, k):
 
 
 def _excise(spark, rows):
+    # enter via the operators package (registration import order)
     import spark_sql_perf_spark.operators  # noqa: F401
-    from spark_sql_perf_spark.pipeline.dedup import d9_span_excise  # noqa: F401
-    from spark_sql_perf_spark.operators.registry import QUERIES  # noqa: F401
+    from spark_sql_perf_spark.pipeline.dedup import span_excise_df
 
-    # drive the registered query's pipeline on a handcrafted corpus by
-    # rebuilding its stages over the frame (the registered entry reads
-    # the planted driver table; here we call the same relational steps)
-    from pyspark.sql import Window
-
-    k = 5
-    words = _corpus(spark, rows).select(
-        "doc_id", F.split("text", " ").alias("ws")
-    ).where(F.size("ws") >= k)
-    hashed = words.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.size("ws") - k)).alias("pos"),
-        "ws",
-    ).select(
-        "doc_id", "pos",
-        F.expr("md5(array_join(slice(ws, pos + 1, 5), ' '))").alias("h"),
-    )
-    by_h = Window.partitionBy("h")
-    losing = (
-        hashed.select(
-            "doc_id", "pos",
-            F.min("doc_id").over(by_h).alias("lo"),
-            F.max("doc_id").over(by_h).alias("hi"),
-        )
-        .where((F.col("lo") != F.col("hi")) & (F.col("lo") < F.col("doc_id")))
-        .select("doc_id", "pos")
-    )
-    covered = losing.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wpos"),
-    ).distinct()
-    tokens = words.select(
-        "doc_id", F.posexplode("ws").alias("idx0", "word")
-    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "word")
-    kept = tokens.join(
-        covered,
-        (tokens.doc_id == covered.doc_id) & (covered.wpos == tokens.idx - 1),
-        "left_anti",
-    )
-    out = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("idx", "word"))),
-                lambda s: s["word"],
-            ),
-            " ",
-        ).alias("kept_text")
-    ).collect()
+    out = span_excise_df(_corpus(spark, rows)).collect()
     return {r["doc_id"]: r["kept_text"] for r in out}
 
 
@@ -253,8 +206,9 @@ def test_d9_loser_excised_winner_intact(spark):
     t1 = _words("a", 6) + " " + shared + " " + _words("b", 6)
     t2 = _words("c", 6) + " " + shared + " " + _words("d", 6)
     got = _excise(spark, [(1, t1), (2, t2)])
-    # doc 1 is the winner: every word survives; doc 2 loses the shared run
-    assert got[1] == t1
+    # doc 1 is the winner: untouched, so absent from the excision report;
+    # doc 2 loses the shared run
+    assert 1 not in got
     assert got[2] == _words("c", 6) + " " + _words("d", 6)
 
 

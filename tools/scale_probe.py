@@ -1132,7 +1132,10 @@ def probe_d8(spark, n_docs: int) -> dict[str, float]:
     hits join -> per-doc islands) and counts flagged docs, which must
     track ~2 * n/16 (every planted doc plus its source; a source can
     serve several planted copies, so 'pairs' is the planted count)."""
-    from spark_sql_perf_spark.pipeline.dedup import duplicated_spans_df
+    from spark_sql_perf_spark.pipeline.dedup import (
+        duplicated_spans_df,
+        span_excise_df,
+    )
 
     def word(idc, pos):
         return F.concat(
@@ -1170,7 +1173,17 @@ def probe_d8(spark, n_docs: int) -> dict[str, float]:
         t0 = time.perf_counter()
         flagged = duplicated_spans_df(corpus).count()
         best = min(best, time.perf_counter() - t0)
-    return {"spans": round(best, 2), "flagged_docs": flagged}
+    best_x = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (span_excise_df(corpus)
+         .write.format("noop").mode("overwrite").save())
+        best_x = min(best_x, time.perf_counter() - t0)
+    return {
+        "spans": round(best, 2),
+        "excise": round(best_x, 2),
+        "flagged_docs": flagged,
+    }
 
 
 def d8_cells(spark) -> dict[int, dict[str, float]]:
@@ -1185,7 +1198,7 @@ def d8_section(res: dict[int, dict[str, float]]) -> list[str]:
     base, top = res[D8_SCALES[0]], res[D8_SCALES[-1]]
     ratio = D8_SCALES[-1] // D8_SCALES[0]
     return [
-        "## Duplicated-span cells (d8 plan shape)",
+        "## Duplicated-span cells (d8/d9 plan shapes)",
         "",
         "24-word docs, 5k vocab, 1/16 planted with a 10-word span copied",
         "from an earlier doc. The pipeline is TWO full shuffles: the",
@@ -1202,16 +1215,23 @@ def d8_section(res: dict[int, dict[str, float]]) -> list[str]:
         "(planted + source). Regenerate alone with:",
         "`python tools/scale_probe.py d8`.",
         "",
-        "| docs | spans | flagged docs |",
-        "|---|---|---|",
+        "excise runs d9 (span_excise_df) on the same corpus: the d8",
+        "digest window plus the covered-word explode (k rows per LOSING",
+        "occurrence, bounded by duplicated volume), the per-doc",
+        "excision anti-join, and the in-order reassembly aggregate.",
+        "",
+        "| docs | spans | excise | flagged docs |",
+        "|---|---|---|---|",
         *[
-            f"| {n:,} | {res[n]['spans']}s | {res[n]['flagged_docs']:,} |"
+            f"| {n:,} | {res[n]['spans']}s | {res[n]['excise']}s"
+            f" | {res[n]['flagged_docs']:,} |"
             for n in D8_SCALES
         ],
         "",
         f"Data grew {ratio}x; spans {top['spans'] / max(base['spans'], 0.01):.1f}x,"
+        f" excise {top['excise'] / max(base['excise'], 0.01):.1f}x,"
         f" flagged docs {top['flagged_docs'] / max(base['flagged_docs'], 1):.1f}x"
-        " — both ~linear; no pairwise term exists in the plan.",
+        " — all ~linear; no pairwise term exists in either plan.",
         "",
     ]
 

@@ -1,6 +1,6 @@
 """Deduplication operators over the `documents` / `embeddings` tables.
 
-Five dedup families, each a `queries()` entry with a DuckDB oracle:
+Nine dedup families, each a `queries()` entry with a DuckDB oracle:
 
   d1 exact            hash-groupBy on canonicalized text
   d2 minhash-lsh      shingle -> k minhashes -> banded buckets -> verify
@@ -8,6 +8,10 @@ Five dedup families, each a `queries()` entry with a DuckDB oracle:
   d4 ngram-jaccard    exact jaccard verification on LSH candidates (in d2)
   d5 embedding cosine near-dup pairs over array<float> vectors,
      candidates from sign-LSH bucket blocking (shared with sim2)
+  d6 components       duplicate-cluster resolution via min-label propagation
+  d7 segment dedup    C4-style corpus-wide line dedup + in-order reassembly
+  d8 duplicated spans maximal repeated k-gram runs (ExactSubstr report half)
+  d9 span excision    keep-first span removal (ExactSubstr cut half)
 
 The driver corpus has **no natural duplicates** (verified: texts are unique
 at every sf), so each query PLANTS deterministic duplicates by unioning a

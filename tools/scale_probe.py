@@ -1216,9 +1216,11 @@ def d8_section(res: dict[int, dict[str, float]]) -> list[str]:
         "`python tools/scale_probe.py d8`.",
         "",
         "excise runs d9 (span_excise_df) on the same corpus: the d8",
-        "digest window plus the covered-word explode (k rows per LOSING",
-        "occurrence, bounded by duplicated volume), the per-doc",
-        "excision anti-join, and the in-order reassembly aggregate.",
+        "digest window (its losing output localCheckpointed so three",
+        "consumers pay it once), the covered-word explode (k rows per",
+        "LOSING occurrence, bounded by duplicated volume) grouped into",
+        "per-doc offset sets, and ONE join delivering each affected doc",
+        "its set for an in-row indexed filter — no word-level shuffle.",
         "",
         "| docs | spans | excise | flagged docs |",
         "|---|---|---|---|",

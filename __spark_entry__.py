@@ -60,18 +60,20 @@ def _correctness_files() -> list[str]:
 # be garbage-collected at leisure (it no longer needs hand-clearing each
 # round; a stale green row simply never vouches for newer code).
 _IMPL_CHANGED: dict[str, int] = {
-    # r8 entries GC'd: sim6/d5 (recursive lsh_buckets_df) both have r8
-    # green rows in CORRECTNESS_r08.json, so the entries were inert.
-    # r9: the serving path was restructured (ann_serve_batch now routes
-    # through _query_keys/_rank_probe with an explicit LshParams key
-    # space) and d5's body moved into dedup.embedding_near_dup_df —
-    # defaults keep the plans identical (session-verified hash-exact),
-    # but the r8 greens predate the new code paths, so both re-verify.
-    # (sim8_ann_serve_at_rest is NEW in r9 and sorts first without an
-    # entry; sim6 only gained pass-through kwargs, executed path
-    # untouched.)
-    "sim7_ann_serve": 9,
-    "d5_dedup_embedding": 9,
+    # r9 entries GC'd: sim7/d5 both have r9 green rows in
+    # CORRECTNESS_r09.json, so the entries were inert.
+    # (Record, re the r9 verdict's sim6 question: sim6's r9 code change
+    # really was pass-through kwargs only — the PLANS.md shape change the
+    # r9 snapshot surfaced is r8's cf6af23 one-pass-counts/unrolled-
+    # extension restructure, which landed AFTER r8's snapshot commit
+    # db9e55d; git diff 4e6332a..HEAD over similarity.py/lsh.py shows the
+    # sim6 executed path untouched since r8 round-end. Measured A/B in
+    # BENCH_DETAIL_r10 notes.)
+    # r10: d9's shingle digest narrowed md5 -> xxhash64 (d8's 2x shuffle
+    # receipt applied to its sibling) and both d8/d9 gained the
+    # planted-id assert_true guard in _d8_planted, so both re-verify.
+    "d8_duplicated_spans": 10,
+    "d9_span_excise": 10,
 }
 
 

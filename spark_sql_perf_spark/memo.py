@@ -30,3 +30,43 @@ def evict_all() -> None:
             fn()
         except Exception:
             pass
+
+
+# (SparkContext, rdd_id) pairs materialized by local_checkpoint_tracked.
+_CHECKPOINT_RDDS: list[tuple[object, int]] = []
+
+
+def _evict_checkpoints() -> None:
+    while _CHECKPOINT_RDDS:
+        sc, rid = _CHECKPOINT_RDDS.pop()
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
+        except Exception:
+            pass
+
+
+register_evictor(_evict_checkpoints)
+
+
+def local_checkpoint_tracked(df):
+    """``df.localCheckpoint(eager=True)`` with the materialized RDD id
+    registered for deterministic release: checkpoint blocks otherwise
+    live on executors until driver GC drops the last DataFrame reference
+    — a slow storage accumulation across a bench min-of-N loop that
+    rebuilds the checkpoint every iteration (the d9 losing relation).
+    ``evict_all`` (ExperimentRunner per-iteration cleanup/teardown)
+    unpersists the tracked RDDs directly via the JVM persistent-RDD map.
+
+    Caveat (same contract as every module memo here): a checkpointed
+    frame has NO lineage to recompute from, so a DataFrame held across
+    an evict_all and re-executed fails on missing blocks — callers
+    build per-invocation frames, which is the pattern every current
+    call site follows."""
+    sc = df.sparkSession.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+    out = df.localCheckpoint(eager=True)
+    for rid in {int(k) for k in sc._jsc.getPersistentRDDs().keySet()} - before:
+        _CHECKPOINT_RDDS.append((sc, rid))
+    return out

@@ -873,9 +873,22 @@ def merge_spans(hits: DataFrame, k: int) -> DataFrame:
 
 def _d8_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The d8 corpus: originals plus a 12-word middle slice of every 10th
-    document wrapped in sub-shingle-width filler (see _D8_CORPUS_SQL)."""
+    document wrapped in sub-shingle-width filler (see _D8_CORPUS_SQL).
+
+    The +1,000,000 planted-id offset is load-bearing for span-level
+    keep-first semantics (the d9 winner test is ``lo < doc_id``, so
+    planted copies must sort ABOVE every natural id); a corpus with
+    doc_id >= 1e6 would silently alias planted and natural ids. The
+    executor-side assert_true guard turns that silent corruption into a
+    loud failure without adding a driver job — it rides the base scan
+    and raises on the first violating row."""
     docs = table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.lower("text").alias("text"))
+    base = docs.select("doc_id", F.lower("text").alias("text")).where(
+        F.assert_true(
+            F.col("doc_id") < 1000000,
+            F.lit("d8/d9 planted-id offset (1e6) aliases a natural doc_id"),
+        ).isNull()
+    )
     slice_txt = F.array_join(F.slice(F.split(F.lower("text"), " "), 4, 12), " ")
     planted = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -962,65 +975,20 @@ def d9_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def span_excise_df(corpus: DataFrame, k: int = _D8_K) -> DataFrame:
     """d9's excision pipeline over any (doc_id, text) frame (the scale
-    probe drives it directly, like duplicated_spans_df for d8)."""
+    probe drives it directly, like duplicated_spans_df for d8).
+
+    The shingle digest is ``xxhash64`` (8-byte long) against the
+    oracle's md5 — the same deliberate divergence duplicated_spans_df
+    documents: the digest never leaves the query, so the engines only
+    need matching COLLISION behavior, and d8's own A/B measured the
+    md5-hex -> xxhash64 narrowing alone at ~2x on the dominant dup-flag
+    shuffle (42.9s -> 17.5s at the probe's 4M-doc cell). d9 shipped r9
+    with md5 (an oversight its sibling had already measured away);
+    narrowed r10, re-verified via _IMPL_CHANGED."""
     words = corpus.select("doc_id", F.split("text", " ").alias("ws")).where(
         F.size("ws") >= k
     )
-    hashed = words.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.size("ws") - k)).alias("pos"),
-        "ws",
-    ).select(
-        "doc_id",
-        "pos",
-        F.expr(f"md5(array_join(slice(ws, pos + 1, {k}), ' '))").alias("h"),
-    )
-
-    from pyspark.sql import Window
-
-    by_h = Window.partitionBy("h")
-    losing = (
-        hashed.select(
-            "doc_id",
-            "pos",
-            F.min("doc_id").over(by_h).alias("lo"),
-            F.max("doc_id").over(by_h).alias("hi"),
-        )
-        .where((F.col("lo") != F.col("hi")) & (F.col("lo") < F.col("doc_id")))
-        .select("doc_id", "pos")
-        # The losing relation feeds THREE consumers (the covered-word
-        # explode, the affected-doc set, and through them the excision
-        # anti-join); without the checkpoint each consumer re-executes
-        # the full 20n-row digest-window subtree — measured ~4x the d8
-        # window cost at the probe's 4M cell. localCheckpoint runs it
-        # once; the materialized frame is skinny (doc, pos) and bounded
-        # by DUPLICATED volume, not corpus size. Same lineage-truncation
-        # trade as g3's support pairs (operators/graph.py:405).
-        .localCheckpoint(eager=True)
-    )
-    # Per-doc covered-word SETS, then a single indexed higher-order
-    # filter over the doc's own word array — no word-level posexplode,
-    # no anti-join, no collect_list reassembly shuffle. The first form
-    # of this operator tokenized the corpus and anti-joined word by word
-    # (a 24n-row doc-partitioned shuffle rebuilding each doc as an
-    # array): measured 39.3s vs 26.2s for this form at the probe's 4M
-    # cell and 345s (pre-checkpoint) vs 99.7s at 16M — 3.8x on the last
-    # 4x data step, linear — because excision is a per-document
-    # decision and the only
-    # distributed work it needs is delivering each affected doc its
-    # covered-offset set. The set is bounded by document length; the
-    # in-row filter is O(len^2) worst case on a bounded len — free next
-    # to a shuffle.
-    cov_sets = (
-        losing.select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
-                "wpos"
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.array_distinct(F.collect_list("wpos")).alias("cov"))
-    )
+    cov_sets = covered_word_sets(words, k)
     return words.join(cov_sets, "doc_id").select(
         "doc_id",
         F.size("ws").cast("long").alias("n_words"),
@@ -1031,4 +999,66 @@ def span_excise_df(corpus: DataFrame, k: int = _D8_K) -> DataFrame:
             ),
             " ",
         ).alias("kept_text"),
+    )
+
+
+def covered_word_sets(words: DataFrame, k: int = _D8_K) -> DataFrame:
+    """(doc_id, cov: array<int>) — per-LOSING-document sets of word
+    offsets covered by a cross-document repeated k-shingle whose first
+    (lowest-doc_id) occurrence lives in another document. The shared
+    excision core of d9 and the composed curation cut (c14): join the
+    result back to the corpus and drop ``cov`` offsets in-row.
+
+    Shape: shingle explode -> ONE digest-partitioned dup-flag window
+    over the skinny (doc, pos, h) relation -> covered-word explode
+    (k rows per losing occurrence, bounded by duplicated volume, not
+    corpus size) -> one doc-partitioned set aggregate. Delivering SETS
+    plus an in-row indexed filter replaced the word-level
+    tokenize/anti-join/collect_list form: 26.2s vs 39.3s at the probe's
+    4M-doc cell, 99.7s vs 345s at 16M — excision is a per-document
+    decision, and the only distributed work it needs is handing each
+    affected doc its covered offsets. The set is bounded by document
+    length; the in-row filter is O(len^2) worst case on a bounded len —
+    free next to a shuffle."""
+    hashed = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("ws") - k)).alias("pos"),
+        "ws",
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.expr(f"array_join(slice(ws, pos + 1, {k}), ' ')")).alias("h"),
+    )
+
+    from pyspark.sql import Window
+
+    by_h = Window.partitionBy("h")
+    losing = memo.local_checkpoint_tracked(
+        # The losing relation feeds both the covered-word explode and,
+        # through it, every downstream consumer; without the checkpoint
+        # each consumer re-executes the full 20n-row digest-window
+        # subtree — measured ~4x the d8 window cost at the probe's 4M
+        # cell. localCheckpoint runs it once; the materialized frame is
+        # skinny (doc, pos) and bounded by DUPLICATED volume, not corpus
+        # size. Same lineage-truncation trade as g3's support pairs
+        # (operators/graph.py:405); tracked so ExperimentRunner teardown
+        # frees the blocks instead of waiting on driver GC (r9 ADVICE).
+        hashed.select(
+            "doc_id",
+            "pos",
+            F.min("doc_id").over(by_h).alias("lo"),
+            F.max("doc_id").over(by_h).alias("hi"),
+        )
+        .where((F.col("lo") != F.col("hi")) & (F.col("lo") < F.col("doc_id")))
+        .select("doc_id", "pos")
+    )
+    return (
+        losing.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+                "wpos"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("wpos")).alias("cov"))
     )

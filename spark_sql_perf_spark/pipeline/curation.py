@@ -461,7 +461,9 @@ def global_cum_before(
     _PACK_CACHED.append(parted)
     sums = {
         r["_pid"]: r["s"]
-        for r in parted.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect()
+        for r in parted.groupBy("_pid")
+        # coalesce: same all-null-cell guard as grouped_cum_before
+        .agg(F.coalesce(F.sum(val_col), F.lit(0)).alias("s")).collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
@@ -955,11 +957,17 @@ def grouped_cum_before(
         .cache()
     )
     _PACK_CACHED.append(parted)
+    # coalesce: an all-null (partition, group) cell yields SUM = NULL,
+    # which would TypeError in the offsets accumulation below — current
+    # callers derive val_col from size() and never pass nulls, but the
+    # helper is a general-purpose operator (r9 ADVICE). Null values
+    # contribute 0 to the offsets, matching what the window's F.sum
+    # (null-skipping) computes partition-locally.
     sums = [
         ((r["_pid"], r["g"]), r["s"])
         for r in parted.groupBy(
             F.col("_pid"), F.col(group_col).alias("g")
-        ).agg(F.sum(val_col).alias("s")).collect()
+        ).agg(F.coalesce(F.sum(val_col), F.lit(0)).alias("s")).collect()
     ]
     acc: dict[str, int] = {}
     rows = []
@@ -1153,3 +1161,166 @@ def c13_e2e_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").alias("n_sources"),
         F.sum("tok").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c14: exact dedup -> ExactSubstr span excision -> split, composed
+# ---------------------------------------------------------------------------
+
+# Planted rows give every stage real work at verification scale: span
+# copies (+1e6, every 10th doc, d8's wrapped middle slice) feed the
+# excision; verbatim copies (+2e6, every 20th doc) feed the exact-dedup
+# stage, which removes them BEFORE shingling — the published pipeline
+# order (exact dedup first, then ExactSubstr), so a full duplicate is
+# dropped whole instead of being shredded into excised spans.
+_C14_CORPUS_SQL = """
+    base AS (SELECT doc_id, source, lower(text) AS text FROM documents),
+    corpus AS (
+      SELECT doc_id, source, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, source,
+             'zq yq xq ' ||
+             array_to_string((string_split(text, ' '))[4:15], ' ')
+             || ' wq vq uq'
+      FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, source, text FROM base WHERE doc_id % 20 = 0)
+"""
+
+
+def _c14_oracle() -> str:
+    from .dedup import _D8_K
+
+    return f"""
+    WITH {_C14_CORPUS_SQL},
+    uniq AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM corpus) WHERE rn = 1),
+    words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM uniq),
+    sh AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(ws) - {_D8_K})) AS pos,
+             ws
+      FROM words WHERE len(ws) >= {_D8_K}),
+    hashed AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(ws[pos + 1:pos + {_D8_K}], ' ')) AS h
+      FROM sh),
+    flagged AS (
+      SELECT doc_id, pos,
+             MIN(doc_id) OVER (PARTITION BY h) AS lo,
+             MAX(doc_id) OVER (PARTITION BY h) AS hi
+      FROM hashed),
+    losing AS (
+      SELECT doc_id, pos FROM flagged WHERE lo <> hi AND lo < doc_id),
+    cov AS (
+      SELECT DISTINCT doc_id,
+             pos + unnest(generate_series(0, {_D8_K - 1})) AS wpos
+      FROM losing),
+    ncov AS (SELECT doc_id, COUNT(*) AS n_dropped FROM cov GROUP BY doc_id),
+    stats AS (
+      SELECT w.doc_id, w.source, len(w.ws) AS tb,
+             len(w.ws) - COALESCE(n.n_dropped, 0) AS ta,
+             n.doc_id IS NOT NULL AS cut
+      FROM words w LEFT JOIN ncov n ON n.doc_id = w.doc_id),
+    labeled AS (
+      SELECT *,
+             CASE WHEN {_pct_sql('doc_id', _SPLIT_MULT)} < 90 THEN 'train'
+                  WHEN {_pct_sql('doc_id', _SPLIT_MULT)} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM stats)
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+           CAST(SUM(tb) AS BIGINT) AS tok_before,
+           CAST(SUM(ta) AS BIGINT) AS tok_after
+    FROM labeled GROUP BY split, source
+    """
+
+
+def c14_dedup_excise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr cut COMPOSED into the curation line (r10): exact
+    dedup by content hash, first occurrence wins (d1/c10's window shape)
+    -> duplicated-span EXCISION of the survivors (d9's covered-word
+    sets, keep-first at span granularity) -> deterministic 90/5/5 hash
+    split (c3) -> per-(split, source) token accounting before/after the
+    cut. This is the single highest-value dedup step in the published
+    LLM pipelines running where it runs in production: between full-
+    document dedup and the split.
+
+    100 TB design: the deduped corpus is the multi-consumer wide
+    relation here (the shingle branch and the stats join both read it),
+    so it is localCheckpointed once — the sim6 signed-relation trade:
+    without it each consumer re-executes the scan AND the content-hash
+    dedup exchange. Past the checkpoint nothing wide shuffles again:
+    the dup-flag window moves the skinny (doc, pos, digest) relation,
+    covered-word sets are bounded by duplicated volume and come back
+    via a broadcast hash join (plan-gated in test_curation.py — the
+    excision must not re-shuffle the corpus frame), and the rollup is
+    one partial+final aggregate.
+    """
+    from .dedup import _D8_K, covered_word_sets
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.lower("text").alias("text")
+    ).where(
+        # same planted-id aliasing guard as dedup._d8_planted (r9 ADVICE)
+        F.assert_true(
+            F.col("doc_id") < 1000000,
+            F.lit("c14 planted-id offsets (1e6/2e6) alias a natural doc_id"),
+        ).isNull()
+    )
+    span_copy = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(
+            F.lit("zq yq xq "),
+            F.array_join(F.slice(F.split("text", " "), 4, 12), " "),
+            F.lit(" wq vq uq"),
+        ).alias("text"),
+    )
+    exact_copy = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "source", "text"
+    )
+    corpus = base.unionAll(span_copy).unionAll(exact_copy)
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        corpus.select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    words = memo.local_checkpoint_tracked(
+        uniq.select("doc_id", "source", F.split("text", " ").alias("ws"))
+    )
+    cov = covered_word_sets(
+        words.where(F.size("ws") >= _D8_K).select("doc_id", "ws"), _D8_K
+    )
+    stats = words.join(cov, "doc_id", "left")
+    pct = _pct("doc_id", _SPLIT_MULT)
+    split = (
+        F.when(pct < 90, F.lit("train")).when(pct < 95, F.lit("val")).otherwise("test")
+    )
+    return (
+        stats.select(
+            split.alias("split"),
+            "source",
+            F.size("ws").alias("tb"),
+            (F.size("ws") - F.coalesce(F.size("cov"), F.lit(0))).alias("ta"),
+            F.col("cov").isNotNull().alias("cut"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("cut").cast("long")).alias("n_docs_cut"),
+            F.sum("tb").cast("long").alias("tok_before"),
+            F.sum("ta").cast("long").alias("tok_after"),
+        )
+    )
+
+
+query("c14_dedup_excise_split", oracle=_c14_oracle())(c14_dedup_excise_split)

@@ -398,3 +398,54 @@ def test_grouped_cum_before_matches_reference(spark, rows, n_parts):
             want[(g, k)] = acc
             acc += v
     assert got == want
+
+
+def test_c14_composed_excise_plan_and_accounting(spark):
+    """c14 gates: (a) accounting invariants — the exact-dup plants are
+    fully removed (never excised), span-planted survivors lose tokens,
+    winners keep theirs; (b) the 100-TB plan property — past the
+    deduped-corpus checkpoint nothing wide shuffles again: the covered
+    sets come back via a BROADCAST hash join (the excision must not
+    re-shuffle the corpus frame) and the only exchanges are the skinny
+    digest window, the cov-set aggregate, and the final rollup."""
+    df = _q(spark, "c14_dedup_excise_split")
+    rows = df.collect()
+    assert rows
+    tot_docs = sum(r["n_docs"] for r in rows)
+    tot_cut = sum(r["n_docs_cut"] for r in rows)
+    dropped = sum(r["tok_before"] - r["tok_after"] for r in rows)
+    from spark_sql_perf_spark.catalog import table
+
+    # survivor count == distinct text count over the composed corpus,
+    # derived independently with a groupBy (vs the query's window): the
+    # exact copies (every 20th doc) MUST dedup away, and any span
+    # copies whose wrapped slices happen to collide (2 pairs at this
+    # sf) go with them
+    docs = table(spark, SF_DIR_TINY, "documents")
+    n_base = docs.count()
+    base = docs.select("doc_id", F.lower("text").alias("text"))
+    span = base.where(F.col("doc_id") % 10 == 0).select(
+        F.concat(
+            F.lit("zq yq xq "),
+            F.array_join(F.slice(F.split("text", " "), 4, 12), " "),
+            F.lit(" wq vq uq"),
+        ).alias("text")
+    )
+    exact = base.where(F.col("doc_id") % 20 == 0).select("text")
+    n_uniq = (
+        base.select("text").unionAll(span).unionAll(exact)
+        .agg(F.countDistinct("text")).collect()[0][0]
+    )
+    assert tot_docs == n_uniq, (tot_docs, n_uniq)
+    assert tot_docs < n_base + n_base // 10 + n_base // 20  # dedup did work
+    assert 0 < tot_cut <= tot_docs
+    assert dropped > 0
+
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # deduped corpus reads from the checkpoint, not a re-executed dedup
+    assert "Scan ExistingRDD" in plan, plan
+    # AQE prints initial+final: 3 logical exchanges (digest window,
+    # cov-set groupBy, final agg) -> at most 6 textual occurrences
+    assert plan.count("Exchange hashpartitioning") <= 6, plan

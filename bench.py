@@ -63,6 +63,21 @@ compact core line (metric/value/queries/median_shift, <1 KB — asserted
 in tests/test_bench_artifact.py) and the full receipt (calibration
 ratios, variance samples, notes) is written to a committed
 ``BENCH_DETAIL_r{N}.json`` side file the core line names.
+
+Round 10 de-monocultures the calibration basis (the r9 verdict's
+finding: all 9 thermometers were join/agg/scan shapes, and the r9 raw
+ratios split bimodally — graph 0.74-0.78 vs window/LSH 1.14-1.33 — so
+ONE scalar median under-corrects whatever drifts shape-dependently:
+page cache, spill, sort buffers, JIT). The calibration now carries
+THREE shape classes (``CAL_SHAPES``): the TPC-H-shaped scan/join/agg
+set, a window-sort class (w2, e3, plus a GENERATED w2-shaped
+thermometer with no parquet input at all), and an explode+hash-shuffle
+class (d8 plus a generated d8-shaped thermometer). Every headline query
+normalizes by ITS shape-class median (``SHAPE_OF``); a class with fewer
+than ``MIN_SHAPE_RATIOS`` shared ratios against the previous round
+falls back to the global calibration median (flagged per shape in the
+output). The generated thermometers gain history this round, so from
+r11 every class has >= 2 memo-free, input-independent ratios.
 """
 
 from __future__ import annotations
@@ -73,6 +88,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from spark_sql_perf_spark.operators import QUERIES  # noqa: E402
 from spark_sql_perf_spark.session import build_session  # noqa: E402
@@ -105,25 +123,121 @@ HEADLINE = [
     "d8_duplicated_spans",
 ]
 
-# Box-drift thermometers: headline queries whose plans read the parquet
-# tables directly every iteration and touch NO cross-query memoized state
+# Box-drift thermometers, grouped by PLAN SHAPE (r10): every entry reads
+# its input fresh each iteration (parquet scan, or spark.range for the
+# generated thermo_* pair) and touches NO cross-query memoized state
 # (graph.py's persisted edge relation, similarity's localCheckpointed
-# signed relation / dim memo). Only these feed the normalization median;
-# everything else is normalized BY it but cannot drag it. Excluded and
-# why: g3/g4 (memoized edge relation — min-of-N measures warm cache),
-# d2/sim1/sim6/c1 (shared pipeline infrastructure that rounds routinely
-# touch indirectly), cdc1 (r7-new, one round of history).
-CALIBRATION = [
-    "flagship_star_agg",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "j2_compound_key",
-    "j4_chain_join",
-    "a8_rollup_grouping",
-    "w2_running_total",
-    "e3_session_window",
-]
+# signed relation / dim memo). Only these feed normalization medians;
+# everything else is normalized BY them but cannot drag them. Excluded
+# and why: g3/g4 (memoized edge relation — min-of-N measures warm
+# cache), d2/sim1/sim6/c1 (shared pipeline infrastructure that rounds
+# routinely touch indirectly), cdc1 (window-shaped but memo-adjacent
+# SCD2 chain — w2/e3/thermo cover the shape without it).
+CAL_SHAPES = {
+    "scan_join_agg": [
+        "flagship_star_agg",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "j2_compound_key",
+        "j4_chain_join",
+        "a8_rollup_grouping",
+    ],
+    "window_sort": [
+        "w2_running_total",
+        "e3_session_window",
+        "thermo_window_sort",
+    ],
+    "explode_shuffle": [
+        "d8_duplicated_spans",
+        "thermo_explode_hash",
+    ],
+}
+CALIBRATION = [q for qs in CAL_SHAPES.values() for q in qs]
+
+# Which shape-class median normalizes each headline query. Assignments
+# follow the dominant exchange/operator in the executed plan: graph
+# multi-joins and the broadcast-probe sim1 drift with the join/agg/scan
+# class; the SCD2 window chain with window-sort; the LSH/shingle
+# explode pipelines with explode+hash-shuffle.
+SHAPE_OF = {
+    "flagship_star_agg": "scan_join_agg",
+    "q1_pricing_summary": "scan_join_agg",
+    "q3_shipping_priority": "scan_join_agg",
+    "q5_local_supplier_volume": "scan_join_agg",
+    "j2_compound_key": "scan_join_agg",
+    "j4_chain_join": "scan_join_agg",
+    "a8_rollup_grouping": "scan_join_agg",
+    "g3_triangle_count": "scan_join_agg",
+    "g4_square_count": "scan_join_agg",
+    "sim1_cosine_topk": "scan_join_agg",
+    "w2_running_total": "window_sort",
+    "e3_session_window": "window_sort",
+    "cdc1_scd2_compress": "window_sort",
+    "d2_dedup_minhash_lsh": "explode_shuffle",
+    "c1_decontaminate_4gram": "explode_shuffle",
+    "sim6_knn_graph": "explode_shuffle",
+    "d8_duplicated_spans": "explode_shuffle",
+}
+
+# A shape median needs at least this many shared ratios vs the previous
+# round; below it the shape falls back to the global calibration median
+# (flagged in calibration.shape_basis).
+MIN_SHAPE_RATIOS = 2
+
+
+def thermo_window_sort(spark, sf_dir):
+    """Generated window-sort thermometer: w2's executed shape (one hash
+    exchange + per-group sort + running row frame) over spark.range —
+    no parquet input, no memo, deterministic, so its round-over-round
+    ratio is pure box drift for the sort/spill-sensitive plan class."""
+    df = spark.range(1_000_000).select(
+        (F.col("id") % 977).alias("grp"),
+        # pmod bounds the values so the running sum cannot overflow a
+        # long under ANSI mode
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("val"),
+    )
+    w = Window.partitionBy("grp").orderBy("val")
+    return df.select(
+        "grp",
+        F.sum("val").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+def thermo_explode_hash(spark, sf_dir):
+    """Generated explode+hash-shuffle thermometer: d8's skeleton (narrow
+    explode -> digest-partitioned min/max window -> id-partitioned lag
+    window; exactly two full shuffles of a skinny generated relation) —
+    the shape class the r9 ratios showed drifting opposite to the
+    join/agg thermometers."""
+    base = spark.range(30_000).select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("pos")
+    )
+    hashed = base.select(
+        "id",
+        "pos",
+        F.xxhash64(
+            ((F.col("id") + F.col("pos") * 131) % 300_000).cast("string")
+        ).alias("h"),
+    )
+    by_h = Window.partitionBy("h")
+    hits = hashed.select(
+        "id",
+        "pos",
+        F.min("id").over(by_h).alias("lo"),
+        F.max("id").over(by_h).alias("hi"),
+    ).where(F.col("lo") != F.col("hi"))
+    by_id = Window.partitionBy("id").orderBy("pos")
+    return hits.select(
+        "id", "pos", (F.col("pos") - F.lag("pos").over(by_id)).alias("gap")
+    )
+
+
+THERMOMETERS = {
+    "thermo_window_sort": thermo_window_sort,
+    "thermo_explode_hash": thermo_explode_hash,
+}
 
 # Measurement-basis facts a cross-round reader needs (shipped in the
 # output so the caveat lives WITH the numbers, not in a round's memo):
@@ -132,9 +246,19 @@ NOTES = [
     " edge relation since r7 (operators/graph.py): min-of-N times measure"
     " the warm-cache steady state, so graph-query comparisons against"
     " pre-r7 rounds conflate caching with operator changes.",
-    "normalization median is computed over CALIBRATION only (see"
-    " docstring); per-query ratios for ALL shared queries are under"
-    " calibration.ratios.",
+    "normalization is PER SHAPE CLASS since r10: each headline query"
+    " divides by the median ratio of its SHAPE_OF class"
+    " (calibration.shape_of names the class per query;"
+    " calibration.shape_medians / shape_basis carry the medians and"
+    " whether a class fell back to the global calibration median)."
+    " median_shift in the core line remains the global calibration"
+    " median for cross-round continuity; per-query ratios for ALL"
+    " shared queries are under calibration.ratios.",
+    "thermo_window_sort / thermo_explode_hash are GENERATED calibration"
+    " instruments (spark.range input, no parquet, no memo) reported"
+    " under 'thermo', outside 'queries' and 'value' — first round with"
+    " history is r10, so their ratios start feeding the window-sort and"
+    " explode-shuffle class medians in r11.",
     "q1_pricing_summary is the most scan-bandwidth-bound headline query"
     " and its min-of-N wobbles hardest when the page cache is cold"
     " relative to the join-shaped calibration peers (r9: +17% normalized"
@@ -216,7 +340,10 @@ def load_previous_times() -> tuple[str, dict[str, float]] | None:
                     if line.startswith("{") and '"queries"' in line:
                         doc = json.loads(line)
                         break
-            prev = doc.get("queries") or {}
+            # thermo times (r10+) ride along so the generated shape
+            # thermometers get round-over-round ratios like everything
+            # else; absent in pre-r10 artifacts
+            prev = dict(doc.get("queries") or {}, **(doc.get("thermo") or {}))
         except Exception:
             continue
         if prev:
@@ -231,40 +358,72 @@ def _median(xs: list[float]) -> float:
 
 
 def normalize_vs_previous(
-    times: dict[str, float], previous: tuple[str, dict[str, float]] | None
+    times: dict[str, float],
+    previous: tuple[str, dict[str, float]] | None,
+    thermo: dict[str, float] | None = None,
 ) -> dict | None:
     """Box-drift normalization: divide this run by the median per-query
     shift against the latest committed BENCH_r*.json. The ±30% cross-
     round VM drift (docstring above) shows up as a near-uniform shift
     across queries, so the median ratio estimates the box factor and
-    ``total_normalized`` is the plan-quality signal: a single query
+    ``value_normalized`` is the plan-quality signal: a single query
     regressing stands out against the normalized baseline instead of
     being buried in (or mistaken for) box noise.
 
-    The median is taken over the CALIBRATION subset only (queries with no
-    cross-query memoized state — see module docstring); if fewer than 5
-    calibration queries overlap the previous round's file, it falls back
-    to the all-query median (flagged in the output). ``ratios`` carries
-    every shared query's raw ratio so the calibration itself is auditable.
+    Since r10 the correction is PER SHAPE CLASS: each headline query
+    divides by the median ratio of its ``SHAPE_OF`` class's calibration
+    queries (``CAL_SHAPES``; the generated ``thermo_*`` pair feeds the
+    window-sort and explode classes), because the r9 ratios proved the
+    drift is shape-dependent — one scalar median under-corrected the
+    window/LSH class while over-correcting graph. A class with fewer
+    than MIN_SHAPE_RATIOS shared ratios falls back to the global
+    calibration median; ``median_shift`` stays that global median for
+    cross-round continuity of the core line. ``ratios`` carries every
+    shared query's raw ratio so the calibration itself is auditable;
+    ``value_normalized`` is the sum of per-query normalized times (==
+    total/median when every shape shares the global median, the pre-r10
+    definition).
     """
     if previous is None:
         return None
     vs, prev = previous
+    shared = dict(times, **(thermo or {}))
     ratios = {
-        q: times[q] / prev[q] for q in times if q in prev and prev[q] > 0
+        q: shared[q] / prev[q] for q in shared if q in prev and prev[q] > 0
     }
     if not ratios:
         return None
     cal = [r for q, r in ratios.items() if q in CALIBRATION]
     basis = "calibration" if len(cal) >= 5 else "all_shared"
     med = _median(cal if basis == "calibration" else list(ratios.values()))
+    shape_medians: dict[str, float] = {}
+    shape_basis: dict[str, str] = {}
+    for shape, qs in CAL_SHAPES.items():
+        rs = [ratios[q] for q in qs if q in ratios]
+        if len(rs) >= MIN_SHAPE_RATIOS:
+            shape_medians[shape] = round(_median(rs), 3)
+            shape_basis[shape] = f"{len(rs)}_shared"
+        else:
+            shape_medians[shape] = round(med, 3)
+            shape_basis[shape] = "fallback_global"
+
+    def q_med(q: str) -> float:
+        return shape_medians.get(SHAPE_OF.get(q, ""), med)
+
     return {
         "vs": vs,
         "median_shift": round(med, 3),
-        "value_normalized": round(sum(times.values()) / med, 3),
-        "queries_normalized": {q: round(t / med, 3) for q, t in times.items()},
+        "value_normalized": round(
+            sum(t / q_med(q) for q, t in times.items()), 3
+        ),
+        "queries_normalized": {
+            q: round(t / q_med(q), 3) for q, t in times.items()
+        },
         "calibration": {
             "basis": basis,
+            "shape_medians": shape_medians,
+            "shape_basis": shape_basis,
+            "shape_of": SHAPE_OF,
             "queries": [q for q in CALIBRATION if q in ratios],
             "ratios": {q: round(r, 3) for q, r in sorted(ratios.items())},
         },
@@ -280,16 +439,25 @@ def main() -> None:
 
     consume(QUERIES["flagship_star_agg"](spark, sf_dir))  # warmup (JIT/codegen)
 
-    def sample(name: str, n: int) -> list[float]:
+    def sample_fn(fn, n: int) -> list[float]:
         out = []
         for _ in range(n):
             t0 = time.perf_counter()
-            consume(QUERIES[name](spark, sf_dir))
+            consume(fn(spark, sf_dir))
             out.append(round(time.perf_counter() - t0, 3))
         return out
 
+    def sample(name: str, n: int) -> list[float]:
+        return sample_fn(QUERIES[name], n)
+
     samples: dict[str, list[float]] = {name: sample(name, 5) for name in HEADLINE}
     times = {name: min(s) for name, s in samples.items()}
+    # generated shape thermometers: same min-of-5 protocol, reported
+    # separately from the headline set (they are calibration
+    # instruments, not operators — keeping them out of ``queries`` and
+    # ``value`` preserves cross-round comparability of both)
+    thermo_samples = {n: sample_fn(fn, 5) for n, fn in THERMOMETERS.items()}
+    thermo = {n: round(min(s), 3) for n, s in thermo_samples.items()}
 
     # Variance receipt (r5 lesson: sim1 +35% / e3 +12% normalized on
     # UNTOUCHED sub-second queries — box noise, but nothing in the
@@ -299,7 +467,7 @@ def main() -> None:
     # in the output so a shift either self-corrects or ships with the
     # evidence that it is real.
     previous = load_previous_times()
-    normalized = normalize_vs_previous(times, previous)
+    normalized = normalize_vs_previous(times, previous, thermo)
     variance: dict[str, dict] = {}
     if normalized is not None:
         _, prev = previous
@@ -314,7 +482,7 @@ def main() -> None:
             variance[q] = {"samples": samples[q]}
         if variance:
             # recompute against the refreshed minima
-            normalized = normalize_vs_previous(times, previous)
+            normalized = normalize_vs_previous(times, previous, thermo)
     times = {q: round(t, 3) for q, t in times.items()}
 
     total = round(sum(times.values()), 3)
@@ -323,6 +491,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "thermo": thermo,
         "sf": sf,
         "notes": NOTES,
     }
@@ -332,11 +501,13 @@ def main() -> None:
             for q, v in variance.items():
                 v["normalized_after"] = normalized["queries_normalized"].get(q)
             payload["variance"] = variance
-    # Bench wall-clock self-report: 17 queries x min-of-5 plus receipt
-    # re-samples. The re-sample tier only triggers on shifted queries, so
-    # the bound is ~(17*5 + shifted*3) executions; if every query shifted
-    # (a box-wide event the calibration median would absorb first), the
-    # run grows ~60% — acceptable, and now visible.
+        payload["thermo_samples"] = thermo_samples
+    # Bench wall-clock self-report: 17 headline queries + 2 generated
+    # thermometers x min-of-5 plus receipt re-samples. The re-sample
+    # tier only triggers on shifted queries, so the bound is
+    # ~(19*5 + shifted*3) executions; if every query shifted (a box-wide
+    # event the calibration medians would absorb first), the run grows
+    # ~60% — acceptable, and now visible.
     payload["bench_runtime_sec"] = round(time.perf_counter() - t_start, 1)
 
     # Capture-proofing (r8 lesson: the enriched payload outgrew the
@@ -347,9 +518,11 @@ def main() -> None:
     # ends with a compact core line — metric/value/queries/median_shift,
     # well under 1 KB — so the tail capture always holds a complete,
     # parseable JSON line with the raw numbers.
+    # zero-padded round like the driver's BENCH_r{NN}.json (r9 verdict
+    # naming nit — one glob-friendly scheme across all round artifacts)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_DETAIL_r{_this_round()}.json",
+        f"BENCH_DETAIL_r{_this_round():02d}.json",
     )
     with open(detail_path, "w") as f:
         json.dump(payload, f, indent=1)
@@ -359,6 +532,7 @@ def main() -> None:
         "value": payload["value"],
         "unit": payload["unit"],
         "queries": payload["queries"],
+        "thermo": payload["thermo"],
         "sf": payload["sf"],
         "detail": os.path.basename(detail_path),
     }

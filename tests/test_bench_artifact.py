@@ -30,6 +30,7 @@ def test_core_line_fits_tail_window():
         "value": 99999.999,
         "unit": "sec",
         "queries": {q: 9999.999 for q in bench.HEADLINE},
+        "thermo": {q: 9999.999 for q in bench.THERMOMETERS},
         "sf": 0.1,
         "detail": "BENCH_DETAIL_r99.json",
         "median_shift": 1.094,

@@ -259,6 +259,16 @@ NOTES = [
     " under 'thermo', outside 'queries' and 'value' — first round with"
     " history is r10, so their ratios start feeding the window-sort and"
     " explode-shuffle class medians in r11.",
+    "sim6_knn_graph r9 watch item CLOSED (r10): its executed path is"
+    " git-identical since r8 round-end — the PLANS.md shape change the"
+    " r9 snapshot surfaced is r8's cf6af23 one-pass-counts/unrolled-"
+    "extension restructure, which landed AFTER r8's snapshot commit"
+    " (db9e55d); a same-session interleaved A/B at sf0.1 (min-of-8 per"
+    " build, one JVM) measured pre-restructure 1.504s vs current 1.488s"
+    " — cost-neutral at this scale, so the r9 +29%-normalized reading"
+    " was cross-session box drift the then-monocultural calibration"
+    " could not correct (r10 raw 1.48s sits back at the r7 anchor"
+    " level).",
     "q1_pricing_summary is the most scan-bandwidth-bound headline query"
     " and its min-of-N wobbles hardest when the page cache is cold"
     " relative to the join-shaped calibration peers (r9: +17% normalized"

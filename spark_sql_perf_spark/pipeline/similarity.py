@@ -286,6 +286,11 @@ def lsh_buckets_df(
     count loop measured +40% on the 8M probe cell; the same-session A/B
     after this rewrite has levels=2 at 66.7s vs levels=1 at 69.7s
     INCLUDING construction, because level 2 trims the candidate tail).
+    At ORACLE/bench scale the rewrite is cost-neutral: an interleaved
+    same-session A/B (r10, sf0.1, min-of-8 per build, one JVM) measured
+    the pre-rewrite form at 1.504s vs this form at 1.488s — the r9
+    bench's +29%-normalized sim6 reading was cross-session box drift,
+    not this plan (see bench.py NOTES).
 
     The signed relation is localCheckpointed (the g3 support-pairs
     pattern): it is consumed by the count branch AND both sides of the

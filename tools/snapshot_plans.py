@@ -104,6 +104,10 @@ EXTRA = [
     # the composed mix assembler: both cumsum stages' exchanges and the
     # explode between them in ONE plan
     "c13_e2e_mix",
+    # r10: the ExactSubstr cut composed between exact dedup and the
+    # split — the plan must show the deduped-corpus checkpoint (Scan
+    # ExistingRDD) with the cov-set delivery as a broadcast hash join
+    "c14_dedup_excise_split",
 ]
 
 

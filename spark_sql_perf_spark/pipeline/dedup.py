@@ -1060,5 +1060,11 @@ def covered_word_sets(words: DataFrame, k: int = _D8_K) -> DataFrame:
             ),
         )
         .groupBy("doc_id")
-        .agg(F.array_distinct(F.collect_list("wpos")).alias("cov"))
+        # collect_set, not array_distinct(collect_list): adjacent losing
+        # shingles overlap k-1 of their k covered words, and the set
+        # aggregate dedups MAP-SIDE in the partial ObjectHashAggregate,
+        # so the doc_id exchange ships each covered offset once instead
+        # of ~k times. Consumers only membership-test cov, so set
+        # (unordered) semantics are exactly what is needed.
+        .agg(F.collect_set("wpos").alias("cov"))
     )

@@ -1380,11 +1380,23 @@ def d8_section(res: dict[int, dict[str, float]]) -> list[str]:
             f" | {x64['affected_docs']:,} (losing) |",
             "",
             f"The 64M excise row (r10): the last {step}x data step costs"
-            f" {x64['excise'] / max(top['excise'], 0.01):.1f}x time — d9's"
-            " localCheckpoint materialization (the one cost whose growth"
-            " was asserted 'bounded by duplicated volume' but unmeasured"
-            " past 16M) stays ~linear; the losing-doc count"
-            f" ({x64['affected_docs']:,}) tracks the planted n/16 rate.",
+            f" {x64['excise'] / max(top['excise'], 0.01):.1f}x time —"
+            " n log n sort growth plus this cell's OOM-guard partition"
+            " bump (128 vs 32 shuffle partitions; see probe_d8), NOT a"
+            " pairwise term: the losing-doc count"
+            f" ({x64['affected_docs']:,}) grows exactly 4.0x with the"
+            " data, so d9's localCheckpoint materialization (the one"
+            " cost whose growth was asserted 'bounded by duplicated"
+            " volume' but unmeasured past 16M) scales with duplicated"
+            " volume as designed. The cov aggregate is collect_set as"
+            " of r10 — a same-session interleaved A/B at 16M measured"
+            " set 79.3s vs array_distinct(collect_list) 86.4s (~9%:"
+            " adjacent losing shingles overlap k-1 of k covered words,"
+            " and the set dedups them MAP-SIDE so the doc_id exchange"
+            " ships each offset once); a cross-session 64M list-form"
+            " run read 412.8s vs this row's set-form time, but its"
+            " session calibration differed 1.20x — the same-session"
+            " 16M A/B is the decisive receipt.",
         ]
     return [
         "## Duplicated-span cells (d8/d9 plan shapes)",
@@ -1412,12 +1424,16 @@ def d8_section(res: dict[int, dict[str, float]]) -> list[str]:
         "its set for an in-row indexed filter — no word-level shuffle.",
         "Cells below are r10 numbers: d9's shingle digest narrowed",
         "md5-hex -> xxhash64 this round (the 8-byte-key saving d8",
-        "already measured on its own dup-flag shuffle). Measured effect",
-        "on excise vs the r9 md5 cells: 4M 26.2s -> 19.7s (~25%), 16M",
-        "~flat (99.7s -> 99.1s) — by 16M the dup-flag window is no",
+        "already measured on its own dup-flag shuffle). Isolated effect",
+        "of the digest narrowing (same list-form cov aggregate,",
+        "cross-session vs the r9 md5 cells): 4M 26.2s -> 19.7s (~25%),",
+        "16M ~flat (99.7s -> 99.1s) — by 16M the dup-flag window is no",
         "longer d9's bottleneck; the losing-relation checkpoint",
         "materialization and the covered-set delivery dominate, which",
-        "is exactly what the 64M row below sizes.",
+        "is exactly what the 64M row below sizes. (The table's excise",
+        "column is a later same-round session measuring the final",
+        "collect_set form, whose calibration cell read 1.20x — compare",
+        "rows within the column, not against the sentence above.)",
         "",
         "| docs | spans | excise | flagged docs |",
         "|---|---|---|---|",

@@ -63,7 +63,16 @@ def local_checkpoint_tracked(df):
     frame has NO lineage to recompute from, so a DataFrame held across
     an evict_all and re-executed fails on missing blocks — callers
     build per-invocation frames, which is the pattern every current
-    call site follows."""
+    call site follows.
+
+    Adoption boundary, deliberate: the d9/c14 excision checkpoints use
+    this; the OTHER localCheckpoint sites (g3/g4 support pairs, the
+    sim6/d5/sim7 signed relation, the streaming ANN probe frame) keep
+    the documented GC-based lifetime — wrapping them buys only earlier
+    teardown cleanup while flagging six-plus oracle queries for
+    re-verification (the rotation treats any touched executed path as
+    changed), and the streaming probe frame may belong to an in-flight
+    batch at eviction time."""
     sc = df.sparkSession.sparkContext
     before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
     out = df.localCheckpoint(eager=True)

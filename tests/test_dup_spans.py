@@ -252,3 +252,33 @@ def test_d9_mass_conservation(spark):
     for r in QUERIES["d9_span_excise"](spark, SF_DIR_TINY).collect():
         kept_words = len(r["kept_text"].split()) if r["kept_text"] else 0
         assert kept_words + r["n_dropped"] == r["n_words"], r
+
+
+def test_d9_checkpoint_tracked_and_freed(spark):
+    """The losing-relation localCheckpoint registers its RDD id in the
+    module memo (memo.local_checkpoint_tracked) so ExperimentRunner
+    teardown frees executor blocks deterministically instead of waiting
+    on driver GC (r9 ADVICE)."""
+    from spark_sql_perf_spark import memo
+    from spark_sql_perf_spark.pipeline.dedup import span_excise_df
+
+    def persistent_ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        }
+
+    memo.evict_all()
+    before = persistent_ids()
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    span_excise_df(corpus)  # eager checkpoint fires at build time
+    added = persistent_ids() - before
+    assert added, "losing relation should be checkpointed eagerly"
+    tracked = {rid for (_, rid) in memo._CHECKPOINT_RDDS}
+    assert added <= tracked, (added, tracked)
+    memo.evict_all()
+    assert not (persistent_ids() & added), "teardown must free the blocks"
+    assert not memo._CHECKPOINT_RDDS

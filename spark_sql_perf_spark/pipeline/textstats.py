@@ -287,3 +287,116 @@ def t7_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t8: Gopher-style repetition metrics (duplicate n-gram mass, top-gram share)
+# ---------------------------------------------------------------------------
+
+
+def _gram_metrics_sql(n: int) -> str:
+    """DuckDB CTE fragment computing per-doc {n}-gram totals, distincts,
+    and the top multiplicity via explode+groupBy (DuckDB's natural form;
+    Spark computes the same numbers with an in-row fold — engines may
+    differ in METHOD, only the numbers are compared)."""
+    concat = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+    g{n} AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - {n - 2}),
+                    i -> {concat})) AS g
+      FROM w WHERE len(ws) >= {n}),
+    c{n} AS (SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY doc_id, g),
+    a{n} AS (
+      SELECT doc_id, SUM(c) AS total{n}, MAX(c) AS top{n},
+             COUNT(*) AS distinct{n}
+      FROM c{n} GROUP BY doc_id)"""
+
+
+@query(
+    "t8_repetition_metrics",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+      FROM documents),
+    {_gram_metrics_sql(2)},
+    {_gram_metrics_sql(3)}
+    SELECT w.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+             AS dup_word_frac,
+           ROUND(CAST(a2.top2 AS DOUBLE) / a2.total2, 6) AS top_2gram_share,
+           ROUND(1.0 - CAST(a2.distinct2 AS DOUBLE) / a2.total2, 6)
+             AS dup_2gram_frac,
+           ROUND(CAST(a3.top3 AS DOUBLE) / a3.total3, 6) AS top_3gram_share,
+           ROUND(1.0 - CAST(a3.distinct3 AS DOUBLE) / a3.total3, 6)
+             AS dup_3gram_frac
+    FROM w
+    LEFT JOIN a2 ON a2.doc_id = w.doc_id
+    LEFT JOIN a3 ON a3.doc_id = w.doc_id
+    """,
+)
+def t8_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition signals per document (Rae et al. 2021's
+    quality filters): duplicated-word fraction, the most-frequent 2-/
+    3-gram's share of all grams, and the duplicated-gram fraction —
+    the standard heuristics for dropping boilerplate/spam documents
+    whose text loops.
+
+    100 TB design: per-document metrics must not shuffle the corpus —
+    every number here is computed IN-ROW with higher-order functions
+    (transform -> array_sort -> one aggregate fold that tracks the max
+    run length of equal adjacent grams, which IS the top multiplicity
+    after sorting), so the whole operator is a single Generate-free
+    projection riding the parquet scan: zero exchanges, one codegen
+    span (plan-gated in test_plan_lint.py). The DuckDB oracle computes
+    the same numbers the relational way (explode + two grouped
+    aggregates) — cross-engine agreement certifies the fold. Work is
+    O(len * log len) per doc for the sorts, bounded by document length,
+    independent of corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+
+    def gram_cols(n: int) -> tuple[F.Column, F.Column, F.Column]:
+        """(total, top-multiplicity, distinct) for in-row n-grams."""
+        parts = ", ' ', ".join(f"element_at(ws, i + {j})" for j in range(n))
+        grams = F.expr(
+            f"transform(sequence(1, size(ws) - {n - 1}), i -> concat({parts}))"
+        )
+        total = F.size("ws") - (n - 1)
+        # after sorting, a gram's multiplicity is a run of equal
+        # neighbors; the fold carries (prev, run, best) and returns best
+        top = F.expr(
+            f"""aggregate(
+              array_sort(transform(sequence(1, size(ws) - {n - 1}),
+                                   i -> concat({parts}))),
+              struct(cast('' as string) as prev, 0 as run, 0 as best),
+              (acc, x) -> struct(
+                x as prev,
+                if(x = acc.prev, acc.run + 1, 1) as run,
+                greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)) as best),
+              acc -> acc.best)"""
+        )
+        return total, top, F.size(F.array_distinct(grams))
+
+    ws = F.split(F.lower(F.col("text")), r"\s+")
+    base = docs.select("doc_id", ws.alias("ws"))
+    t2, top2, d2 = gram_cols(2)
+    t3, top3, d3 = gram_cols(3)
+
+    def share(num: F.Column, den: F.Column, n: int) -> F.Column:
+        return F.when(
+            F.size("ws") >= n, F.round(num.cast("double") / den, 6)
+        )
+
+    return base.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.round(
+            1.0 - F.size(F.array_distinct("ws")).cast("double") / F.size("ws"), 6
+        ).alias("dup_word_frac"),
+        share(top2, t2, 2).alias("top_2gram_share"),
+        share(t2 - d2, t2, 2).alias("dup_2gram_frac"),
+        share(top3, t3, 3).alias("top_3gram_share"),
+        share(t3 - d3, t3, 3).alias("dup_3gram_frac"),
+    )

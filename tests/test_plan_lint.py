@@ -130,3 +130,17 @@ def test_plan_invariants(spark, name):
         assert "WholeStageCodegen" in plan or "*(" in plan, (
             f"{name}: no whole-stage codegen span anywhere\n{plan}"
         )
+
+
+def test_t8_zero_shuffle_projection(spark):
+    """t8's whole point at 100 TB: per-document repetition metrics must
+    ride the scan stage as an in-row projection — no Exchange, no
+    Generate, no join; one codegen span over the parquet scan."""
+    from spark_sql_perf_spark.operators import QUERIES
+
+    df = QUERIES["t8_repetition_metrics"](spark, SF_DIR_TINY)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan

@@ -44,6 +44,11 @@ narrow explode below every exchange) and c12 per-domain token-budget
 selection (quality-ordered stop-at-overflow via grouped_cum_before,
 the per-GROUP generalization of c6's two-pass cumsum), composed
 end-to-end as c13 (select -> upsample -> pack, one logical plan).
+r10 adds c14 (the ExactSubstr span cut composed between exact dedup
+and the split — d9's covered-word sets over a once-checkpointed
+deduped corpus) and c15 (leakage-safe splitting: the c3 hash split
+keyed on d6's near-dup component label so a duplicate cluster can
+never straddle train/test).
 
 All are SQL-expressible and hash-verify against DuckDB oracles.
 """
@@ -1324,3 +1329,87 @@ def c14_dedup_excise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("c14_dedup_excise_split", oracle=_c14_oracle())(c14_dedup_excise_split)
+
+
+# ---------------------------------------------------------------------------
+# c15: leakage-safe split (split by near-dup CLUSTER, not by document)
+# ---------------------------------------------------------------------------
+
+
+def _c15_split_sql(key: str) -> str:
+    return f"""CASE WHEN {_pct_sql(key, _SPLIT_MULT)} < 90 THEN 'train'
+                  WHEN {_pct_sql(key, _SPLIT_MULT)} < 95 THEN 'val'
+                  ELSE 'test' END"""
+
+
+def _c15_oracle() -> str:
+    from .dedup import _D6_LABEL_CTES
+
+    return f"""
+    WITH RECURSIVE {_D6_LABEL_CTES},
+    lab AS (
+      SELECT doc_id, cluster_id,
+             {_c15_split_sql('cluster_id')} AS split,
+             {_c15_split_sql('doc_id')} AS naive_split
+      FROM labels)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rehomed
+    FROM lab GROUP BY split
+    """
+
+
+def c15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split at near-dup-CLUSTER granularity (r10): the
+    published split discipline for dedup-aware corpora — if two
+    documents are near-duplicates, a doc-level hash split can put one
+    in train and one in test, and the eval set silently measures
+    memorization. Here the c3 hash split keys on d6's component label
+    (the cluster's minimum doc_id) instead of the document id, so a
+    cluster lands in ONE split by construction (pytest additionally
+    asserts no cluster straddles splits). ``n_rehomed`` counts the
+    members whose naive doc-level split would have differed — each one
+    is a would-have-been leak.
+
+    100 TB design: everything rides d6's component labels (banded LSH
+    candidates -> min-label propagation, never all-pairs); the split
+    itself is identity arithmetic on the label — no extra shuffle
+    beyond d6's, and the rollup is one partial+final aggregate. The
+    oracle replays the same labels via d2's pair CTEs + a recursive
+    closure and the same Knuth-hash split arithmetic on both keys.
+    """
+    from .dedup import d6_dedup_components
+
+    labels = d6_dedup_components(spark, sf_dir)
+
+    def split_of(col: str) -> Column:
+        p = _pct(col, _SPLIT_MULT)
+        return (
+            F.when(p < 90, F.lit("train"))
+            .when(p < 95, F.lit("val"))
+            .otherwise("test")
+        )
+
+    lab = labels.select(
+        "doc_id",
+        "cluster_id",
+        split_of("cluster_id").alias("split"),
+        split_of("doc_id").alias("naive_split"),
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.sum((F.col("doc_id") != F.col("cluster_id")).cast("long")).alias(
+            "n_members"
+        ),
+        F.sum((F.col("split") != F.col("naive_split")).cast("long")).alias(
+            "n_rehomed"
+        ),
+    )
+
+
+query("c15_leakage_safe_split", oracle=_c15_oracle())(c15_leakage_safe_split)

@@ -319,10 +319,9 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "d6_dedup_components",
-    oracle=f"""
-    WITH RECURSIVE {_D2_PAIR_CTES},
+# d6's full CTE chain through per-doc component labels — shared by d6's
+# oracle and c15's leakage-safe split oracle (curation.py)
+_D6_LABEL_CTES = f"""{_D2_PAIR_CTES},
     sym AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
@@ -335,7 +334,13 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.doc_id,
              LEAST(c.doc_id, COALESCE(MIN(r.dst), c.doc_id)) AS cluster_id
       FROM corpus c LEFT JOIN reach r ON r.src = c.doc_id
-      GROUP BY c.doc_id)
+      GROUP BY c.doc_id)"""
+
+
+@query(
+    "d6_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_D6_LABEL_CTES}
     SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
     FROM labels
     """,

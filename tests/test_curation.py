@@ -449,3 +449,31 @@ def test_c14_composed_excise_plan_and_accounting(spark):
     # AQE prints initial+final: 3 logical exchanges (digest window,
     # cov-set groupBy, final agg) -> at most 6 textual occurrences
     assert plan.count("Exchange hashpartitioning") <= 6, plan
+
+
+def test_c15_no_cluster_straddles_splits(spark):
+    """The leakage-safe split's structural invariant: every near-dup
+    cluster lands in exactly one split (checked directly on the label
+    frame, not via the rollup), and at this sf the operator does real
+    work — planted near-dups exist whose naive doc-level split would
+    have leaked (n_rehomed > 0)."""
+    from spark_sql_perf_spark.pipeline.curation import _SPLIT_MULT, _pct
+    from spark_sql_perf_spark.pipeline.dedup import d6_dedup_components
+
+    labels = d6_dedup_components(spark, SF_DIR_TINY)
+    p = _pct("cluster_id", _SPLIT_MULT)
+    split = F.when(p < 90, "train").when(p < 95, "val").otherwise("test")
+    straddlers = (
+        labels.select("cluster_id", split.alias("split"))
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
+
+    rows = _q(spark, "c15_leakage_safe_split").collect()
+    assert sum(r["n_rehomed"] for r in rows) > 0, rows
+    # members (non-representative docs) exist and every rehomed doc is
+    # a member: rehoming only happens when cluster_id != doc_id
+    assert all(r["n_rehomed"] <= r["n_members"] for r in rows), rows

@@ -35,8 +35,12 @@ def test_runner_cpu_profile(spark, tmp_path):
 
     runner = ExperimentRunner(spark, results_location=str(tmp_path))
     # grow the workload until the sampler catches executor threads on
-    # CPU — a warm JIT can finish small aggregations between ticks
-    for rows in (4_000_000, 16_000_000, 64_000_000):
+    # CPU — a warm JIT can finish small aggregations between ticks. The
+    # top size repeats once: under a fully loaded suite the py4j tick
+    # round-trips themselves get starved and a single 64M attempt can
+    # sample zero executor threads (observed r10, full-suite run; the
+    # test passes in isolation every time).
+    for rows in (4_000_000, 16_000_000, 64_000_000, 64_000_000):
         q = Query(
             name="profile_me",
             build=lambda s, r=rows: two_groups(s, r).groupBy("a").agg(

@@ -17,14 +17,20 @@ from pyspark.sql import functions as F
 
 
 def read_edge_pairs(spark: SparkSession, path: str) -> DataFrame:
-    """Whitespace-separated `src dst` per line -> (source, target) longs."""
+    """Whitespace-separated `src dst` per line -> (source, target) longs.
+
+    try_element_at/try_cast, not element_at/cast: under ANSI mode (the
+    Spark 4 default this repo runs with) a short or non-numeric line
+    would THROW from the index/cast instead of reaching the notNull
+    skip filter — the malformed-line tolerance the filter exists for
+    only works when the extraction itself is null-on-failure."""
     lines = spark.read.text(path)
     toks = F.split(F.trim(F.col("value")), r"\s+")
     return (
         lines.where(F.length(F.trim(F.col("value"))) > 0)
         .select(
-            F.element_at(toks, 1).cast("long").alias("source"),
-            F.element_at(toks, 2).cast("long").alias("target"),
+            F.try_element_at(toks, F.lit(1)).try_cast("long").alias("source"),
+            F.try_element_at(toks, F.lit(2)).try_cast("long").alias("target"),
         )
         .where(F.col("source").isNotNull() & F.col("target").isNotNull())
     )
@@ -32,13 +38,16 @@ def read_edge_pairs(spark: SparkSession, path: str) -> DataFrame:
 
 def read_chain_edges(spark: SparkSession, path: str) -> DataFrame:
     """Ego-net chain lines: every ADJACENT token pair on a line is an edge
-    (sliding window, the LinearQueryPerformance.scala:45-53 semantics)."""
+    (sliding window, the LinearQueryPerformance.scala:45-53 semantics).
+    Indexes are in-bounds by the size guard; the casts are try_cast so a
+    non-numeric token skips its pairs instead of failing the scan under
+    ANSI mode (see read_edge_pairs)."""
     lines = spark.read.text(path)
     toks = F.split(F.trim(F.col("value")), r"\s+")
     pairs = F.expr(
         "transform(sequence(1, size(toks) - 1),"
-        " i -> struct(cast(element_at(toks, i) as long) as source,"
-        "            cast(element_at(toks, i + 1) as long) as target))"
+        " i -> struct(try_cast(element_at(toks, i) as long) as source,"
+        "            try_cast(element_at(toks, i + 1) as long) as target))"
     )
     return (
         lines.where(F.length(F.trim(F.col("value"))) > 0)

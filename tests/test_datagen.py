@@ -147,3 +147,26 @@ def test_multijoin_estimates_order(spark):
     assert stats["orders"].rows == 1500
     assert stats["customer"].rows == 150
     assert 50 <= stats["customer"].ndv_of("c_custkey") <= 150
+
+
+def test_readers_skip_malformed_lines_under_ansi(spark, tmp_path):
+    """Under ANSI mode (the Spark 4 default this repo runs with) a short
+    or non-numeric line must SKIP, not throw: the extraction uses
+    try_element_at/try_cast so the notNull filter actually gets to do
+    its job (r10 fix — element_at/cast raised INVALID_ARRAY_INDEX /
+    CAST_INVALID_INPUT before the filter ran)."""
+    from spark_sql_perf_spark.sources.readers import (
+        read_chain_edges,
+        read_edge_pairs,
+    )
+
+    p = tmp_path / "edges.txt"
+    p.write_text("1 2\n42\nfoo bar\n3 4 5\n\n7 8\n")
+    pairs = sorted(
+        (r["source"], r["target"]) for r in read_edge_pairs(spark, str(p)).collect()
+    )
+    assert pairs == [(1, 2), (3, 4), (7, 8)], pairs
+    chain = sorted(
+        (r["source"], r["target"]) for r in read_chain_edges(spark, str(p)).collect()
+    )
+    assert {(1, 2), (3, 4), (4, 5), (7, 8)} <= set(chain)

@@ -69,6 +69,12 @@ SPOT_QUERIES = [
     "c11_epoch_upsample",
     "c12_token_budget_select",
     "c13_e2e_mix",
+    # r10 additions: c14's planted-copy rates and broadcast cov-delivery
+    # vs the 10x corpus, c15's cluster split over the denser near-dup
+    # graph, t8's gram folds against 10x more (and longer-tailed) docs
+    "c14_dedup_excise_split",
+    "c15_leakage_safe_split",
+    "t8_repetition_metrics",
 ]
 
 

@@ -65,6 +65,16 @@ def local_checkpoint_tracked(df):
     build per-invocation frames, which is the pattern every current
     call site follows.
 
+    The tracked id is derived FROM the returned frame — a checkpointed
+    Dataset's analyzed plan is a ``LogicalRDD`` wrapping exactly the
+    RDD ``localCheckpoint`` persisted, so ``analyzed().rdd().id()`` is
+    its storage id. The original before/after diff of the JVM
+    persistent-RDD map would also capture any RDD persisted
+    concurrently in the window (another thread, an in-flight streaming
+    batch) and later force-unpersist it in ``evict_all`` (r10 ADVICE).
+    The diff survives only as the assertion-free fallback for a future
+    Spark that changes the checkpoint plan shape.
+
     Adoption boundary, deliberate: the d9/c14 excision checkpoints use
     this; the OTHER localCheckpoint sites (g3/g4 support pairs, the
     sim6/d5/sim7 signed relation, the streaming ANN probe frame) keep
@@ -76,6 +86,11 @@ def local_checkpoint_tracked(df):
     sc = df.sparkSession.sparkContext
     before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
     out = df.localCheckpoint(eager=True)
-    for rid in {int(k) for k in sc._jsc.getPersistentRDDs().keySet()} - before:
-        _CHECKPOINT_RDDS.append((sc, rid))
+    try:
+        _CHECKPOINT_RDDS.append(
+            (sc, int(out._jdf.queryExecution().analyzed().rdd().id()))
+        )
+    except Exception:
+        for rid in {int(k) for k in sc._jsc.getPersistentRDDs().keySet()} - before:
+            _CHECKPOINT_RDDS.append((sc, rid))
     return out

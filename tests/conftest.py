@@ -2,6 +2,14 @@ from __future__ import annotations
 
 import pytest
 
+# Import-order guard: the registry cascade (operators/__init__ imports
+# curation, whose module-level oracles read dedup's CTE constants) only
+# resolves when it STARTS from the operators package. A test selection
+# (-k) whose first test imports pipeline.dedup directly would otherwise
+# hit "partially initialized module" — pre-importing here makes every
+# selection order equivalent to the full-suite order.
+import spark_sql_perf_spark.operators  # noqa: E402,F401
+
 SF_DIR_TINY = "/root/testdata/sf0.001"
 SF_DIR_SMALL = "/root/testdata/sf0.01"
 

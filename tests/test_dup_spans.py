@@ -282,3 +282,44 @@ def test_d9_checkpoint_tracked_and_freed(spark):
     memo.evict_all()
     assert not (persistent_ids() & added), "teardown must free the blocks"
     assert not memo._CHECKPOINT_RDDS
+
+
+def test_checkpoint_tracking_ignores_concurrent_persists(spark):
+    """r10 ADVICE: local_checkpoint_tracked must attribute by the
+    returned frame's own RDD id (LogicalRDD.rdd), not by a before/after
+    diff of the global persistent-RDD map — an RDD persisted by another
+    thread during the checkpoint window must NOT be tracked (and so
+    must survive evict_all)."""
+    import threading
+
+    from spark_sql_perf_spark import memo
+
+    memo.evict_all()
+    sc = spark.sparkContext
+    stray_ids: list[int] = []
+    stop = threading.Event()
+
+    def persist_strays():
+        while not stop.is_set():
+            r = sc.parallelize([1, 2, 3], 1).persist()
+            r.count()
+            stray_ids.append(r.id())
+
+    t = threading.Thread(target=persist_strays)
+    t.start()
+    try:
+        out = memo.local_checkpoint_tracked(
+            spark.range(1000).selectExpr("id", "id * 2 AS v")
+        )
+        assert out.count() == 1000
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert stray_ids, "the concurrent persister never ran"
+    tracked = {rid for (_, rid) in memo._CHECKPOINT_RDDS}
+    assert tracked and not (tracked & set(stray_ids)), (tracked, stray_ids)
+    memo.evict_all()
+    live = {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+    assert set(stray_ids) <= live, "evict_all must not touch foreign RDDs"
+    for rid in stray_ids:  # cleanup
+        sc._jsc.getPersistentRDDs().get(rid).unpersist(False)

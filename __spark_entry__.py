@@ -60,20 +60,17 @@ def _correctness_files() -> list[str]:
 # be garbage-collected at leisure (it no longer needs hand-clearing each
 # round; a stale green row simply never vouches for newer code).
 _IMPL_CHANGED: dict[str, int] = {
-    # r9 entries GC'd: sim7/d5 both have r9 green rows in
-    # CORRECTNESS_r09.json, so the entries were inert.
-    # (Record, re the r9 verdict's sim6 question: sim6's r9 code change
-    # really was pass-through kwargs only — the PLANS.md shape change the
-    # r9 snapshot surfaced is r8's cf6af23 one-pass-counts/unrolled-
-    # extension restructure, which landed AFTER r8's snapshot commit
-    # db9e55d; git diff 4e6332a..HEAD over similarity.py/lsh.py shows the
-    # sim6 executed path untouched since r8 round-end. Measured A/B in
-    # BENCH_DETAIL_r10 notes.)
-    # r10: d9's shingle digest narrowed md5 -> xxhash64 (d8's 2x shuffle
-    # receipt applied to its sibling) and both d8/d9 gained the
-    # planted-id assert_true guard in _d8_planted, so both re-verify.
-    "d8_duplicated_spans": 10,
-    "d9_span_excise": 10,
+    # r10 entries GC'd (d8/d9 both re-verified green in
+    # CORRECTNESS_r10.json, so those entries were inert).
+    # r11: covered_word_sets now applies its own size(ws) >= k guard
+    # (r10 ADVICE) — a no-op predicate for d9 (whose caller still
+    # pre-filters) but an executed-plan change for both consumers, and
+    # c14 additionally dropped its now-redundant outer pre-filter; c15
+    # gained the token-weighted leakage columns (n_tok/n_tok_rehomed)
+    # via a (doc_id, tok) join. All three re-verify.
+    "d9_span_excise": 11,
+    "c14_dedup_excise_split": 11,
+    "c15_leakage_safe_split": 11,
 }
 
 

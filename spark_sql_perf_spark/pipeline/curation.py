@@ -1302,9 +1302,9 @@ def c14_dedup_excise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = memo.local_checkpoint_tracked(
         uniq.select("doc_id", "source", F.split("text", " ").alias("ws"))
     )
-    cov = covered_word_sets(
-        words.where(F.size("ws") >= _D8_K).select("doc_id", "ws"), _D8_K
-    )
+    # covered_word_sets applies the size(ws) >= k guard itself (r10
+    # ADVICE made the precondition internal)
+    cov = covered_word_sets(words.select("doc_id", "ws"), _D8_K)
     stats = words.join(cov, "doc_id", "left")
     pct = _pct("doc_id", _SPLIT_MULT)
     split = (
@@ -1347,18 +1347,25 @@ def _c15_oracle() -> str:
 
     return f"""
     WITH RECURSIVE {_D6_LABEL_CTES},
+    toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+      FROM corpus),
     lab AS (
-      SELECT doc_id, cluster_id,
-             {_c15_split_sql('cluster_id')} AS split,
-             {_c15_split_sql('doc_id')} AS naive_split
-      FROM labels)
+      SELECT l.doc_id, l.cluster_id, t.tok,
+             {_c15_split_sql('l.doc_id')} AS naive_split,
+             {_c15_split_sql('l.cluster_id')} AS split
+      FROM labels l JOIN toks t ON t.doc_id = l.doc_id)
     SELECT split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
            CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
              AS BIGINT) AS n_members,
            CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_rehomed
+             AS BIGINT) AS n_rehomed,
+           CAST(SUM(tok) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN split <> naive_split THEN tok ELSE 0 END)
+             AS BIGINT) AS n_tok_rehomed
     FROM lab GROUP BY split
     """
 
@@ -1375,16 +1382,28 @@ def c15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     members whose naive doc-level split would have differed — each one
     is a would-have-been leak.
 
+    r11 extends the receipt to TOKEN weight — the published leakage
+    analyses report the token share of eval contaminated, not just doc
+    counts — with ``n_tok`` (split token mass) and ``n_tok_rehomed``
+    (token mass of the rehomed members), so tok-weighted leakage is
+    ``n_tok_rehomed / n_tok`` per split.
+
     100 TB design: everything rides d6's component labels (banded LSH
     candidates -> min-label propagation, never all-pairs); the split
     itself is identity arithmetic on the label — no extra shuffle
     beyond d6's, and the rollup is one partial+final aggregate. The
-    oracle replays the same labels via d2's pair CTEs + a recursive
-    closure and the same Knuth-hash split arithmetic on both keys.
+    token weights join back as a skinny (doc_id, tok) projection of
+    the corpus on the identity key — at scale both sides co-partition
+    (bucket) on doc_id, and the projection carries no text. The oracle
+    replays the same labels via d2's pair CTEs + a recursive closure
+    and the same Knuth-hash split arithmetic on both keys.
     """
-    from .dedup import d6_dedup_components
+    from .dedup import _corpus, d6_dedup_components
 
     labels = d6_dedup_components(spark, sf_dir)
+    toks = _corpus(spark, sf_dir, suffix="planted near duplicate suffix").select(
+        "doc_id", F.size(F.split("text", _WS_SPLIT)).cast("long").alias("tok")
+    )
 
     def split_of(col: str) -> Column:
         p = _pct(col, _SPLIT_MULT)
@@ -1399,17 +1418,210 @@ def c15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         split_of("cluster_id").alias("split"),
         split_of("doc_id").alias("naive_split"),
-    )
+    ).join(toks, "doc_id")
+    rehomed = F.col("split") != F.col("naive_split")
     return lab.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("cluster_id").alias("n_clusters"),
         F.sum((F.col("doc_id") != F.col("cluster_id")).cast("long")).alias(
             "n_members"
         ),
-        F.sum((F.col("split") != F.col("naive_split")).cast("long")).alias(
-            "n_rehomed"
+        F.sum(rehomed.cast("long")).alias("n_rehomed"),
+        F.sum("tok").alias("n_tok"),
+        F.sum(F.when(rehomed, F.col("tok")).otherwise(F.lit(0))).alias(
+            "n_tok_rehomed"
         ),
     )
 
 
 query("c15_leakage_safe_split", oracle=_c15_oracle())(c15_leakage_safe_split)
+
+
+# ---------------------------------------------------------------------------
+# c16: Gopher repetition CUT -> exact dedup -> split, composed
+# ---------------------------------------------------------------------------
+
+# Word-level analogs of the Gopher repetition-filter thresholds (Rae et
+# al. 2021, table A1): drop a document when its top-2-gram or top-3-gram
+# share exceeds these. t8 computes the same signals as a METRICS query;
+# c16 applies them as the published pipelines do — a cut between the
+# quality filters and dedup. Deliberately NOT in the cut: t8's
+# dup_word_frac — Gopher's 0.30 threshold is for duplicate LINES, and
+# the word-level analog is degenerate as a filter (measured on this
+# corpus: mean dup-word fraction 0.50, 426/500 natural sf0.01 docs over
+# the line threshold, while the top-gram shares cut 0 natural docs and
+# every planted repetitive one).
+_C16_TOP2 = 0.20
+_C16_TOP3 = 0.18
+
+# Planted rows give both stages real work at verification scale:
+# repetitive docs (+1e6, every 10th doc: its first three words repeated
+# eight times) trip the top-gram thresholds; verbatim copies (+2e6,
+# every 20th doc) feed the dedup stage. Identical texts fold to
+# identical metrics, so a duplicate GROUP is cut or kept as a unit —
+# which is what lets the cut flag and the keep-first window live in one
+# frame (the status CASE below).
+_C16_CORPUS_SQL = """
+    base AS (SELECT doc_id, source, lower(text) AS text FROM documents),
+    corpus AS (
+      SELECT doc_id, source, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, source,
+             trim(repeat(array_to_string(
+                 (string_split_regex(text, '\\s+'))[1:3], ' ') || ' ', 8))
+      FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, source, text FROM base WHERE doc_id % 20 = 0)
+"""
+
+
+def _c16_oracle() -> str:
+    from .textstats import _gram_metrics_sql
+
+    return f"""
+    WITH {_C16_CORPUS_SQL},
+    w AS (
+      SELECT doc_id, source, text,
+             string_split_regex(text, '\\s+') AS ws
+      FROM corpus),
+    {_gram_metrics_sql(2)},
+    {_gram_metrics_sql(3)},
+    m AS (
+      SELECT w.doc_id, w.source, w.text,
+             CAST(len(ws) AS BIGINT) AS tok,
+             COALESCE(CAST(a2.top2 AS DOUBLE) / a2.total2
+                      > {_C16_TOP2}, FALSE)
+             OR COALESCE(CAST(a3.top3 AS DOUBLE) / a3.total3
+                         > {_C16_TOP3}, FALSE) AS cut
+      FROM w
+      LEFT JOIN a2 ON a2.doc_id = w.doc_id
+      LEFT JOIN a3 ON a3.doc_id = w.doc_id),
+    st AS (
+      SELECT doc_id, source, tok,
+             CASE WHEN cut THEN 'cut_rep'
+                  WHEN ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) = 1 THEN 'kept'
+                  ELSE 'dupe' END AS status,
+             CASE WHEN {_pct_sql('doc_id', _SPLIT_MULT)} < 90 THEN 'train'
+                  WHEN {_pct_sql('doc_id', _SPLIT_MULT)} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM m)
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN status = 'cut_rep' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cut_rep,
+           CAST(SUM(CASE WHEN status = 'dupe' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dupes,
+           CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_docs_out,
+           CAST(SUM(CASE WHEN status = 'kept' THEN tok ELSE 0 END)
+             AS BIGINT) AS tok_out
+    FROM st GROUP BY split, source
+    """
+
+
+def c16_repetition_cut_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t8's Gopher repetition signals applied as a CUT and composed
+    into the curation line (r11, the published-pipeline order): drop
+    documents whose top-2-gram / top-3-gram share exceeds the Rae et
+    al. thresholds (see the _C16_* note on why the duplicated-word
+    fraction stays a metric, not a cut), exact-dedup the
+    survivors (keep-first, d1/c10's window shape), hash-split, and
+    account every document per (split, source) as cut_rep / dupe /
+    kept, with surviving token mass.
+
+    The one-frame trick: identical texts have identical in-row metrics,
+    so a duplicate group is cut or kept as a UNIT — the keep-first
+    window (partition md5(text), order doc_id) and the cut flag compose
+    as a single CASE, no survivors-only re-shuffle or union-back.
+
+    100 TB design: the repetition fold rides the scan IN-ROW (t8's
+    zero-exchange aggregate fold, shared via gram_top_total_distinct)
+    BELOW the dedup exchange, so cut documents are flagged before the
+    corpus ever shuffles and the whole operator is exactly two
+    exchanges: the md5 dedup window and the final rollup. Plan-gated in
+    test_curation.py: no Generate (the relational explode form would
+    blow the corpus 20x pre-shuffle), no join, <= 2 logical exchanges.
+    O(len log len) per doc, independent of corpus size.
+    """
+    from .textstats import gram_top_total_distinct
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.lower("text").alias("text")
+    ).where(
+        F.assert_true(
+            F.col("doc_id") < 1000000,
+            F.lit("c16 planted-id offsets (1e6/2e6) alias a natural doc_id"),
+        ).isNull()
+    )
+    rep_copy = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.trim(
+            F.repeat(
+                F.concat(
+                    F.array_join(
+                        F.slice(F.split("text", _WS_SPLIT), 1, 3), " "
+                    ),
+                    F.lit(" "),
+                ),
+                8,
+            )
+        ).alias("text"),
+    )
+    exact_copy = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "source", "text"
+    )
+    corpus = base.unionAll(rep_copy).unionAll(exact_copy)
+
+    ws = F.split("text", _WS_SPLIT)
+    t2, top2, _ = gram_top_total_distinct(2)
+    t3, top3, _ = gram_top_total_distinct(3)
+
+    def over(num: Column, den: Column, thr: float, n: int) -> Column:
+        # the size guard must be a lazy CASE branch: for a sub-n doc the
+        # denominator is 0 (ANSI divide-by-zero) and the fold's
+        # sequence(1, size-n+1) would go descending into element_at(ws, 0)
+        return F.coalesce(
+            F.when(F.size("ws") >= n, num.cast("double") / den > thr),
+            F.lit(False),
+        )
+
+    m = corpus.withColumn("ws", ws).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("ws").cast("long").alias("tok"),
+        (over(top2, t2, _C16_TOP2, 2) | over(top3, t3, _C16_TOP3, 3)).alias(
+            "cut"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    pct = _pct("doc_id", _SPLIT_MULT)
+    split = (
+        F.when(pct < 90, F.lit("train")).when(pct < 95, F.lit("val")).otherwise("test")
+    )
+    st = m.select(
+        "doc_id",
+        "source",
+        "tok",
+        F.when(F.col("cut"), "cut_rep")
+        .when(rn == 1, "kept")
+        .otherwise("dupe")
+        .alias("status"),
+        split.alias("split"),
+    )
+    kept = F.col("status") == "kept"
+    return st.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("status") == "cut_rep").cast("long")).alias("n_cut_rep"),
+        F.sum((F.col("status") == "dupe").cast("long")).alias("n_dupes"),
+        F.sum(kept.cast("long")).alias("n_docs_out"),
+        F.sum(F.when(kept, F.col("tok")).otherwise(F.lit(0))).alias("tok_out"),
+    )
+
+
+query("c16_repetition_cut_split", oracle=_c16_oracle())(c16_repetition_cut_split)

@@ -1024,8 +1024,15 @@ def covered_word_sets(words: DataFrame, k: int = _D8_K) -> DataFrame:
     decision, and the only distributed work it needs is handing each
     affected doc its covered offsets. The set is bounded by document
     length; the in-row filter is O(len^2) worst case on a bounded len —
-    free next to a shuffle."""
-    hashed = words.select(
+    free next to a shuffle.
+
+    Input safety (r10 ADVICE): docs shorter than k words are filtered
+    HERE, not assumed away — for them ``sequence(0, size-k)`` would go
+    descending and ``slice(ws, pos+1, k)`` would hit a non-positive
+    start, which throws under ANSI mode. The filter is a no-op for
+    already-filtered inputs (both d9 and c14 pre-filtered before this
+    was the shared export), and such docs can lose no shingle anyway."""
+    hashed = words.where(F.size("ws") >= k).select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.size("ws") - k)).alias("pos"),
         "ws",

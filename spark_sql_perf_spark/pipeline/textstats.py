@@ -313,6 +313,32 @@ def _gram_metrics_sql(n: int) -> str:
       FROM c{n} GROUP BY doc_id)"""
 
 
+def gram_top_total_distinct(n: int) -> tuple[F.Column, F.Column, F.Column]:
+    """(total, top-multiplicity, distinct) for in-row n-grams over a
+    ``ws: array<string>`` column — t8's zero-exchange fold, exported
+    (r11) so the composed curation cut (c16) applies the same Gopher
+    repetition signals as a FILTER without re-deriving the fold."""
+    parts = ", ' ', ".join(f"element_at(ws, i + {j})" for j in range(n))
+    grams = F.expr(
+        f"transform(sequence(1, size(ws) - {n - 1}), i -> concat({parts}))"
+    )
+    total = F.size("ws") - (n - 1)
+    # after sorting, a gram's multiplicity is a run of equal
+    # neighbors; the fold carries (prev, run, best) and returns best
+    top = F.expr(
+        f"""aggregate(
+          array_sort(transform(sequence(1, size(ws) - {n - 1}),
+                               i -> concat({parts}))),
+          struct(cast('' as string) as prev, 0 as run, 0 as best),
+          (acc, x) -> struct(
+            x as prev,
+            if(x = acc.prev, acc.run + 1, 1) as run,
+            greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)) as best),
+          acc -> acc.best)"""
+    )
+    return total, top, F.size(F.array_distinct(grams))
+
+
 @query(
     "t8_repetition_metrics",
     oracle=f"""
@@ -356,29 +382,7 @@ def t8_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size.
     """
     docs = table(spark, sf_dir, "documents")
-
-    def gram_cols(n: int) -> tuple[F.Column, F.Column, F.Column]:
-        """(total, top-multiplicity, distinct) for in-row n-grams."""
-        parts = ", ' ', ".join(f"element_at(ws, i + {j})" for j in range(n))
-        grams = F.expr(
-            f"transform(sequence(1, size(ws) - {n - 1}), i -> concat({parts}))"
-        )
-        total = F.size("ws") - (n - 1)
-        # after sorting, a gram's multiplicity is a run of equal
-        # neighbors; the fold carries (prev, run, best) and returns best
-        top = F.expr(
-            f"""aggregate(
-              array_sort(transform(sequence(1, size(ws) - {n - 1}),
-                                   i -> concat({parts}))),
-              struct(cast('' as string) as prev, 0 as run, 0 as best),
-              (acc, x) -> struct(
-                x as prev,
-                if(x = acc.prev, acc.run + 1, 1) as run,
-                greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)) as best),
-              acc -> acc.best)"""
-        )
-        return total, top, F.size(F.array_distinct(grams))
-
+    gram_cols = gram_top_total_distinct
     ws = F.split(F.lower(F.col("text")), r"\s+")
     base = docs.select("doc_id", ws.alias("ws"))
     t2, top2, d2 = gram_cols(2)

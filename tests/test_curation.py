@@ -477,3 +477,44 @@ def test_c15_no_cluster_straddles_splits(spark):
     # members (non-representative docs) exist and every rehomed doc is
     # a member: rehoming only happens when cluster_id != doc_id
     assert all(r["n_rehomed"] <= r["n_members"] for r in rows), rows
+    # r11 token receipt: every rehomed doc carries >= 1 token, the
+    # rehomed token mass never exceeds the split's, and a split with no
+    # rehomed docs has no rehomed tokens
+    for r in rows:
+        assert r["n_rehomed"] <= r["n_tok_rehomed"] <= r["n_tok"], r
+        assert (r["n_tok_rehomed"] == 0) == (r["n_rehomed"] == 0), r
+
+
+def test_c16_repetition_cut_plan_and_accounting(spark):
+    """c16 gates: (a) accounting — every planted repetitive doc is cut,
+    every planted verbatim copy dedups away, every natural doc at this
+    sf survives (the _C16_* thresholds were chosen against the measured
+    natural-doc distribution), and the three statuses partition the
+    corpus; (b) the 100-TB plan property — the Gopher fold rides the
+    scan IN-ROW below the dedup exchange: no Generate (the relational
+    explode form would blow the corpus ~20x before the shuffle), no
+    join, and exactly two logical exchanges (md5 dedup window + final
+    rollup)."""
+    from spark_sql_perf_spark.catalog import table
+
+    df = _q(spark, "c16_repetition_cut_split")
+    rows = df.collect()
+    assert rows
+    n_base = table(spark, SF_DIR_TINY, "documents").count()
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in ("n_docs", "n_cut_rep", "n_dupes", "n_docs_out", "tok_out")
+    }
+    assert tot["n_docs"] == n_base + n_base // 10 + n_base // 20
+    assert tot["n_cut_rep"] == n_base // 10, tot  # planted repeats only
+    assert tot["n_dupes"] == n_base // 20, tot  # planted copies only
+    assert tot["n_docs_out"] == n_base, tot
+    assert tot["n_docs"] == tot["n_cut_rep"] + tot["n_dupes"] + tot["n_docs_out"]
+    assert tot["tok_out"] > 0
+
+    plan = _plan(df, execute=True)
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    # AQE prints initial+final: 2 logical exchanges (dedup window,
+    # rollup agg) -> at most 4 textual occurrences
+    assert plan.count("Exchange hashpartitioning") <= 4, plan

@@ -284,6 +284,24 @@ def test_d9_checkpoint_tracked_and_freed(spark):
     assert not memo._CHECKPOINT_RDDS
 
 
+def test_covered_word_sets_tolerates_short_docs(spark):
+    """r10 ADVICE: the shared excision core applies its own
+    size(ws) >= k guard — a sub-k doc must neither throw under ANSI
+    (descending sequence / non-positive slice start) nor appear in the
+    output, even when the caller forgets to pre-filter."""
+    from spark_sql_perf_spark.pipeline.dedup import _D8_K, covered_word_sets
+
+    dup = " ".join(f"w{i}" for i in range(_D8_K + 2))
+    corpus = spark.createDataFrame(
+        [(0, dup), (1, dup), (2, "too short"), (3, "")],
+        "doc_id long, text string",
+    )
+    words = corpus.select("doc_id", F.split("text", " ").alias("ws"))
+    rows = covered_word_sets(words, _D8_K).collect()
+    assert {r["doc_id"] for r in rows} == {1}, rows
+    assert sorted(rows[0]["cov"]) == list(range(_D8_K + 2))
+
+
 def test_checkpoint_tracking_ignores_concurrent_persists(spark):
     """r10 ADVICE: local_checkpoint_tracked must attribute by the
     returned frame's own RDD id (LogicalRDD.rdd), not by a before/after

@@ -108,6 +108,12 @@ EXTRA = [
     # split — the plan must show the deduped-corpus checkpoint (Scan
     # ExistingRDD) with the cov-set delivery as a broadcast hash join
     "c14_dedup_excise_split",
+    # r11: the leakage-safe split's token join (skinny (doc_id, tok)
+    # projection, no text column past the scan) and the Gopher
+    # repetition cut — the plan must show the in-row fold BELOW the md5
+    # dedup exchange with zero Generate and zero joins
+    "c15_leakage_safe_split",
+    "c16_repetition_cut_split",
 ]
 
 

@@ -1544,8 +1544,6 @@ def c16_repetition_cut_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow the corpus 20x pre-shuffle), no join, <= 2 logical exchanges.
     O(len log len) per doc, independent of corpus size.
     """
-    from .textstats import gram_top_total_distinct
-
     docs = table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", F.lower("text").alias("text")
@@ -1574,6 +1572,13 @@ def c16_repetition_cut_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"), "source", "text"
     )
     corpus = base.unionAll(rep_copy).unionAll(exact_copy)
+    return repetition_cut_split_df(corpus)
+
+
+def repetition_cut_split_df(corpus: DataFrame) -> DataFrame:
+    """c16's pipeline over any (doc_id, source, text) frame (the scale
+    probe drives it directly, like dedup.span_excise_df for d9)."""
+    from .textstats import gram_top_total_distinct
 
     ws = F.split("text", _WS_SPLIT)
     t2, top2, _ = gram_top_total_distinct(2)

@@ -1,6 +1,6 @@
 """Deduplication operators over the `documents` / `embeddings` tables.
 
-Nine dedup families, each a `queries()` entry with a DuckDB oracle:
+Ten dedup families, each a `queries()` entry with a DuckDB oracle:
 
   d1 exact            hash-groupBy on canonicalized text
   d2 minhash-lsh      shingle -> k minhashes -> banded buckets -> verify
@@ -12,6 +12,9 @@ Nine dedup families, each a `queries()` entry with a DuckDB oracle:
   d7 segment dedup    C4-style corpus-wide line dedup + in-order reassembly
   d8 duplicated spans maximal repeated k-gram runs (ExactSubstr report half)
   d9 span excision    keep-first span removal (ExactSubstr cut half)
+  d10 incremental     probe an arriving batch against the indexed corpus
+      (continuous ingestion: index once, broadcast the batch, never
+      re-dedup or reshuffle the corpus)
 
 The driver corpus has **no natural duplicates** (verified: texts are unique
 at every sf), so each query PLANTS deterministic duplicates by unioning a
@@ -1079,4 +1082,265 @@ def covered_word_sets(words: DataFrame, k: int = _D8_K) -> DataFrame:
         # of ~k times. Consumers only membership-test cov, so set
         # (unordered) semantics are exactly what is needed.
         .agg(F.collect_set("wpos").alias("cov"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# d10: incremental dedup — probe a new batch against an indexed corpus
+# ---------------------------------------------------------------------------
+
+# The production shape d1-d9 don't cover: a continuously-ingesting
+# pipeline never re-dedups the corpus — it indexes it ONCE (minhash
+# signatures + band buckets at rest) and probes each incoming batch
+# against that index. Work per batch is proportional to batch size +
+# band-bucket collisions, never corpus pairs, and the corpus index
+# never reshuffles.
+
+
+def _minhash_ctes_sql(src: str, p: str) -> str:
+    """DuckDB CTE chain src -> {p}hashed / {p}sigs / {p}bands for a
+    source CTE with columns (id, text) — d2's pipeline parameterized by
+    source and prefix so the d10 oracle can index and probe two
+    different relations with the SAME hash family."""
+    return f"""
+    {p}shingled AS (
+      SELECT id, string_split_regex(text, '\\s+') AS ws FROM {src}),
+    {p}shingles AS (
+      SELECT DISTINCT id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM {p}shingled WHERE len(ws) >= 3),
+    {p}hashed AS (
+      SELECT DISTINCT id, {md5_hash32_sql('sh', 'mh')} % {_P} AS h
+      FROM {p}shingles),
+    {p}perms AS (
+      SELECT id,
+             {', '.join(f'(({a} * h + {b}) % {_P}) AS h{j}' for j, (a, b) in enumerate(_PERM))}
+      FROM {p}hashed),
+    {p}sigs AS (
+      SELECT id, {', '.join(f'MIN(h{j}) AS m{j}' for j in range(_N_HASHES))},
+             COUNT(*) AS n_sh
+      FROM {p}perms GROUP BY id),
+    {p}bands AS (
+      {' UNION ALL '.join(
+          f"SELECT id, {bi} AS band, md5(CAST(m{a} AS VARCHAR) || ',' || CAST(m{b} AS VARCHAR)) AS bh FROM {p}sigs"
+          for bi, (a, b) in enumerate(_BANDS))})"""
+
+
+def _minhash_frames(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(hashed, sigs, bands) for an (id, text) frame — the Spark twin
+    of _minhash_ctes_sql (d2's inline pipeline, parameterized)."""
+    ws = F.split("text", r"\s+")
+    shingles = F.expr(
+        "transform(sequence(1, size(ws) - 2),"
+        " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))"
+    )
+    hashed = (
+        corpus.select("id", ws.alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("id", F.explode(shingles).alias("sh"))
+        .select("id", (md5_hash32("sh", "mh") % _P).alias("h"))
+        .distinct()
+    )
+    sigs = hashed.select(
+        "id",
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"h{j}")
+            for j, (a, b) in enumerate(_PERM)
+        ],
+    ).groupBy("id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_HASHES)],
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat(
+                        F.col(f"m{a}").cast("string"),
+                        F.lit(","),
+                        F.col(f"m{b}").cast("string"),
+                    )
+                ).alias("bh"),
+            )
+            for bi, (a, b) in enumerate(_BANDS)
+        ]
+    )
+    bands = sigs.select("id", F.explode(band_structs).alias("s")).select(
+        "id", F.col("s.band").alias("band"), F.col("s.bh").alias("bh")
+    )
+    return hashed, sigs, bands
+
+
+# Batch plants, identical in both engines: every 7th doc arrives again
+# with a suffix (a near-dup the probe MUST match to its source) and
+# every 11th doc arrives word-REVERSED (same vocabulary, disjoint
+# 3-shingle set — a novel doc the probe must NOT match; any 7*11th doc
+# appears once in each role).
+_D10_BATCH_SQL = """
+    idx AS (SELECT doc_id AS id, lower(text) AS text FROM documents),
+    batch AS (
+      SELECT doc_id + 1000000 AS id,
+             lower(text) || ' probe batch suffix' AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS id,
+             array_to_string(
+                 list_reverse(string_split_regex(lower(text), '\\s+')), ' ')
+      FROM documents WHERE doc_id % 11 = 0)
+"""
+
+
+@query(
+    "d10_incremental_lsh_probe",
+    oracle=f"""
+    WITH {_D10_BATCH_SQL},
+    {_minhash_ctes_sql('idx', 'i')},
+    {_minhash_ctes_sql('batch', 'b')},
+    cand AS (
+      SELECT DISTINCT b.id AS batch_id, i.id AS idx_id
+      FROM bbands b JOIN ibands i ON i.band = b.band AND i.bh = b.bh),
+    common AS (
+      SELECT c.batch_id, c.idx_id, COUNT(*) AS n_common
+      FROM cand c
+        JOIN bhashed sb ON sb.id = c.batch_id
+        JOIN ihashed si ON si.id = c.idx_id AND si.h = sb.h
+      GROUP BY c.batch_id, c.idx_id),
+    verified AS (
+      SELECT c.batch_id, c.idx_id,
+             CAST(n_common AS DOUBLE)
+               / (nb.n_sh + ni.n_sh - n_common) AS jac
+      FROM common c
+        JOIN bsigs nb ON nb.id = c.batch_id
+        JOIN isigs ni ON ni.id = c.idx_id
+      WHERE CAST(n_common AS DOUBLE) / (nb.n_sh + ni.n_sh - n_common)
+            >= {_JACCARD_THRESHOLD}),
+    per_batch AS (
+      SELECT c.batch_id,
+             COUNT(DISTINCT c.idx_id) AS n_cand,
+             COUNT(DISTINCT v.idx_id) AS n_match,
+             MIN(v.idx_id) AS match_id_min,
+             ROUND(MAX(v.jac), 6) AS best_jaccard
+      FROM cand c
+        LEFT JOIN verified v
+          ON v.batch_id = c.batch_id AND v.idx_id = c.idx_id
+      GROUP BY c.batch_id)
+    SELECT b.id AS batch_id,
+           CAST(COALESCE(p.n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(COALESCE(p.n_match, 0) AS BIGINT) AS n_match,
+           p.match_id_min,
+           p.best_jaccard,
+           COALESCE(p.n_match, 0) = 0 AS is_novel
+    FROM (SELECT id FROM batch) b
+    LEFT JOIN per_batch p ON p.batch_id = b.id
+    """,
+)
+def d10_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: probe an arriving batch against the indexed
+    corpus without re-deduping the corpus (the continuous-ingestion
+    production shape; d2 is the one-shot corpus-wide analog). Every
+    batch document reports its band-bucket candidate count, verified
+    matches at the d2 jaccard threshold, best match, and novelty.
+
+    100 TB design: the corpus-side relations (shingle-hash sets, band
+    buckets) are the AT-REST index — computed once, bucketed by
+    (band, bh), never reshuffled per batch (here they are rebuilt
+    in-plan because the bench corpus is small; the plan shape past
+    them is the production shape). The batch side is small by nature,
+    so every probe join BROADCASTS it: candidates = index bands
+    broadcast-joined to batch bands, verification = the skinny
+    (id, shingle-hash) batch relation broadcast against the index's
+    — plan-gated in test_dedup_probe.py (no SortMergeJoin, no
+    shuffle of an index-side relation keyed on batch columns). Work
+    per batch ~ |batch| + bucket collisions, independent of |corpus|
+    pairs."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.lower("text").alias("text")).where(
+        F.assert_true(
+            F.col("doc_id") < 1000000,
+            F.lit("d10 planted-id offsets (1e6/2e6) alias a natural doc_id"),
+        ).isNull()
+    )
+    idx = base.select(F.col("doc_id").alias("id"), "text")
+    near = base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.concat("text", F.lit(" probe batch suffix")).alias("text"),
+    )
+    novel = base.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("id"),
+        F.array_join(F.reverse(F.split("text", r"\s+")), " ").alias("text"),
+    )
+    batch = near.unionAll(novel)
+    return incremental_probe_df(idx, batch)
+
+
+def incremental_probe_df(idx: DataFrame, batch: DataFrame) -> DataFrame:
+    """d10's probe pipeline over any (id, text) index/batch frames (the
+    scale probe drives it directly, like span_excise_df for d9)."""
+    ihashed, isigs, ibands = _minhash_frames(idx)
+    bhashed, bsigs, bbands = _minhash_frames(batch)
+
+    cand = (
+        ibands.alias("i")
+        .join(
+            F.broadcast(bbands.alias("b")),
+            (F.col("i.band") == F.col("b.band")) & (F.col("i.bh") == F.col("b.bh")),
+        )
+        .select(F.col("b.id").alias("batch_id"), F.col("i.id").alias("idx_id"))
+        .distinct()
+    )
+    # candidate-first verification order (d2's proven shape): the index
+    # shingle relation is filtered to candidate docs FIRST (broadcast
+    # semi-shape), so the h-join never materializes the full
+    # inverted-index intersection list
+    common = (
+        ihashed.alias("si")
+        .join(F.broadcast(cand), F.col("si.id") == F.col("idx_id"))
+        .join(
+            F.broadcast(bhashed.alias("sb")),
+            (F.col("sb.id") == F.col("batch_id"))
+            & (F.col("sb.h") == F.col("si.h")),
+        )
+        .groupBy("batch_id", "idx_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    common_nb = common.join(
+        F.broadcast(
+            bsigs.select(F.col("id").alias("bid"), F.col("n_sh").alias("b_nsh"))
+        ),
+        F.col("bid") == F.col("batch_id"),
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("b_nsh") + F.col("i_nsh") - F.col("n_common")
+    )
+    verified = (
+        isigs.select(F.col("id").alias("iid"), F.col("n_sh").alias("i_nsh"))
+        .join(F.broadcast(common_nb), F.col("iid") == F.col("idx_id"))
+        .where(jac >= _JACCARD_THRESHOLD)
+        .select("batch_id", "idx_id", jac.alias("jac"))
+    )
+    per_batch = (
+        cand.join(F.broadcast(verified), ["batch_id", "idx_id"], "left")
+        .groupBy("batch_id")
+        .agg(
+            F.count_distinct("idx_id").alias("n_cand"),
+            F.count_distinct(
+                F.when(F.col("jac").isNotNull(), F.col("idx_id"))
+            ).alias("n_match"),
+            F.min(F.when(F.col("jac").isNotNull(), F.col("idx_id"))).alias(
+                "match_id_min"
+            ),
+            F.round(F.max("jac"), 6).alias("best_jaccard"),
+        )
+    )
+    return batch.select(F.col("id").alias("batch_id")).join(
+        F.broadcast(per_batch), "batch_id", "left"
+    ).select(
+        "batch_id",
+        F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        F.coalesce("n_match", F.lit(0)).alias("n_match"),
+        "match_id_min",
+        "best_jaccard",
+        (F.coalesce("n_match", F.lit(0)) == 0).alias("is_novel"),
     )

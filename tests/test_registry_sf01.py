@@ -75,6 +75,13 @@ SPOT_QUERIES = [
     "c14_dedup_excise_split",
     "c15_leakage_safe_split",
     "t8_repetition_metrics",
+    # r11 additions: c16's Gopher thresholds vs the 10x corpus — the cut
+    # must stay planted-docs-only (no natural doc trips the top-gram
+    # shares) and the one-frame cut+dedup window must stay hash-exact;
+    # d10's band buckets and jaccard threshold vs a 10x index (novel
+    # docs must stay novel as bucket occupancy grows)
+    "c16_repetition_cut_split",
+    "d10_incremental_lsh_probe",
 ]
 
 

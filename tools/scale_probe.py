@@ -1800,6 +1800,165 @@ def factfact_salting_ab(spark, rows: int = 64_000_000) -> dict[str, float]:
     return out
 
 
+R11_SCALES = [1_000_000, 4_000_000, 16_000_000]
+
+
+def _r11_corpus(spark, n_docs: int, rep_every: int = 16):
+    """24-word docs over a 5k vocab, one of ``rep_every`` REPETITIVE
+    (its first three words repeated eight times — trips c16's top-gram
+    thresholds); 8 sources."""
+
+    def word(idc, pos):
+        return F.concat(
+            F.lit("tok"),
+            uniform_int(idc, f"w{pos}", 0, 4999).cast("string"),
+        )
+
+    docs = gen_table(spark, n_docs, {
+        "doc_id": lambda idc: idc,
+        "source": lambda idc: F.concat(F.lit("s"), (idc % 8).cast("string")),
+        "rep": lambda idc: uniform_int(idc, "rep", 0, rep_every - 1) == 0,
+    })
+    own = F.col("doc_id")
+    plain = F.concat_ws(" ", *[word(own, p) for p in range(24)])
+    first3 = F.concat_ws(" ", *[word(own, p) for p in range(3)])
+    loop = F.concat_ws(" ", *([first3] * 8))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("rep"), loop).otherwise(plain).alias("text"),
+    )
+
+
+def probe_r11(spark, n_docs: int) -> dict[str, float]:
+    """The two r11 plan shapes at volume.
+
+    gopher_cut: c16's composed cut (in-row top-gram fold below the md5
+    dedup window, then the rollup) — time must track the ONE corpus
+    shuffle ~linearly, and the cut count must track the planted 1/16
+    rate (the fold is per-row; a super-linear term here would mean the
+    fold leaked into a join or Generate).
+
+    incr_probe: d10's batch-vs-index probe with |batch| = n/64 (half
+    near-dups of index docs, half novel over a DISJOINT vocab). The
+    in-plan index build (shingle -> sig -> bands) is the honest
+    dominant cost at probe time HERE because the probe rebuilds the
+    index per run; at rest it is computed once, so what must stay
+    batch-bounded is the match/candidate side: n_match must track
+    |batch|/2 exactly and max candidate fan-in stays O(1)."""
+    from spark_sql_perf_spark.pipeline.curation import repetition_cut_split_df
+    from spark_sql_perf_spark.pipeline.dedup import incremental_probe_df
+
+    out: dict[str, float] = {}
+    corpus = _r11_corpus(spark, n_docs)
+    best, cut = float("inf"), 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = (
+            repetition_cut_split_df(corpus)
+            .agg(
+                F.sum("n_cut_rep").alias("cut"),
+                F.sum("n_docs").alias("n"),
+            )
+            .collect()[0]
+        )
+        best, cut = min(best, time.perf_counter() - t0), r["cut"]
+    out["gopher_cut"] = round(best, 2)
+    out["cut_rate"] = round(cut / n_docs, 4)
+
+    n_batch = n_docs // 64
+    idx = _r11_corpus(spark, n_docs, rep_every=1 << 30).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    half = n_batch // 2
+    near = idx.where(F.col("id") % 64 == 0).limit(half).select(
+        (F.col("id") + n_docs).alias("id"),
+        F.concat("text", F.lit(" probe batch suffix")).alias("text"),
+    )
+
+    def nword(idc, pos):  # disjoint vocab -> structurally novel
+        return F.concat(
+            F.lit("ntok"),
+            uniform_int(idc, f"nw{pos}", 0, 4999).cast("string"),
+        )
+
+    novel = gen_table(spark, half, {"bid": lambda idc: idc}).select(
+        (F.col("bid") + 2 * n_docs).alias("id"),
+        F.concat_ws(" ", *[nword(F.col("bid"), p) for p in range(24)]).alias(
+            "text"
+        ),
+    )
+    batch = near.unionAll(novel)
+    best, matched, max_cand = float("inf"), 0, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = (
+            incremental_probe_df(idx, batch)
+            .agg(
+                F.sum((F.col("n_match") > 0).cast("long")).alias("m"),
+                F.max("n_cand").alias("mc"),
+                F.count(F.lit(1)).alias("nb"),
+            )
+            .collect()[0]
+        )
+        best = min(best, time.perf_counter() - t0)
+        matched, max_cand, nb = r["m"], r["mc"], r["nb"]
+    out["incr_probe"] = round(best, 2)
+    out["probe_matched"] = int(matched)
+    out["probe_batch"] = int(nb)
+    out["probe_max_cand"] = int(max_cand)
+    return out
+
+
+def r11_cells(spark) -> dict[int, dict[str, float]]:
+    out = {}
+    for n in R11_SCALES:
+        out[n] = probe_r11(spark, n)
+        print(f"r11@{n}: {out[n]}", flush=True)
+    return out
+
+
+def r11_section(res: dict[int, dict[str, float]]) -> list[str]:
+    base, top = res[R11_SCALES[0]], res[R11_SCALES[-1]]
+    ratio = R11_SCALES[-1] // R11_SCALES[0]
+    return [
+        "## Gopher-cut & incremental-probe cells (c16/d10 plan shapes)",
+        "",
+        "gopher_cut: c16's composed repetition cut — the in-row",
+        "top-gram fold rides the scan below the ONE md5 dedup window",
+        "exchange, so time must track that shuffle ~linearly and the",
+        "cut rate must sit at the planted 1/16. incr_probe: d10's",
+        "batch-vs-index probe at |batch| = n/64 — the timed number is",
+        "dominated by the in-plan index build (at rest the index is",
+        "computed ONCE; the per-batch production cost is the broadcast",
+        "probe side alone), so the scale property to read is not the",
+        "time but the match accounting: matched tracks |batch|/2 at the",
+        "band family's analytic recall (3 bands of 2 at the planted",
+        "jaccard 0.88 -> ~0.99 of near-dups; disjoint-vocab novels",
+        "never match) and max candidate fan-in stays O(1) at every",
+        "cell. Regenerate alone with: `python tools/scale_probe.py r11`.",
+        "",
+        "| rows | gopher_cut | cut rate | incr_probe | matched/batch | max cand |",
+        "|---|---|---|---|---|---|",
+        *[
+            f"| {n:,} | {res[n]['gopher_cut']}s | {res[n]['cut_rate']} "
+            f"| {res[n]['incr_probe']}s "
+            f"| {res[n]['probe_matched']}/{res[n]['probe_batch']} "
+            f"| {res[n]['probe_max_cand']} |"
+            for n in R11_SCALES
+        ],
+        "",
+        f"Data grew {ratio}x; gopher_cut "
+        f"{top['gopher_cut'] / max(base['gopher_cut'], 0.01):.1f}x, "
+        f"incr_probe {top['incr_probe'] / max(base['incr_probe'], 0.01):.1f}x.",
+        "",
+    ]
+
+
+def patch_r11_section(res: dict[int, dict[str, float]]) -> None:
+    _patch_section("## Gopher-cut & incremental-probe cells", r11_section(res))
+
+
 def main() -> None:
     spark = build_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -2040,6 +2199,13 @@ if __name__ == "__main__":
         res = probe_rest_nparts(spark)
         print(f"rest512: {res}", flush=True)
         patch_rest_nparts_section(res, r9_8m)
+        spark.stop()
+    elif mode == "r11":
+        spark = build_session("scale-probe-r11")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
+        probe_r11(spark, 100_000)  # untimed warmup: JIT + codegen
+        patch_r11_section(r11_cells(spark))
         spark.stop()
     elif mode == "cal":
         spark = build_session("scale-probe-cal")

@@ -1278,7 +1278,16 @@ def d10_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_probe_df(idx: DataFrame, batch: DataFrame) -> DataFrame:
     """d10's probe pipeline over any (id, text) index/batch frames (the
     scale probe drives it directly, like span_excise_df for d9)."""
-    ihashed, isigs, ibands = _minhash_frames(idx)
+    return probe_with_index(*_minhash_frames(idx), batch)
+
+
+def probe_with_index(
+    ihashed: DataFrame, isigs: DataFrame, ibands: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """The probe half alone, over PREBUILT index relations — the
+    at-rest entry point: streaming/dedup.py builds (hashed, sigs,
+    bands) once as parquet and probes every micro-batch through here
+    without recomputing the corpus side."""
     bhashed, bsigs, bbands = _minhash_frames(batch)
 
     cand = (

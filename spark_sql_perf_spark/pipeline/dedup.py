@@ -1282,12 +1282,22 @@ def incremental_probe_df(idx: DataFrame, batch: DataFrame) -> DataFrame:
 
 
 def probe_with_index(
-    ihashed: DataFrame, isigs: DataFrame, ibands: DataFrame, batch: DataFrame
+    ihashed: DataFrame,
+    isigs: DataFrame,
+    ibands: DataFrame,
+    batch: DataFrame,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """The probe half alone, over PREBUILT index relations — the
     at-rest entry point: streaming/dedup.py builds (hashed, sigs,
     bands) once as parquet and probes every micro-batch through here
-    without recomputing the corpus side."""
+    without recomputing the corpus side.
+
+    ``exclude_self`` drops index entries whose id equals the probing
+    doc's own id — required once accepted novels are appended BACK to
+    the index (the grow-index loop): a redelivered batch must not match
+    a document against its own earlier acceptance, or replay would flip
+    its decision from novel to dup."""
     bhashed, bsigs, bbands = _minhash_frames(batch)
 
     cand = (
@@ -1299,6 +1309,8 @@ def probe_with_index(
         .select(F.col("b.id").alias("batch_id"), F.col("i.id").alias("idx_id"))
         .distinct()
     )
+    if exclude_self:
+        cand = cand.where(F.col("idx_id") != F.col("batch_id"))
     # candidate-first verification order (d2's proven shape): the index
     # shingle relation is filtered to candidate docs FIRST (broadcast
     # semi-shape), so the h-join never materializes the full

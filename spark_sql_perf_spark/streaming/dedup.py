@@ -115,6 +115,7 @@ def streaming_incremental_probe(
     index_dir: str,
     target_dir: str,
     max_files_per_trigger: int | None = None,
+    grow_index: bool = False,
 ):
     """Probe an arriving document stream against the at-rest index and
     MERGE each micro-batch's decisions into a bucket-partitioned
@@ -128,17 +129,29 @@ def streaming_incremental_probe(
     multi-join + aggregation pipeline (not expressible as a single
     streaming stateful operator), and per-micro-batch batch-mode
     execution against static index relations is precisely its
-    production shape."""
+    production shape.
+
+    ``grow_index=True`` closes the continuous-ingestion loop: a batch's
+    ACCEPTED novels are appended back to the at-rest index (signatures,
+    shingle sets, band buckets), so later batches dedup against earlier
+    arrivals, not just the original corpus. Replay safety is a
+    three-part contract, each part load-bearing: (a) the probe excludes
+    self-id matches (a redelivered doc would otherwise match its own
+    earlier acceptance and flip novel -> dup); (b) the decision merge
+    keeps the FIRST stored decision (_is_new ASC); (c) the append is
+    guarded by an anti-join against the LIVE index's ids, so a replayed
+    batch appends nothing. The index frames are re-read from parquet
+    inside every micro-batch — each batch must see the appends of the
+    previous one."""
     from pyspark.sql import Window
 
     from ..pipeline.dedup import probe_with_index
 
-    ihashed = spark.read.parquet(f"{index_dir}/hashed")
-    isigs = spark.read.parquet(f"{index_dir}/sigs")
-    ibands = spark.read.parquet(f"{index_dir}/bands").select("id", "band", "bh")
-
     def one_per_key(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("batch_id").orderBy(F.col("_is_new").desc())
+        # _is_new ASC: the stored decision wins, a replay cannot rewrite
+        # history (with a static index both rows are identical; with a
+        # grown index only the FIRST decision is the true one)
+        w = Window.partitionBy("batch_id").orderBy(F.col("_is_new").asc())
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -146,10 +159,36 @@ def streaming_incremental_probe(
         )
 
     def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        from ..pipeline.dedup import _minhash_frames
+
+        # fresh per micro-batch: the live index includes prior appends
+        ihashed = spark.read.parquet(f"{index_dir}/hashed")
+        isigs = spark.read.parquet(f"{index_dir}/sigs")
+        ibands = spark.read.parquet(f"{index_dir}/bands").select(
+            "id", "band", "bh"
+        )
         batch = batch_df.select(
             F.col("doc_id").alias("id"), F.lower("text").alias("text")
         )
-        out = probe_with_index(ihashed, isigs, ibands, batch)
+        out = probe_with_index(
+            ihashed, isigs, ibands, batch, exclude_self=grow_index
+        )
+        if grow_index:
+            # decide + append in one pass: novels not already indexed
+            # (the anti-join makes a replayed append a no-op)
+            out = out.localCheckpoint(eager=True)
+            fresh = (
+                out.where(F.col("is_novel"))
+                .select(F.col("batch_id").alias("id"))
+                .join(isigs.select("id"), "id", "left_anti")
+            )
+            novels = batch.join(F.broadcast(fresh), "id")
+            nhashed, nsigs, nbands = _minhash_frames(novels)
+            nhashed.write.mode("append").parquet(f"{index_dir}/hashed")
+            nsigs.write.mode("append").parquet(f"{index_dir}/sigs")
+            nbands.write.mode("append").partitionBy("band").parquet(
+                f"{index_dir}/bands"
+            )
         merge_into_buckets(out, target_dir, "batch_id", one_per_key)
 
     stream = stream_documents(spark, sf_dir, stream_dir, max_files_per_trigger)

@@ -77,3 +77,91 @@ def test_streaming_probe_matches_batch_and_survives_replay(spark):
     assert got == want
     assert any(v[-1] for v in got.values())  # novels present
     assert any(not v[-1] for v in got.values())  # matches present
+
+
+def test_streaming_probe_grow_index_loop(spark):
+    """The full continuous-ingestion loop (grow_index=True): batch A's
+    accepted novels join the at-rest index, so batch B's near-dups OF
+    THOSE NOVELS match them (not just the original corpus); a
+    redelivery of batch A then changes neither the decisions table nor
+    the index (self-exclusion + first-decision-wins + guarded append)."""
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.streaming.dedup import (
+        build_probe_index,
+        streaming_incremental_probe,
+    )
+
+    work = tempfile.mkdtemp(prefix="probe-grow-")
+    index_dir = os.path.join(work, "index")
+    stream_dir = os.path.join(work, "arrivals")
+    target_dir = os.path.join(work, "decisions")
+    os.makedirs(stream_dir)
+    build_probe_index(spark, SF_DIR_TINY, index_dir)
+
+    docs = table(spark, SF_DIR_TINY, "documents")
+    meta = ["lang", "source", "n_chars"]
+    # batch A: word-reversed docs — novel vs the corpus, will be indexed
+    batch_a = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.lower("text"), r"\s+")), " ").alias(
+            "text"
+        ),
+        *meta,
+    )
+    # batch B: near-dups OF BATCH A's novels (suffix on the reversed text)
+    batch_b = batch_a.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" probe batch suffix")).alias("text"),
+        *meta,
+    )
+
+    def deliver(df, name):
+        path = os.path.join(work, f"{name}.parquet")
+        df.coalesce(1).write.parquet(path)
+        part = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+        os.symlink(os.path.join(path, part),
+                   os.path.join(stream_dir, f"{name}.parquet"))
+
+    def drain():
+        q = streaming_incremental_probe(
+            spark, SF_DIR_TINY, stream_dir, index_dir, target_dir,
+            max_files_per_trigger=1, grow_index=True,
+        )
+        q.awaitTermination(180)
+
+    def decisions():
+        return {
+            r["batch_id"]: (r["n_match"], r["match_id_min"], r["is_novel"])
+            for r in spark.read.parquet(target_dir).collect()
+        }
+
+    deliver(batch_a, "arrival-0")
+    drain()
+    after_a = decisions()
+    assert after_a and all(v[2] for v in after_a.values()), after_a  # all novel
+    n_a = len(after_a)
+
+    deliver(batch_b, "arrival-1")
+    drain()
+    after_b = decisions()
+    b_rows = {k: v for k, v in after_b.items() if k >= 3_000_000}
+    assert len(b_rows) == n_a
+    # every B doc matches, and its best match is its OWN batch-A source
+    # (id - 1e6) — proof the index grew between batches
+    for bid, (n_match, match_id, is_novel) in b_rows.items():
+        assert n_match >= 1 and not is_novel, (bid, n_match, is_novel)
+        assert match_id == bid - 1_000_000, (bid, match_id)
+    # A's stored decisions unchanged
+    assert {k: v for k, v in after_b.items() if k < 3_000_000} == after_a
+
+    # redelivery of batch A (same content, new file): nothing changes
+    sigs_before = spark.read.parquet(f"{index_dir}/sigs").count()
+    deliver(batch_a, "arrival-2")
+    drain()
+    assert decisions() == after_b
+    assert spark.read.parquet(f"{index_dir}/sigs").count() == sigs_before
+    per_id = (
+        spark.read.parquet(f"{index_dir}/sigs")
+        .groupBy("id").count().where(F.col("count") > 1).count()
+    )
+    assert per_id == 0  # no id indexed twice

@@ -173,10 +173,19 @@ def streaming_incremental_probe(
         out = probe_with_index(
             ihashed, isigs, ibands, batch, exclude_self=grow_index
         )
-        if grow_index:
+        if not grow_index:
+            merge_into_buckets(out, target_dir, "batch_id", one_per_key)
+            return
+        # Freeze decisions BEFORE mutating the index: localCheckpoint
+        # (not cache) because a cache-evicted recompute would re-read
+        # the GROWN index and silently flip novel -> dup mid-batch.
+        # The checkpoint blocks are released once the batch's merge is
+        # done — a long-running stream must not accumulate one pinned
+        # RDD per micro-batch.
+        out = out.localCheckpoint(eager=True)
+        try:
             # decide + append in one pass: novels not already indexed
             # (the anti-join makes a replayed append a no-op)
-            out = out.localCheckpoint(eager=True)
             fresh = (
                 out.where(F.col("is_novel"))
                 .select(F.col("batch_id").alias("id"))
@@ -189,7 +198,12 @@ def streaming_incremental_probe(
             nbands.write.mode("append").partitionBy("band").parquet(
                 f"{index_dir}/bands"
             )
-        merge_into_buckets(out, target_dir, "batch_id", one_per_key)
+            merge_into_buckets(out, target_dir, "batch_id", one_per_key)
+        finally:
+            try:
+                out._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
 
     stream = stream_documents(spark, sf_dir, stream_dir, max_files_per_trigger)
     return (

@@ -114,6 +114,10 @@ EXTRA = [
     # dedup exchange with zero Generate and zero joins
     "c15_leakage_safe_split",
     "c16_repetition_cut_split",
+    # r11: the incremental probe — every join must broadcast the
+    # batch-derived side (zero SortMergeJoin; the index relations never
+    # shuffle on batch keys)
+    "d10_incremental_lsh_probe",
 ]
 
 

@@ -64,3 +64,35 @@ def test_previous_times_skip_truncated_artifacts():
     assert all(isinstance(v, (int, float)) and v > 0 for v in times.values())
     # most headline queries should overlap the recovered baseline
     assert len(set(times) & set(bench.HEADLINE)) >= 10
+
+
+def test_shape_medians_exclude_current_round_impl_changed(monkeypatch):
+    """r10 ADVICE: a calibration query flagged _IMPL_CHANGED for the
+    measured round must not feed its shape median — its ratio measures
+    the plan change, not box drift. With d8 excluded and only one other
+    explode ratio shared, the class falls back to the global median
+    instead of resting on d8's (here deliberately absurd) 10x ratio."""
+    shared = {
+        q: 1.0
+        for q in bench.CAL_SHAPES["scan_join_agg"]
+        + ["w2_running_total", "e3_session_window", "thermo_window_sort"]
+    }
+    prev_times = dict(shared, d8_duplicated_spans=1.0, thermo_explode_hash=1.0)
+    times = dict(shared, d8_duplicated_spans=10.0)
+    thermo = {"thermo_explode_hash": 1.0}
+
+    monkeypatch.setattr(bench, "_current_impl_changed", lambda: set())
+    n = bench.normalize_vs_previous(times, ("BENCH_r99.json", prev_times), thermo)
+    # not excluded: the 2-element explode median is dragged to 5.5
+    assert n["calibration"]["shape_medians"]["explode_shuffle"] == 5.5
+    assert n["calibration"]["shape_basis"]["explode_shuffle"] == "2_shared"
+
+    monkeypatch.setattr(
+        bench, "_current_impl_changed", lambda: {"d8_duplicated_spans"}
+    )
+    n = bench.normalize_vs_previous(times, ("BENCH_r99.json", prev_times), thermo)
+    # excluded: one ratio left -> fallback to the (undragged) global
+    assert n["calibration"]["shape_basis"]["explode_shuffle"] == "fallback_global"
+    assert n["calibration"]["shape_medians"]["explode_shuffle"] == 1.0
+    # the excluded ratio stays auditable
+    assert n["calibration"]["ratios"]["d8_duplicated_spans"] == 10.0

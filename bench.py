@@ -121,6 +121,12 @@ HEADLINE = [
     # r9: the duplicated-span extraction — shingle explode + digest
     # winner agg + doc-partitioned islands, the round's new heavy shape
     "d8_duplicated_spans",
+    # r11: the two new heavy shapes — the composed Gopher cut (in-row
+    # fold below one md5 dedup window) and the incremental batch-vs-
+    # index probe (broadcast probe joins over the in-plan index build).
+    # No prior-round baseline this round; they gain ratios from r12.
+    "c16_repetition_cut_split",
+    "d10_incremental_lsh_probe",
 ]
 
 # Box-drift thermometers, grouped by PLAN SHAPE (r10): every entry reads
@@ -195,6 +201,11 @@ SHAPE_OF = {
     "c1_decontaminate_4gram": "explode_shuffle",
     "sim6_knn_graph": "explode_shuffle",
     "d8_duplicated_spans": "explode_shuffle",
+    # r11 headline additions: c16's dominant exchange is the md5 dedup
+    # window (sort-heavy, no explode anywhere in-plan); d10 shuffles
+    # its shingle-explode-derived relations through distinct/groupBy
+    "c16_repetition_cut_split": "window_sort",
+    "d10_incremental_lsh_probe": "explode_shuffle",
 }
 
 # A shape median needs at least this many shared ratios vs the previous
@@ -584,11 +595,11 @@ def main() -> None:
                 v["normalized_after"] = normalized["queries_normalized"].get(q)
             payload["variance"] = variance
         payload["thermo_samples"] = thermo_samples
-    # Bench wall-clock self-report: 17 headline queries x min-of-5 + 3
+    # Bench wall-clock self-report: 19 headline queries x min-of-5 + 3
     # generated thermometers x min-of-8 plus receipt re-samples (the
     # ALWAYS_SAMPLED pair re-samples every round by design). The
     # re-sample tier otherwise only triggers on shifted queries, so the
-    # bound is ~(17*5 + 3*8 + (2+shifted)*3) executions; if every query
+    # bound is ~(19*5 + 3*8 + (2+shifted)*3) executions; if every query
     # shifted (a box-wide event the calibration medians would absorb
     # first), the run grows ~60% — acceptable, and now visible.
     payload["bench_runtime_sec"] = round(time.perf_counter() - t_start, 1)

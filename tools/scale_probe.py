@@ -1839,15 +1839,23 @@ def probe_r11(spark, n_docs: int) -> dict[str, float]:
     rate (the fold is per-row; a super-linear term here would mean the
     fold leaked into a join or Generate).
 
-    incr_probe: d10's batch-vs-index probe with |batch| = n/64 (half
-    near-dups of index docs, half novel over a DISJOINT vocab). The
-    in-plan index build (shingle -> sig -> bands) is the honest
-    dominant cost at probe time HERE because the probe rebuilds the
-    index per run; at rest it is computed once, so what must stay
-    batch-bounded is the match/candidate side: n_match must track
-    |batch|/2 exactly and max candidate fan-in stays O(1)."""
+    index_build / probe_only: d10's two cost halves, separated the way
+    production separates them — the index relations (shingle sets,
+    sigs, bands) are written ONCE as parquet (the at-rest form the
+    streaming probe reads), then a FIXED 8k-doc batch (half near-dups
+    of index docs, half novel over a DISJOINT vocab) probes the
+    at-rest index. index_build grows with the corpus and
+    amortizes over the stream's lifetime; probe_only is what every
+    batch pays — one scan of the index relations plus batch-bounded
+    broadcast joins, no index shuffle (the at-rest amortization claim,
+    measured instead of asserted). Match accounting must hold at every
+    cell: matched tracks |batch|/2 at the band family's analytic
+    recall, max candidate fan-in O(1)."""
     from spark_sql_perf_spark.pipeline.curation import repetition_cut_split_df
-    from spark_sql_perf_spark.pipeline.dedup import incremental_probe_df
+    from spark_sql_perf_spark.pipeline.dedup import (
+        _minhash_frames,
+        probe_with_index,
+    )
 
     out: dict[str, float] = {}
     corpus = _r11_corpus(spark, n_docs)
@@ -1866,12 +1874,13 @@ def probe_r11(spark, n_docs: int) -> dict[str, float]:
     out["gopher_cut"] = round(best, 2)
     out["cut_rate"] = round(cut / n_docs, 4)
 
-    n_batch = n_docs // 64
+    n_batch = 8192  # FIXED batch size: the per-batch cost must be read
+    # against a GROWING index, which is the production question
     idx = _r11_corpus(spark, n_docs, rep_every=1 << 30).select(
         F.col("doc_id").alias("id"), "text"
     )
     half = n_batch // 2
-    near = idx.where(F.col("id") % 64 == 0).limit(half).select(
+    near = idx.where(F.col("id") % (n_docs // half) == 0).limit(half).select(
         (F.col("id") + n_docs).alias("id"),
         F.concat("text", F.lit(" probe batch suffix")).alias("text"),
     )
@@ -1889,21 +1898,54 @@ def probe_r11(spark, n_docs: int) -> dict[str, float]:
         ),
     )
     batch = near.unionAll(novel)
-    best, matched, max_cand = float("inf"), 0, 0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        r = (
-            incremental_probe_df(idx, batch)
-            .agg(
-                F.sum((F.col("n_match") > 0).cast("long")).alias("m"),
-                F.max("n_cand").alias("mc"),
-                F.count(F.lit(1)).alias("nb"),
+    # Materialize the index AT REST as parquet — the actual production
+    # form (a localCheckpoint of the 22n-row shingle relation OOMs at
+    # the 16M cell: MEMORY_AND_DISK stores deserialized row objects;
+    # parquet is also what the streaming probe reads). The shingle
+    # relation is 22n rows; size the build shuffle to ~10M rows/task at
+    # the big cells (probe_d8's convention), restore after.
+    import shutil
+    import tempfile
+
+    conf = spark.conf
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    index_dir = tempfile.mkdtemp(prefix="probe-r11-index-")
+    t0 = time.perf_counter()
+    try:
+        if n_docs >= 8_000_000:
+            conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(32, (n_docs * 22) // 10_000_000)),
             )
-            .collect()[0]
-        )
-        best = min(best, time.perf_counter() - t0)
-        matched, max_cand, nb = r["m"], r["mc"], r["nb"]
-    out["incr_probe"] = round(best, 2)
+        ihashed, isigs, ibands = _minhash_frames(idx)
+        ihashed.write.mode("overwrite").parquet(f"{index_dir}/hashed")
+        isigs.write.mode("overwrite").parquet(f"{index_dir}/sigs")
+        ibands.write.mode("overwrite").parquet(f"{index_dir}/bands")
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out["index_build"] = round(time.perf_counter() - t0, 2)
+    index = [
+        spark.read.parquet(f"{index_dir}/{rel}")
+        for rel in ("hashed", "sigs", "bands")
+    ]
+    best, matched, max_cand = float("inf"), 0, 0
+    try:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = (
+                probe_with_index(*index, batch)
+                .agg(
+                    F.sum((F.col("n_match") > 0).cast("long")).alias("m"),
+                    F.max("n_cand").alias("mc"),
+                    F.count(F.lit(1)).alias("nb"),
+                )
+                .collect()[0]
+            )
+            best = min(best, time.perf_counter() - t0)
+            matched, max_cand, nb = r["m"], r["mc"], r["nb"]
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    out["probe_only"] = round(best, 2)
     out["probe_matched"] = int(matched)
     out["probe_batch"] = int(nb)
     out["probe_max_cand"] = int(max_cand)
@@ -1927,22 +1969,26 @@ def r11_section(res: dict[int, dict[str, float]]) -> list[str]:
         "gopher_cut: c16's composed repetition cut — the in-row",
         "top-gram fold rides the scan below the ONE md5 dedup window",
         "exchange, so time must track that shuffle ~linearly and the",
-        "cut rate must sit at the planted 1/16. incr_probe: d10's",
-        "batch-vs-index probe at |batch| = n/64 — the timed number is",
-        "dominated by the in-plan index build (at rest the index is",
-        "computed ONCE; the per-batch production cost is the broadcast",
-        "probe side alone), so the scale property to read is not the",
-        "time but the match accounting: matched tracks |batch|/2 at the",
-        "band family's analytic recall (3 bands of 2 at the planted",
-        "jaccard 0.88 -> ~0.99 of near-dups; disjoint-vocab novels",
-        "never match) and max candidate fan-in stays O(1) at every",
-        "cell. Regenerate alone with: `python tools/scale_probe.py r11`.",
+        "cut rate must sit at the planted 1/16. index_build/probe_only:",
+        "d10's two cost halves separated the way production separates",
+        "them — the index relations are written ONCE as parquet (the",
+        "at-rest form the streaming probe reads), then a",
+        "FIXED 8k-doc batch (half near-dups, half disjoint-vocab",
+        "novels) probes the at-rest index. index_build grows with",
+        "the corpus and amortizes over the stream's lifetime;",
+        "probe_only is what EVERY batch pays — one scan of the index",
+        "relations plus batch-bounded broadcast joins, no index",
+        "shuffle. Match accounting at every cell: matched tracks",
+        "|batch|/2 at the band family's analytic recall (3 bands of 2",
+        "at the planted jaccard 0.88 -> ~0.99 of near-dups;",
+        "disjoint-vocab novels never match), max candidate fan-in O(1).",
+        "Regenerate alone with: `python tools/scale_probe.py r11`.",
         "",
-        "| rows | gopher_cut | cut rate | incr_probe | matched/batch | max cand |",
-        "|---|---|---|---|---|---|",
+        "| rows | gopher_cut | cut rate | index_build | probe_only | matched/batch | max cand |",
+        "|---|---|---|---|---|---|---|",
         *[
             f"| {n:,} | {res[n]['gopher_cut']}s | {res[n]['cut_rate']} "
-            f"| {res[n]['incr_probe']}s "
+            f"| {res[n]['index_build']}s | {res[n]['probe_only']}s "
             f"| {res[n]['probe_matched']}/{res[n]['probe_batch']} "
             f"| {res[n]['probe_max_cand']} |"
             for n in R11_SCALES
@@ -1950,7 +1996,8 @@ def r11_section(res: dict[int, dict[str, float]]) -> list[str]:
         "",
         f"Data grew {ratio}x; gopher_cut "
         f"{top['gopher_cut'] / max(base['gopher_cut'], 0.01):.1f}x, "
-        f"incr_probe {top['incr_probe'] / max(base['incr_probe'], 0.01):.1f}x.",
+        f"index_build {top['index_build'] / max(base['index_build'], 0.01):.1f}x, "
+        f"probe_only {top['probe_only'] / max(base['probe_only'], 0.01):.1f}x.",
         "",
     ]
 

@@ -518,3 +518,64 @@ def test_c16_repetition_cut_plan_and_accounting(spark):
     # AQE prints initial+final: 2 logical exchanges (dedup window,
     # rollup agg) -> at most 4 textual occurrences
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def _ref_gram_stats(words: list[str], n: int) -> tuple[int, int, int]:
+    """Reference (total, top-multiplicity, distinct) over n-grams."""
+    from collections import Counter
+
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    c = Counter(grams)
+    return len(grams), max(c.values()), len(c)
+
+
+def test_gram_fold_matches_python_reference(spark):
+    """The sorted-run aggregate fold behind t8 and c16's cut is the
+    trickiest in-row expression in the repo — cross-validate (total,
+    top-multiplicity, distinct) for 2- and 3-grams against a plain
+    Counter over adversarial word lists: heavy repetition, all-equal,
+    minimum lengths, interleaved runs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from spark_sql_perf_spark.pipeline.textstats import (
+        gram_top_total_distinct,
+    )
+
+    @settings(
+        deadline=None,
+        max_examples=15,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "ab"]), min_size=3, max_size=40
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def run(docs):
+        df = spark.createDataFrame(
+            [(i, ws) for i, ws in enumerate(docs)],
+            "doc_id long, ws array<string>",
+        )
+        t2, top2, d2_ = gram_top_total_distinct(2)
+        t3, top3, d3_ = gram_top_total_distinct(3)
+        got = {
+            r["doc_id"]: tuple(r[c] for c in
+                               ("t2", "top2", "d2", "t3", "top3", "d3"))
+            for r in df.select(
+                "doc_id",
+                t2.alias("t2"), top2.alias("top2"), d2_.alias("d2"),
+                t3.alias("t3"), top3.alias("top3"), d3_.alias("d3"),
+            ).collect()
+        }
+        want = {
+            i: _ref_gram_stats(ws, 2) + _ref_gram_stats(ws, 3)
+            for i, ws in enumerate(docs)
+        }
+        assert got == want
+
+    run()

@@ -1575,12 +1575,13 @@ def c16_repetition_cut_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_cut_split_df(corpus)
 
 
-def repetition_cut_split_df(corpus: DataFrame) -> DataFrame:
-    """c16's pipeline over any (doc_id, source, text) frame (the scale
-    probe drives it directly, like dedup.span_excise_df for d9)."""
+def repetition_cut_flag() -> Column:
+    """The Gopher cut predicate over a ``ws: array<string>`` column —
+    a stateless in-row expression, so the SAME flag rides a batch scan
+    (c16) or a document stream (streaming.dedup.streaming_quality_cut)
+    unchanged."""
     from .textstats import gram_top_total_distinct
 
-    ws = F.split("text", _WS_SPLIT)
     t2, top2, _ = gram_top_total_distinct(2)
     t3, top3, _ = gram_top_total_distinct(3)
 
@@ -1593,14 +1594,18 @@ def repetition_cut_split_df(corpus: DataFrame) -> DataFrame:
             F.lit(False),
         )
 
-    m = corpus.withColumn("ws", ws).select(
+    return over(top2, t2, _C16_TOP2, 2) | over(top3, t3, _C16_TOP3, 3)
+
+
+def repetition_cut_split_df(corpus: DataFrame) -> DataFrame:
+    """c16's pipeline over any (doc_id, source, text) frame (the scale
+    probe drives it directly, like dedup.span_excise_df for d9)."""
+    m = corpus.withColumn("ws", F.split("text", _WS_SPLIT)).select(
         "doc_id",
         "source",
         "text",
         F.size("ws").cast("long").alias("tok"),
-        (over(top2, t2, _C16_TOP2, 2) | over(top3, t3, _C16_TOP3, 3)).alias(
-            "cut"
-        ),
+        repetition_cut_flag().alias("cut"),
     )
     rn = F.row_number().over(
         Window.partitionBy(F.md5("text")).orderBy("doc_id")

@@ -214,3 +214,40 @@ def streaming_incremental_probe(
         )
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming quality cut (the streaming face of c16's Gopher cut)
+# ---------------------------------------------------------------------------
+
+
+def streaming_quality_cut(
+    spark: SparkSession, sf_dir: str, stream_dir: str, delay: str = "2 hours"
+) -> DataFrame:
+    """c16's Gopher repetition cut + exact dedup applied ON THE STREAM:
+    the in-row top-gram fold is a stateless projection (it rides each
+    micro-batch with zero state), and duplicate suppression is
+    dropDuplicatesWithinWatermark on the content hash — bounded state,
+    the same exactly-once discipline as streaming_dedup.
+
+    Documents carry no event time, so the dedup window is ARRIVAL time
+    (an injected processing-time column) — the standard choice for
+    ingest dedup where re-deliveries cluster within minutes of the
+    original. Cut documents never enter the dedup state at all: the
+    filter sits below the stateful operator, so boilerplate floods
+    (the very thing the Gopher rules drop) cannot balloon state."""
+    from ..pipeline.curation import _WS_SPLIT, repetition_cut_flag
+
+    docs = stream_documents(spark, sf_dir, stream_dir)
+    kept = (
+        docs.withColumn("text", F.lower("text"))
+        .withColumn("ws", F.split("text", _WS_SPLIT))
+        .where(~repetition_cut_flag())
+        .drop("ws")
+    )
+    return (
+        kept.withColumn("arrival_ts", F.current_timestamp())
+        .withWatermark("arrival_ts", delay)
+        .withColumn("content_key", F.md5("text"))
+        .dropDuplicatesWithinWatermark(["content_key"])
+    )

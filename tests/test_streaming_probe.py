@@ -165,3 +165,71 @@ def test_streaming_probe_grow_index_loop(spark):
         .groupBy("id").count().where(F.col("count") > 1).count()
     )
     assert per_id == 0  # no id indexed twice
+
+
+def test_streaming_quality_cut_matches_batch_semantics(spark):
+    """The streaming face of c16: over a twice-delivered file of
+    documents with planted repetitive docs and verbatim copies, the
+    drained stream must contain exactly one row per distinct SURVIVING
+    text — repetitive docs cut (never entering dedup state), copies and
+    re-deliveries collapsed — i.e. the same kept-set as the batch cut."""
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.pipeline.curation import (
+        _WS_SPLIT,
+        repetition_cut_flag,
+    )
+    from spark_sql_perf_spark.streaming.dedup import (
+        run_stream_append,
+        streaming_quality_cut,
+    )
+
+    work = tempfile.mkdtemp(prefix="qcut-stream-")
+    stream_dir = os.path.join(work, "arrivals")
+    os.makedirs(stream_dir)
+
+    docs = table(spark, SF_DIR_TINY, "documents")
+    meta = ["lang", "source", "n_chars"]
+    base = docs.select("doc_id", F.lower("text").alias("text"), *meta)
+    rep = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.trim(
+            F.repeat(
+                F.concat(
+                    F.array_join(F.slice(F.split("text", _WS_SPLIT), 1, 3), " "),
+                    F.lit(" "),
+                ),
+                8,
+            )
+        ).alias("text"),
+        *meta,
+    )
+    copies = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", *meta
+    )
+    corpus = base.unionAll(rep).unionAll(copies)
+    staged = os.path.join(work, "corpus.parquet")
+    corpus.coalesce(1).write.parquet(staged)
+    part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+    for copy in ("arrival-0.parquet", "arrival-1.parquet"):  # re-delivery
+        os.symlink(os.path.join(staged, part), os.path.join(stream_dir, copy))
+
+    out = streaming_quality_cut(spark, SF_DIR_TINY, stream_dir)
+    assert out.isStreaming
+    run_stream_append(out, "qcut_out")
+    got = spark.table("qcut_out")
+
+    expected_md5 = {
+        r["m"]
+        for r in corpus.withColumn("ws", F.split("text", _WS_SPLIT))
+        .where(~repetition_cut_flag())
+        .select(F.md5("text").alias("m"))
+        .distinct()
+        .collect()
+    }
+    got_md5 = [r["content_key"] for r in got.select("content_key").collect()]
+    assert len(got_md5) == len(expected_md5)  # exactly-once per text
+    assert set(got_md5) == expected_md5
+    # the planted repetitive docs were cut BEFORE the stateful operator
+    assert got.where(F.col("doc_id") >= 1_000_000).where(
+        F.col("doc_id") < 2_000_000
+    ).count() == 0

@@ -60,17 +60,9 @@ def _correctness_files() -> list[str]:
 # be garbage-collected at leisure (it no longer needs hand-clearing each
 # round; a stale green row simply never vouches for newer code).
 _IMPL_CHANGED: dict[str, int] = {
-    # r10 entries GC'd (d8/d9 both re-verified green in
-    # CORRECTNESS_r10.json, so those entries were inert).
-    # r11: covered_word_sets now applies its own size(ws) >= k guard
-    # (r10 ADVICE) — a no-op predicate for d9 (whose caller still
-    # pre-filters) but an executed-plan change for both consumers, and
-    # c14 additionally dropped its now-redundant outer pre-filter; c15
-    # gained the token-weighted leakage columns (n_tok/n_tok_rehomed)
-    # via a (doc_id, tok) join. All three re-verify.
-    "d9_span_excise": 11,
-    "c14_dedup_excise_split": 11,
-    "c15_leakage_safe_split": 11,
+    # r11 entries GC'd (d9/c14/c15 all re-verified green in
+    # CORRECTNESS_r11.json, so those entries were inert — same
+    # hygiene as the r10 GC).
 }
 
 

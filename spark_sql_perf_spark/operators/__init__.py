@@ -43,6 +43,7 @@ from ..pipeline import (  # noqa: F401
     textstats,
     tfidf,
 )
+from ..streaming import dedup as stream_dedup  # noqa: F401
 from ..streaming import windows as event_windows  # noqa: F401
 from .registry import ORACLES, QUERIES
 

@@ -1520,30 +1520,12 @@ def _c16_oracle() -> str:
     """
 
 
-def c16_repetition_cut_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t8's Gopher repetition signals applied as a CUT and composed
-    into the curation line (r11, the published-pipeline order): drop
-    documents whose top-2-gram / top-3-gram share exceeds the Rae et
-    al. thresholds (see the _C16_* note on why the duplicated-word
-    fraction stays a metric, not a cut), exact-dedup the
-    survivors (keep-first, d1/c10's window shape), hash-split, and
-    account every document per (split, source) as cut_rep / dupe /
-    kept, with surviving token mass.
-
-    The one-frame trick: identical texts have identical in-row metrics,
-    so a duplicate group is cut or kept as a UNIT — the keep-first
-    window (partition md5(text), order doc_id) and the cut flag compose
-    as a single CASE, no survivors-only re-shuffle or union-back.
-
-    100 TB design: the repetition fold rides the scan IN-ROW (t8's
-    zero-exchange aggregate fold, shared via gram_top_total_distinct)
-    BELOW the dedup exchange, so cut documents are flagged before the
-    corpus ever shuffles and the whole operator is exactly two
-    exchanges: the md5 dedup window and the final rollup. Plan-gated in
-    test_curation.py: no Generate (the relational explode form would
-    blow the corpus 20x pre-shuffle), no join, <= 2 logical exchanges.
-    O(len log len) per doc, independent of corpus size.
-    """
+def _c16_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted verification corpus both c16 and its streaming face
+    (e6) run over — the Spark twin of _C16_CORPUS_SQL: natural docs +
+    repetitive copies (+1e6, trip the top-gram cut) + verbatim copies
+    (+2e6, feed the dedup stage). (doc_id, source, text) with text
+    lowered."""
     docs = table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", F.lower("text").alias("text")
@@ -1571,8 +1553,34 @@ def c16_repetition_cut_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_copy = base.where(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "source", "text"
     )
-    corpus = base.unionAll(rep_copy).unionAll(exact_copy)
-    return repetition_cut_split_df(corpus)
+    return base.unionAll(rep_copy).unionAll(exact_copy)
+
+
+def c16_repetition_cut_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t8's Gopher repetition signals applied as a CUT and composed
+    into the curation line (r11, the published-pipeline order): drop
+    documents whose top-2-gram / top-3-gram share exceeds the Rae et
+    al. thresholds (see the _C16_* note on why the duplicated-word
+    fraction stays a metric, not a cut), exact-dedup the
+    survivors (keep-first, d1/c10's window shape), hash-split, and
+    account every document per (split, source) as cut_rep / dupe /
+    kept, with surviving token mass.
+
+    The one-frame trick: identical texts have identical in-row metrics,
+    so a duplicate group is cut or kept as a UNIT — the keep-first
+    window (partition md5(text), order doc_id) and the cut flag compose
+    as a single CASE, no survivors-only re-shuffle or union-back.
+
+    100 TB design: the repetition fold rides the scan IN-ROW (t8's
+    zero-exchange aggregate fold, shared via gram_top_total_distinct)
+    BELOW the dedup exchange, so cut documents are flagged before the
+    corpus ever shuffles and the whole operator is exactly two
+    exchanges: the md5 dedup window and the final rollup. Plan-gated in
+    test_curation.py: no Generate (the relational explode form would
+    blow the corpus 20x pre-shuffle), no join, <= 2 logical exchanges.
+    O(len log len) per doc, independent of corpus size.
+    """
+    return repetition_cut_split_df(_c16_corpus(spark, sf_dir))
 
 
 def repetition_cut_flag() -> Column:

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.registry import query
 from .sink import merge_into_buckets
 from .windows import stream_events
 
@@ -108,6 +109,151 @@ def build_probe_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     )
 
 
+# The three at-rest index relations and their partition column (bands
+# is laid out by band so a probe prunes to the band directories its
+# signatures hit — see build_probe_index).
+_INDEX_RELS: tuple[tuple[str, str | None], ...] = (
+    ("hashed", None),
+    ("sigs", None),
+    ("bands", "band"),
+)
+
+
+def _index_fs(spark: SparkSession, index_dir: str):
+    """(FileSystem, Path class) for the index root — the Hadoop FS API,
+    not driver-local os functions, for the same object-store honesty as
+    sink._target_has_buckets."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm.org.apache.hadoop.fs.Path
+
+
+def _count_data_files(fs, Path, dir_path: str) -> int:
+    """Recursive data-file count (metadata files excluded) — the number
+    the probe's file-listing cost is proportional to."""
+    if not fs.exists(Path(dir_path)):
+        return 0
+    it = fs.listFiles(Path(dir_path), True)
+    n = 0
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            n += 1
+    return n
+
+
+def index_file_counts(spark: SparkSession, index_dir: str) -> dict[str, int]:
+    """Data-file count per index relation — the accretion observable
+    the compaction threshold watches."""
+    fs, Path = _index_fs(spark, index_dir)
+    return {
+        rel: _count_data_files(fs, Path, f"{index_dir}/{rel}")
+        for rel, _ in _INDEX_RELS
+    }
+
+
+def grow_index_append(spark: SparkSession, index_dir: str, novels: DataFrame) -> None:
+    """Append accepted novels (an (id, text) frame) to the at-rest
+    index, each relation INDEPENDENTLY guarded: an id is appended to
+    hashed/sigs/bands only if that relation does not already hold it.
+
+    Per-relation guards (not one shared anti-join) are what make the
+    three non-atomic appends converge under crash-and-replay: a crash
+    between the hashed and sigs appends leaves hashed grown and sigs
+    not — on replay the hashed guard skips (no duplicate (id, h) rows
+    to inflate n_common/jaccard) while the sigs and bands guards see
+    the ids missing and catch up. Any crash point leaves each relation
+    either fully appended or untouched for a given id, and replay
+    completes exactly the missing ones.
+
+    Guard cost: one id-column scan per relation with a BROADCAST
+    semi-filter on the (batch-bounded) novel ids — no index shuffle,
+    same asymptotics as the probe's own index scans."""
+    from ..pipeline.dedup import _minhash_frames
+
+    novel_ids = novels.select("id").distinct()
+    frames = dict(zip(("hashed", "sigs", "bands"), _minhash_frames(novels)))
+    for rel, part in _INDEX_RELS:
+        live_ids = (
+            spark.read.parquet(f"{index_dir}/{rel}")
+            .select("id")
+            .join(F.broadcast(novel_ids), "id", "left_semi")
+            .distinct()
+        )
+        missing = novel_ids.join(F.broadcast(live_ids), "id", "left_anti")
+        to_append = frames[rel].join(F.broadcast(missing), "id")
+        writer = to_append.write.mode("append")
+        if part:
+            writer = writer.partitionBy(part)
+        writer.parquet(f"{index_dir}/{rel}")
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, max_files: int = 64
+) -> dict[str, int]:
+    """Rewrite any index relation whose data-file count exceeds
+    ``max_files`` into a compact layout (the small-files answer for the
+    grow-index loop: per-micro-batch appends write one file-set per
+    batch, and after 10^4 batches the probe's index scan is
+    file-listing-bound — the same tax SCALE_PROBE measured for sim8).
+    Returns {relation: file_count_before} for the relations rewritten.
+
+    Target file count is sized from the relation's byte size (~128 MB
+    per file, Spark's default maxPartitionBytes, so a compacted file is
+    one scan split); ``bands`` keeps its band partitioning.
+
+    Crash discipline: write to ``<rel>__compact_tmp``, then swap via
+    rename — rel -> <rel>__old, tmp -> rel, delete old. The swap is
+    delete-then-rename with the same mid-commit crash window as the
+    upsert sink's dynamic-partition overwrite (documented there); every
+    call first RECOVERS from a prior crash (restore <rel>__old if the
+    live relation is missing, clear stale tmp/old otherwise), so the
+    single-writer loop self-heals on its next batch. Compaction must
+    run from that single writer loop — between micro-batches, never
+    concurrently with a probe or an append."""
+    fs, Path = _index_fs(spark, index_dir)
+    compacted: dict[str, int] = {}
+    for rel, part in _INDEX_RELS:
+        live, old, tmp = (
+            f"{index_dir}/{rel}",
+            f"{index_dir}/{rel}__old",
+            f"{index_dir}/{rel}__compact_tmp",
+        )
+        # recovery from a prior crashed swap, cheapest-correct order:
+        # a missing live relation means the crash hit between the two
+        # renames — restore the original (definitely-complete) copy
+        if not fs.exists(Path(live)) and fs.exists(Path(old)):
+            if not fs.rename(Path(old), Path(live)):
+                raise IOError(f"compact_index: could not restore {live}")
+        if fs.exists(Path(old)):
+            fs.delete(Path(old), True)
+        if fs.exists(Path(tmp)):
+            fs.delete(Path(tmp), True)
+
+        n_files = _count_data_files(fs, Path, live)
+        if n_files <= max_files:
+            continue
+        nbytes = fs.getContentSummary(Path(live)).getLength()
+        n_target = max(1, int(nbytes // (128 * 1024 * 1024)) + 1)
+        df = spark.read.parquet(live)
+        if part:
+            # hash-distribute by the partition column so each band's
+            # rows coalesce into one task -> one file per band dir
+            writer = df.repartition(
+                max(n_target, 16), F.col(part)
+            ).write.mode("overwrite").partitionBy(part)
+        else:
+            writer = df.repartition(n_target).write.mode("overwrite")
+        writer.parquet(tmp)
+        if not fs.rename(Path(live), Path(old)):
+            raise IOError(f"compact_index: could not stage {live} aside")
+        if not fs.rename(Path(tmp), Path(live)):
+            raise IOError(f"compact_index: could not publish {tmp}")
+        fs.delete(Path(old), True)
+        compacted[rel] = n_files
+    return compacted
+
+
 def streaming_incremental_probe(
     spark: SparkSession,
     sf_dir: str,
@@ -116,6 +262,8 @@ def streaming_incremental_probe(
     target_dir: str,
     max_files_per_trigger: int | None = None,
     grow_index: bool = False,
+    compact_every: int | None = None,
+    compact_max_files: int = 64,
 ):
     """Probe an arriving document stream against the at-rest index and
     MERGE each micro-batch's decisions into a bucket-partitioned
@@ -134,15 +282,28 @@ def streaming_incremental_probe(
     ``grow_index=True`` closes the continuous-ingestion loop: a batch's
     ACCEPTED novels are appended back to the at-rest index (signatures,
     shingle sets, band buckets), so later batches dedup against earlier
-    arrivals, not just the original corpus. Replay safety is a
-    three-part contract, each part load-bearing: (a) the probe excludes
-    self-id matches (a redelivered doc would otherwise match its own
-    earlier acceptance and flip novel -> dup); (b) the decision merge
-    keeps the FIRST stored decision (_is_new ASC); (c) the append is
-    guarded by an anti-join against the LIVE index's ids, so a replayed
-    batch appends nothing. The index frames are re-read from parquet
-    inside every micro-batch — each batch must see the appends of the
-    previous one."""
+    arrivals, not just the original corpus. Replay safety is ordered
+    around ONE durable commit point (r11 ADVICE — the index must never
+    mutate before the decisions that justified it are stored):
+
+    1. the probe excludes self-id matches (a redelivered doc must not
+       match its own earlier acceptance and flip novel -> dup);
+    2. the decision MERGE runs FIRST and keeps the earliest stored
+       decision (_is_new ASC) — replay cannot rewrite history;
+    3. the index append derives its novel set from the STORED decisions
+       table (not the in-flight recomputation, which on replay can see
+       a half-grown index), and each of the three relation appends is
+       independently guarded against that relation's live ids
+       (grow_index_append), so a crash at ANY point replays to the same
+       index — no duplicate (id, h) rows, no lost sigs/bands.
+
+    The index frames are re-read from parquet inside every micro-batch
+    — each batch must see the appends of the previous one.
+
+    ``compact_every=N`` runs compact_index (threshold
+    ``compact_max_files``) after every Nth micro-batch, from this
+    single writer loop — the append-per-batch layout is otherwise
+    file-listing-bound after ~10^4 batches (see compact_index)."""
     from pyspark.sql import Window
 
     from ..pipeline.dedup import probe_with_index
@@ -158,9 +319,7 @@ def streaming_incremental_probe(
             .drop("_rn")
         )
 
-    def apply(batch_df: DataFrame, _batch_id: int) -> None:
-        from ..pipeline.dedup import _minhash_frames
-
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
         # fresh per micro-batch: the live index includes prior appends
         ihashed = spark.read.parquet(f"{index_dir}/hashed")
         isigs = spark.read.parquet(f"{index_dir}/sigs")
@@ -176,29 +335,31 @@ def streaming_incremental_probe(
         if not grow_index:
             merge_into_buckets(out, target_dir, "batch_id", one_per_key)
             return
-        # Freeze decisions BEFORE mutating the index: localCheckpoint
-        # (not cache) because a cache-evicted recompute would re-read
-        # the GROWN index and silently flip novel -> dup mid-batch.
-        # The checkpoint blocks are released once the batch's merge is
-        # done — a long-running stream must not accumulate one pinned
-        # RDD per micro-batch.
+        # Compute-once: the merge executes `out` twice (touched-bucket
+        # collect + winners write); localCheckpoint materializes the
+        # probe once. Replay SAFETY no longer rides on it — the commit
+        # ordering below does — it is purely the recompute guard. The
+        # blocks are released when the batch ends; a long-running
+        # stream must not accumulate one pinned RDD per micro-batch.
         out = out.localCheckpoint(eager=True)
         try:
-            # decide + append in one pass: novels not already indexed
-            # (the anti-join makes a replayed append a no-op)
-            fresh = (
-                out.where(F.col("is_novel"))
-                .select(F.col("batch_id").alias("id"))
-                .join(isigs.select("id"), "id", "left_anti")
-            )
-            novels = batch.join(F.broadcast(fresh), "id")
-            nhashed, nsigs, nbands = _minhash_frames(novels)
-            nhashed.write.mode("append").parquet(f"{index_dir}/hashed")
-            nsigs.write.mode("append").parquet(f"{index_dir}/sigs")
-            nbands.write.mode("append").partitionBy("band").parquet(
-                f"{index_dir}/bands"
-            )
+            # 1. COMMIT the decisions (replay-idempotent first-wins
+            # merge) BEFORE any index mutation.
             merge_into_buckets(out, target_dir, "batch_id", one_per_key)
+            # 2. Append novels derived from the STORED decisions — the
+            # history a replay must honor, not the recomputation it
+            # must not — restricted to this batch's ids.
+            stored_novel_ids = (
+                spark.read.parquet(target_dir)
+                .where(F.col("is_novel"))
+                .select(F.col("batch_id").alias("id"))
+                .join(F.broadcast(batch.select("id")), "id", "left_semi")
+            )
+            grow_index_append(
+                spark, index_dir, batch.join(F.broadcast(stored_novel_ids), "id")
+            )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_index(spark, index_dir, max_files=compact_max_files)
         finally:
             try:
                 out._jdf.queryExecution().analyzed().rdd().unpersist(False)
@@ -251,3 +412,123 @@ def streaming_quality_cut(
         .withColumn("content_key", F.md5("text"))
         .dropDuplicatesWithinWatermark(["content_key"])
     )
+
+
+def _e6_oracle() -> str:
+    from ..pipeline.curation import _C16_CORPUS_SQL, _C16_TOP2, _C16_TOP3
+    from ..pipeline.textstats import _gram_metrics_sql
+
+    return f"""
+    WITH {_C16_CORPUS_SQL},
+    w AS (
+      SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws
+      FROM corpus),
+    {_gram_metrics_sql(2)},
+    {_gram_metrics_sql(3)},
+    m AS (
+      SELECT w.text,
+             COALESCE(CAST(a2.top2 AS DOUBLE) / a2.total2
+                      > {_C16_TOP2}, FALSE)
+             OR COALESCE(CAST(a3.top3 AS DOUBLE) / a3.total3
+                         > {_C16_TOP3}, FALSE) AS cut
+      FROM w
+      LEFT JOIN a2 ON a2.doc_id = w.doc_id
+      LEFT JOIN a3 ON a3.doc_id = w.doc_id),
+    kept AS (SELECT DISTINCT text FROM m WHERE NOT cut),
+    keyed AS (
+      SELECT md5(text) AS content_key,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+      FROM kept)
+    SELECT substr(content_key, 1, 1) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_texts,
+           MIN(content_key) AS min_key,
+           MAX(content_key) AS max_key,
+           CAST(SUM(tok) AS BIGINT) AS sum_tok
+    FROM keyed
+    GROUP BY substr(content_key, 1, 1)
+    """
+
+
+# staged stream corpus per sf_dir, written once per process: the corpus
+# is deterministic (c16's planted verification corpus), so re-staging it
+# on every call would only rewrite identical bytes. The DRAIN runs per
+# call — the query certifies the stream path, not a cached table.
+_E6_STAGE_MEMO: dict[str, str] = {}
+_E6_SINK_SEQ = iter(range(10**9))
+
+
+def e6_streaming_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable face of streaming_quality_cut (the r11 verdict
+    item: the streaming cut was pytest-only): stage c16's planted
+    corpus as a document stream DELIVERED TWICE (a whole-file
+    re-delivery, the at-least-once ingest failure mode), drain it
+    through the streaming Gopher cut + arrival-time dedup, and roll the
+    survivor set up into an arrival-order-invariant shape — per
+    content-key prefix bucket: surviving-text count, min/max content
+    key, token mass. Exactly-once semantics make the drained table hold
+    ONE row per distinct surviving text, so the rollup equals the
+    BATCH answer (the oracle: distinct kept texts of _C16_CORPUS_SQL) —
+    the same residency-invariance certificate sim8 rides: results must
+    not depend on whether the corpus was a table or a replayed stream.
+
+    Only text-derived columns are aggregated: WHICH doc_id survives a
+    duplicate group depends on arrival order (nondeterministic), but
+    the surviving text set — and therefore every column here — does
+    not."""
+    import tempfile
+
+    from ..pipeline.curation import _WS_SPLIT, _c16_corpus
+
+    staged = _E6_STAGE_MEMO.get(sf_dir)
+    if staged is None or not os.path.isdir(staged):
+        work = tempfile.mkdtemp(prefix="e6-qcut-")
+        corpus_dir = os.path.join(work, "corpus.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # full documents schema so stream_documents reads it verbatim;
+        # planted rows inherit their base doc's metadata columns
+        meta = [c for c in docs.columns if c not in ("doc_id", "text")]
+        (
+            _c16_corpus(spark, sf_dir)
+            .alias("c")
+            .join(
+                docs.select((F.col("doc_id") % 1000000).alias("base_id"), *meta)
+                .dropDuplicates(["base_id"])
+                .alias("m"),
+                F.col("c.doc_id") % 1000000 == F.col("m.base_id"),
+            )
+            .select("c.doc_id", "c.text", *[F.col(f"m.{c}") for c in meta])
+            .coalesce(1)
+            .write.parquet(corpus_dir)
+        )
+        staged = os.path.join(work, "arrivals")
+        os.makedirs(staged)
+        part = [
+            f for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+        ][0]
+        for copy in ("arrival-0.parquet", "arrival-1.parquet"):
+            os.symlink(
+                os.path.join(corpus_dir, part), os.path.join(staged, copy)
+            )
+        _E6_STAGE_MEMO[sf_dir] = staged
+
+    sink = f"e6_qcut_out_{next(_E6_SINK_SEQ)}"
+    run_stream_append(streaming_quality_cut(spark, sf_dir, staged), sink)
+    got = spark.table(sink)
+    return (
+        got.select(
+            "content_key",
+            F.size(F.split("text", _WS_SPLIT)).cast("long").alias("tok"),
+        )
+        .groupBy(F.substring("content_key", 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_texts"),
+            F.min("content_key").alias("min_key"),
+            F.max("content_key").alias("max_key"),
+            F.sum("tok").alias("sum_tok"),
+        )
+    )
+
+
+query("e6_streaming_quality_cut", oracle=_e6_oracle())(
+    e6_streaming_quality_cut
+)

@@ -82,6 +82,10 @@ SPOT_QUERIES = [
     # docs must stay novel as bucket occupancy grows)
     "c16_repetition_cut_split",
     "d10_incremental_lsh_probe",
+    # r12 addition: e6 drains c16's corpus THROUGH the stream (twice-
+    # delivered) — at 10x the docs the arrival-time dedup state and the
+    # in-row cut must still reproduce the batch survivor set exactly
+    "e6_streaming_quality_cut",
 ]
 
 

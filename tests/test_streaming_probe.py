@@ -122,10 +122,10 @@ def test_streaming_probe_grow_index_loop(spark):
         os.symlink(os.path.join(path, part),
                    os.path.join(stream_dir, f"{name}.parquet"))
 
-    def drain():
+    def drain(**kw):
         q = streaming_incremental_probe(
             spark, SF_DIR_TINY, stream_dir, index_dir, target_dir,
-            max_files_per_trigger=1, grow_index=True,
+            max_files_per_trigger=1, grow_index=True, **kw,
         )
         q.awaitTermination(180)
 
@@ -154,10 +154,12 @@ def test_streaming_probe_grow_index_loop(spark):
     # A's stored decisions unchanged
     assert {k: v for k, v in after_b.items() if k < 3_000_000} == after_a
 
-    # redelivery of batch A (same content, new file): nothing changes
+    # redelivery of batch A (same content, new file): nothing changes —
+    # and this drain runs the in-loop compaction path (compact_every),
+    # which must also change nothing
     sigs_before = spark.read.parquet(f"{index_dir}/sigs").count()
     deliver(batch_a, "arrival-2")
-    drain()
+    drain(compact_every=1, compact_max_files=0)
     assert decisions() == after_b
     assert spark.read.parquet(f"{index_dir}/sigs").count() == sigs_before
     per_id = (
@@ -215,6 +217,16 @@ def test_streaming_quality_cut_matches_batch_semantics(spark):
 
     out = streaming_quality_cut(spark, SF_DIR_TINY, stream_dir)
     assert out.isStreaming
+    # plan gate: the cut Filter must sit BELOW the stateful dedup
+    # operator (cut docs never enter state — the bounded-state claim).
+    # analyzed(), not optimizedPlan(): a streaming frame cannot be
+    # optimized before writeStream.start, and operator ORDER is a
+    # construction property visible at analysis
+    plan = out._jdf.queryExecution().analyzed().toString()
+    dedup_at = plan.find("DeduplicateWithinWatermark")
+    filter_at = plan.find("Filter")
+    assert dedup_at != -1 and filter_at != -1, plan
+    assert filter_at > dedup_at, plan  # children print below parents
     run_stream_append(out, "qcut_out")
     got = spark.table("qcut_out")
 
@@ -233,3 +245,164 @@ def test_streaming_quality_cut_matches_batch_semantics(spark):
     assert got.where(F.col("doc_id") >= 1_000_000).where(
         F.col("doc_id") < 2_000_000
     ).count() == 0
+
+
+def test_grow_index_append_converges_after_partial_crash(spark):
+    """The r11 ADVICE failure mode, driven directly: a crash between
+    the hashed and sigs appends leaves hashed grown and sigs/bands not.
+    The per-relation guards must converge on replay — NO duplicate
+    (id, h) rows in hashed (the n_common/jaccard inflation bug), and
+    sigs/bands caught up exactly once — and a subsequent probe must
+    match a near-dup of the novel."""
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.pipeline.dedup import (
+        _minhash_frames,
+        probe_with_index,
+    )
+    from spark_sql_perf_spark.streaming.dedup import (
+        build_probe_index,
+        grow_index_append,
+    )
+
+    work = tempfile.mkdtemp(prefix="probe-crash-")
+    index_dir = os.path.join(work, "index")
+    build_probe_index(spark, SF_DIR_TINY, index_dir)
+
+    docs = table(spark, SF_DIR_TINY, "documents")
+    novels = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("id"),
+        F.array_join(F.reverse(F.split(F.lower("text"), r"\s+")), " ").alias(
+            "text"
+        ),
+    )
+    n_novels = novels.count()
+    assert n_novels > 0
+
+    # simulated crash: the hashed append landed, sigs/bands did not
+    nhashed, _, _ = _minhash_frames(novels)
+    nhashed.write.mode("append").parquet(f"{index_dir}/hashed")
+
+    # replay: the full guarded append
+    grow_index_append(spark, index_dir, novels)
+
+    hashed = spark.read.parquet(f"{index_dir}/hashed")
+    dup_pairs = (
+        hashed.groupBy("id", "h").count().where(F.col("count") > 1).count()
+    )
+    assert dup_pairs == 0  # the pre-fix code would double-append here
+    for rel in ("sigs", "bands"):
+        per_id = (
+            spark.read.parquet(f"{index_dir}/{rel}")
+            .where(F.col("id") >= 4_000_000)
+            .groupBy("id", *(["band"] if rel == "bands" else []))
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert per_id == 0, rel
+    assert (
+        spark.read.parquet(f"{index_dir}/sigs")
+        .where(F.col("id") >= 4_000_000)
+        .count()
+        == n_novels
+    )
+
+    # a second replay of the SAME append is a complete no-op
+    before = {
+        rel: spark.read.parquet(f"{index_dir}/{rel}").count()
+        for rel in ("hashed", "sigs", "bands")
+    }
+    grow_index_append(spark, index_dir, novels)
+    for rel, n in before.items():
+        assert spark.read.parquet(f"{index_dir}/{rel}").count() == n, rel
+
+    # the grown index actually serves: a near-dup of a novel matches it
+    probe = novels.select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.concat("text", F.lit(" probe batch suffix")).alias("text"),
+    )
+    got = probe_with_index(
+        spark.read.parquet(f"{index_dir}/hashed"),
+        spark.read.parquet(f"{index_dir}/sigs"),
+        spark.read.parquet(f"{index_dir}/bands").select("id", "band", "bh"),
+        probe,
+    )
+    rows = {r["batch_id"]: r["match_id_min"] for r in got.collect()}
+    assert rows and all(m == b - 1_000_000 for b, m in rows.items())
+
+
+def test_compact_index_preserves_probe_and_cuts_files(spark):
+    """compact_index is the grow-index small-files story: after many
+    appended batches, a forced compaction must (a) reduce every
+    relation to its size-derived file target, (b) leave probe results
+    byte-identical, and (c) self-heal a crashed swap (live relation
+    missing, __old present) on the next call."""
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.pipeline.dedup import probe_with_index
+    from spark_sql_perf_spark.streaming.dedup import (
+        build_probe_index,
+        compact_index,
+        grow_index_append,
+        index_file_counts,
+    )
+
+    work = tempfile.mkdtemp(prefix="probe-compact-")
+    index_dir = os.path.join(work, "index")
+    build_probe_index(spark, SF_DIR_TINY, index_dir)
+
+    docs = table(spark, SF_DIR_TINY, "documents")
+    # several grow batches -> one appended file-set per batch per relation
+    for k in range(4):
+        novels = docs.where(F.col("doc_id") % 17 == k).select(
+            (F.col("doc_id") + (5 + k) * 1_000_000).alias("id"),
+            F.concat(F.lower("text"), F.lit(f" grown batch {k}")).alias("text"),
+        )
+        grow_index_append(spark, index_dir, novels)
+
+    def read_index():
+        return (
+            spark.read.parquet(f"{index_dir}/hashed"),
+            spark.read.parquet(f"{index_dir}/sigs"),
+            spark.read.parquet(f"{index_dir}/bands").select("id", "band", "bh"),
+        )
+
+    probe = docs.where(F.col("doc_id") % 17 == 1).select(
+        (F.col("doc_id") + 9_000_000).alias("id"),
+        F.concat(
+            F.lower("text"), F.lit(" grown batch 1 probe suffix")
+        ).alias("text"),
+    )
+    cols = ["batch_id", "n_cand", "n_match", "match_id_min", "best_jaccard",
+            "is_novel"]
+    before_files = index_file_counts(spark, index_dir)
+    want = {
+        r["batch_id"]: tuple(r[c] for c in cols[1:])
+        for r in probe_with_index(*read_index(), probe).collect()
+    }
+    assert any(v[1] >= 1 for v in want.values())  # matches grown docs
+
+    compacted = compact_index(spark, index_dir, max_files=0)  # force all
+    after_files = index_file_counts(spark, index_dir)
+    assert set(compacted) == {"hashed", "sigs", "bands"}
+    for rel in ("hashed", "sigs"):
+        assert after_files[rel] < before_files[rel], (rel, after_files)
+    assert after_files["bands"] <= before_files["bands"]
+
+    got = {
+        r["batch_id"]: tuple(r[c] for c in cols[1:])
+        for r in probe_with_index(*read_index(), probe).collect()
+    }
+    assert got == want  # probe results unchanged by compaction
+
+    # crashed-swap recovery: live relation gone, __old holds the copy
+    import shutil
+
+    shutil.move(f"{index_dir}/sigs", f"{index_dir}/sigs__old")
+    compact_index(spark, index_dir, max_files=10**9)  # recovery-only pass
+    assert os.path.isdir(f"{index_dir}/sigs")
+    assert not os.path.exists(f"{index_dir}/sigs__old")
+    got2 = {
+        r["batch_id"]: tuple(r[c] for c in cols[1:])
+        for r in probe_with_index(*read_index(), probe).collect()
+    }
+    assert got2 == want

@@ -153,6 +153,7 @@ CAL_SHAPES = {
         "w2_running_total",
         "e3_session_window",
         "thermo_window_sort",
+        "thermo_window_sort2",
     ],
     "explode_shuffle": [
         "d8_duplicated_spans",
@@ -233,6 +234,32 @@ def thermo_window_sort(spark, sf_dir):
     )
 
 
+def thermo_window_sort2(spark, sf_dir):
+    """Second generated window-sort instrument (r12, VERDICT r11 task 4:
+    the window_sort class median leaned on one noisy instrument — 41%
+    sample spread at min-of-8). Same plan class as thermo_window_sort —
+    one hash exchange + per-group sort + window functions — but the
+    opposite partition profile: 61 large groups (~25k rows each, deep
+    per-group sorts that actually spill-test the sorter) instead of 977
+    small ones, and a lag/dense_rank/sliding-frame payload instead of a
+    running sum, so the pair spans the class's sort-depth range rather
+    than sampling one point twice."""
+    df = spark.range(1_500_000).select(
+        (F.col("id") % 61).alias("grp"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("val"),
+        F.pmod(F.xxhash64((F.col("id") * 31).cast("string")), F.lit(997)).alias(
+            "val2"
+        ),
+    )
+    w = Window.partitionBy("grp").orderBy("val", "val2")
+    return df.select(
+        "grp",
+        (F.col("val") - F.lag("val", 1).over(w)).alias("gap"),
+        F.dense_rank().over(w).alias("dr"),
+        F.avg("val2").over(w.rowsBetween(-100, 0)).alias("slide_avg"),
+    )
+
+
 def thermo_explode_hash(spark, sf_dir):
     """Generated explode+hash-shuffle thermometer: d8's skeleton (narrow
     explode -> digest-partitioned min/max window -> id-partitioned lag
@@ -293,6 +320,7 @@ def thermo_explode_hash2(spark, sf_dir):
 
 THERMOMETERS = {
     "thermo_window_sort": thermo_window_sort,
+    "thermo_window_sort2": thermo_window_sort2,
     "thermo_explode_hash": thermo_explode_hash,
     "thermo_explode_hash2": thermo_explode_hash2,
 }
@@ -320,15 +348,20 @@ NOTES = [
     " median_shift in the core line remains the global calibration"
     " median for cross-round continuity; per-query ratios for ALL"
     " shared queries are under calibration.ratios.",
-    "thermo_window_sort / thermo_explode_hash / thermo_explode_hash2"
-    " are GENERATED calibration instruments (spark.range input, no"
-    " parquet, no memo) reported under 'thermo', outside 'queries' and"
-    " 'value'. r11: min-of-8 (headline protocol — the r10 min-of-5"
-    " pair carried 25-40% sample spread), thermo_explode_hash2 added so"
-    " the explode class median never rests on one instrument (it gains"
-    " ratio history from r12), and calibration queries flagged"
+    "thermo_window_sort / thermo_window_sort2 / thermo_explode_hash /"
+    " thermo_explode_hash2 are GENERATED calibration instruments"
+    " (spark.range input, no parquet, no memo) reported under 'thermo',"
+    " outside 'queries' and 'value'. r11: min-of-8 (headline protocol —"
+    " the r10 min-of-5 pair carried 25-40% sample spread),"
+    " thermo_explode_hash2 added so the explode class median never"
+    " rests on one instrument, and calibration queries flagged"
     " _IMPL_CHANGED for the measured round are excluded from shape"
-    " medians (their ratio measures the plan change, not box drift).",
+    " medians (their ratio measures the plan change, not box drift)."
+    " r12: thermo_window_sort2 added (VERDICT r11 task 4) so the"
+    " window_sort class gets the same >=2-generated-instrument footing"
+    " (61 large groups / lag+dense_rank+sliding-frame payload vs the"
+    " original's 977 small groups / running sum); it gains ratio"
+    " history from r13.",
     "sim6_knn_graph: the r10 DRIVER-RUN raw was 2.155s while the"
     " builder's same-round session measured 1.48s with identical code —"
     " the r10 note's '1.48s sits back at the anchor' wording wrongly"
@@ -595,7 +628,7 @@ def main() -> None:
                 v["normalized_after"] = normalized["queries_normalized"].get(q)
             payload["variance"] = variance
         payload["thermo_samples"] = thermo_samples
-    # Bench wall-clock self-report: 19 headline queries x min-of-5 + 3
+    # Bench wall-clock self-report: 19 headline queries x min-of-5 + 4
     # generated thermometers x min-of-8 plus receipt re-samples (the
     # ALWAYS_SAMPLED pair re-samples every round by design). The
     # re-sample tier otherwise only triggers on shifted queries, so the

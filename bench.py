@@ -243,8 +243,12 @@ def thermo_window_sort2(spark, sf_dir):
     per-group sorts that actually spill-test the sorter) instead of 977
     small ones, and a lag/dense_rank/sliding-frame payload instead of a
     running sum, so the pair spans the class's sort-depth range rather
-    than sampling one point twice."""
-    df = spark.range(1_500_000).select(
+    than sampling one point twice. Sized to ~1.5 s/sample under the
+    bench session, where AQE's size-based coalesce collapses this
+    shuffle to few tasks (deliberate: a deep near-serial sort is the
+    pure sort-throughput point of the class; the original instrument
+    and the real w2/e3 queries cover the parallel end)."""
+    df = spark.range(400_000).select(
         (F.col("id") % 61).alias("grp"),
         F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("val"),
         F.pmod(F.xxhash64((F.col("id") * 31).cast("string")), F.lit(997)).alias(
@@ -333,6 +337,25 @@ THERMOMETERS = {
 # the next drift self-documenting).
 ALWAYS_SAMPLED = ["sim6_knn_graph", "g4_square_count"]
 
+# Unrecorded warm-in executions before a query's first timed sample —
+# the r12 resolution of the three-round sim6 driver-vs-builder gap
+# (VERDICT r9-r11). Mechanism, named with receipts (SCALE_PROBE.md r12
+# section): sim6's generated code keeps the C2 JIT busy for ~12
+# executions (13.7 s of compilation activity on execution 1, decaying
+# to ~1 s/execution by #12, measured via CompilationMXBean), so its
+# per-execution time declines from ~2.3-4.6 s to a ~1.5-1.6 s steady
+# state over 8-12 executions. min-of-8 samples that transient — the
+# driver's fresh-process runs read 1.88-2.16 s while long-lived builder
+# sessions read the 1.45-1.71 s plateau, on identical code and plans
+# (GC <25 ms/sample and storage residency 2.4 MB were measured and
+# exonerated; the penalty reproduces with any ~50-execution prefix and
+# without the memoized graph relations). The steady state is the
+# plan-quality signal this artifact exists to track, so sim6 warms in
+# explicitly; the same precedent as the g1-g6 warm-cache note above.
+# COMPARABILITY: r12+ sim6 numbers are steady-state and comparable to
+# r9-r11 BUILDER readings, not to the r9-r11 driver-run transients.
+WARM_IN = {"sim6_knn_graph": 8}
+
 # Measurement-basis facts a cross-round reader needs (shipped in the
 # output so the caveat lives WITH the numbers, not in a round's memo):
 NOTES = [
@@ -362,19 +385,21 @@ NOTES = [
     " (61 large groups / lag+dense_rank+sliding-frame payload vs the"
     " original's 977 small groups / running sum); it gains ratio"
     " history from r13.",
-    "sim6_knn_graph: the r10 DRIVER-RUN raw was 2.155s while the"
-    " builder's same-round session measured 1.48s with identical code —"
-    " the r10 note's '1.48s sits back at the anchor' wording wrongly"
-    " presented the builder number as the round's reading. r11"
-    " experiments: (a) suite-position hypothesis REFUTED — a same-JVM"
-    " A/B at sf0.1 measured sim6 first-in-session min-of-8 1.653s vs"
-    " post-full-suite 1.455s (post-suite ~12% FASTER: page-cache/JIT"
-    " warmth dominates, no memory-pressure penalty), so the 2.155s was"
-    " cross-session box state at driver-run time, the same drift class"
-    " as the r9 +29% reading; (b) sim6 is now ALWAYS_SAMPLED (ships"
-    " raw samples every round) and normalizes by the >=2-instrument"
-    " explode_shuffle shape median, so any future 2s-class reading"
-    " carries its own evidence in-artifact.",
+    "sim6_knn_graph: RESOLVED r12. The three-round driver(1.88-2.16s)"
+    " vs builder(1.45-1.71s) gap was the sampling protocol meeting an"
+    " unusually deep JIT warm-in, not box state and not a plan change:"
+    " sim6's generated code keeps the C2 compiler busy for ~12"
+    " executions (13.7s of compilation activity on execution 1 decaying"
+    " to ~1s by #12, CompilationMXBean receipt; GC <25ms/sample and"
+    " storage residency 2.4MB measured and exonerated), so per-"
+    " execution time falls from 2.3-4.6s to a 1.47-1.85s steady state"
+    " over 8-12 executions and min-of-8 sampled the transient."
+    " Reproduced in the driver's own environment (fresh `python"
+    " bench.py` subprocess) and bisected across nine controlled runs —"
+    " full table in SCALE_PROBE.md r12. sim6 now rides WARM_IN=8"
+    " unrecorded executions before its timed samples; r12+ readings are"
+    " steady-state (comparable to prior BUILDER numbers, not to the"
+    " r9-r11 driver-run transients). It stays ALWAYS_SAMPLED.",
     "q1_pricing_summary is the most scan-bandwidth-bound headline query"
     " and its min-of-N wobbles hardest when the page cache is cold"
     " relative to the join-shaped calibration peers (r9: +17% normalized"
@@ -567,7 +592,15 @@ def main() -> None:
     def sample(name: str, n: int) -> list[float]:
         return sample_fn(QUERIES[name], n)
 
-    samples: dict[str, list[float]] = {name: sample(name, 5) for name in HEADLINE}
+    def first_pass(name: str) -> list[float]:
+        # WARM_IN queries run unrecorded executions first (JIT warm-in;
+        # see the WARM_IN note) — once per bench process, so the later
+        # variance re-samples are already warm by construction
+        for _ in range(WARM_IN.get(name, 0)):
+            consume(QUERIES[name](spark, sf_dir))
+        return sample(name, 5)
+
+    samples: dict[str, list[float]] = {name: first_pass(name) for name in HEADLINE}
     times = {name: min(s) for name, s in samples.items()}
     # generated shape thermometers: min-of-8 since r11 (the r10 pair ran
     # min-of-5 with 25-40% sample spread, and the class medians they
@@ -629,7 +662,8 @@ def main() -> None:
             payload["variance"] = variance
         payload["thermo_samples"] = thermo_samples
     # Bench wall-clock self-report: 19 headline queries x min-of-5 + 4
-    # generated thermometers x min-of-8 plus receipt re-samples (the
+    # generated thermometers x min-of-8 + WARM_IN unrecorded executions
+    # (8 for sim6, ~16s) plus receipt re-samples (the
     # ALWAYS_SAMPLED pair re-samples every round by design). The
     # re-sample tier otherwise only triggers on shifted queries, so the
     # bound is ~(19*5 + 3*8 + (2+shifted)*3) executions; if every query

@@ -2184,6 +2184,247 @@ def main() -> None:
     spark.stop()
 
 
+
+
+# ---------------------------------------------------------------------------
+# r12: grow-index small-files accretion + compaction; d10 exclude_self cost
+# ---------------------------------------------------------------------------
+
+R12_N_DOCS = 4_000_000
+R12_BATCH_STATES = [1, 50, 500]
+
+
+def _r12_probe_batch(spark, idx, n_docs: int, n_batch: int = 8192):
+    """probe_r11's fixed batch (half near-dups of index docs, half
+    disjoint-vocab novels), over an explicit (id, text) index frame."""
+    half = n_batch // 2
+    near = idx.where(F.col("id") % (n_docs // half) == 0).limit(half).select(
+        (F.col("id") + n_docs).alias("id"),
+        F.concat("text", F.lit(" probe batch suffix")).alias("text"),
+    )
+
+    def nword(idc, pos):
+        return F.concat(
+            F.lit("ntok"),
+            uniform_int(idc, f"nw{pos}", 0, 4999).cast("string"),
+        )
+
+    novel = gen_table(spark, half, {"bid": lambda idc: idc}).select(
+        (F.col("bid") + 2 * n_docs).alias("id"),
+        F.concat_ws(" ", *[nword(F.col("bid"), p) for p in range(24)]).alias(
+            "text"
+        ),
+    )
+    return near.unionAll(novel)
+
+
+def probe_r12(spark, n_docs: int = R12_N_DOCS) -> dict[str, float]:
+    """Two r12 questions, both on a 4M-doc at-rest index.
+
+    1. grow-index accretion (VERDICT r11 task 2): the streaming
+       grow-index loop appends one parquet file-set per micro-batch per
+       relation; after 10^4 batches the probe's index scan is
+       file-listing/footer/task-setup-bound. Measure probe_only at
+       1 / 50 / 500 appended batch file-sets, then run compact_index
+       and measure again. The appended file-sets are REPLICATED from
+       one real grow_index_append's output (driver-side file copies
+       with fresh names): the probe cost being measured is a function
+       of file count and layout, not of which novel docs the files
+       hold, and a real 500-batch stream at this index size would add
+       ~45 min of guard scans to the probe run for identical file
+       arithmetic. Decision accounting is asserted constant across all
+       file states (the planted near-dups must match regardless).
+
+    2. d10 exclude_self cost (task 7): the grow-index contract's
+       self-exclusion predicate runs AFTER the bucket join; its cost at
+       volume had no number. Same batch, same index, exclude_self
+       True vs False, min-of-2 each.
+    """
+    import shutil
+    import tempfile
+
+    from spark_sql_perf_spark.pipeline.dedup import (
+        _minhash_frames,
+        probe_with_index,
+    )
+    from spark_sql_perf_spark.streaming.dedup import (
+        compact_index,
+        grow_index_append,
+        index_file_counts,
+    )
+
+    out: dict[str, float] = {}
+    idx = _r11_corpus(spark, n_docs, rep_every=1 << 30).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    batch = _r12_probe_batch(spark, idx, n_docs)
+
+    conf = spark.conf
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    index_dir = tempfile.mkdtemp(prefix="probe-r12-index-")
+    try:
+        ihashed, isigs, ibands = _minhash_frames(idx)
+        ihashed.write.mode("overwrite").parquet(f"{index_dir}/hashed")
+        isigs.write.mode("overwrite").parquet(f"{index_dir}/sigs")
+        ibands.write.mode("overwrite").partitionBy("band").parquet(
+            f"{index_dir}/bands"
+        )
+
+        def read_index():
+            return (
+                spark.read.parquet(f"{index_dir}/hashed"),
+                spark.read.parquet(f"{index_dir}/sigs"),
+                spark.read.parquet(f"{index_dir}/bands").select(
+                    "id", "band", "bh"
+                ),
+            )
+
+        def timed_probe(tag: str, exclude_self: bool = False):
+            best, matched = float("inf"), 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                r = (
+                    probe_with_index(
+                        *read_index(), batch, exclude_self=exclude_self
+                    )
+                    .agg(
+                        F.sum((F.col("n_match") > 0).cast("long")).alias("m"),
+                        F.count(F.lit(1)).alias("nb"),
+                    )
+                    .collect()[0]
+                )
+                best, matched = min(best, time.perf_counter() - t0), r["m"]
+            out[tag] = round(best, 2)
+            return int(matched)
+
+        # --- exclude_self cost, measured before any accretion ---
+        m_plain = timed_probe("probe_plain")
+        m_excl = timed_probe("probe_exclude_self", exclude_self=True)
+        # no batch id is in the index, so the predicate must not change
+        # decisions — only cost
+        assert m_plain == m_excl, (m_plain, m_excl)
+        out["probe_matched"] = m_plain
+
+        # --- one REAL grow append: the file-set template ---
+        import os
+
+        novels = batch.where(F.col("id") >= 2 * n_docs).limit(512)
+        before = {
+            rel: set(
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(f"{index_dir}/{rel}")
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
+            for rel in ("hashed", "sigs", "bands")
+        }
+        grow_index_append(spark, index_dir, novels)
+        template = {
+            rel: sorted(
+                set(
+                    os.path.join(dp, f)
+                    for dp, _, fs in os.walk(f"{index_dir}/{rel}")
+                    for f in fs
+                    if not f.startswith(("_", "."))
+                )
+                - before[rel]
+            )
+            for rel in ("hashed", "sigs", "bands")
+        }
+        out["files_per_append"] = sum(len(v) for v in template.values())
+
+        # --- accretion states: replicate the template file-set ---
+        state_done = 1  # the real append above
+        for target in R12_BATCH_STATES:
+            for i in range(state_done, target):
+                for rel, files in template.items():
+                    for src in files:
+                        d, base = os.path.split(src)
+                        shutil.copy(src, os.path.join(d, f"r12sim-{i}-{base}"))
+            state_done = max(state_done, target)
+            counts = index_file_counts(spark, index_dir)
+            out[f"files_at_{target}"] = sum(counts.values())
+            # the loop's own predicate: a grown index holds batch ids
+            # (the appended novels), which must match only OTHER docs
+            m = timed_probe(f"probe_at_{target}", exclude_self=True)
+            assert m == m_plain, (target, m, m_plain)
+
+        # --- compaction ---
+        t0 = time.perf_counter()
+        compacted = compact_index(spark, index_dir, max_files=64)
+        out["compact_s"] = round(time.perf_counter() - t0, 2)
+        counts = index_file_counts(spark, index_dir)
+        out["files_compacted"] = sum(counts.values())
+        assert set(compacted) == {"hashed", "sigs", "bands"}, compacted
+        m = timed_probe("probe_compacted", exclude_self=True)
+        assert m == m_plain, ("compacted", m, m_plain)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return out
+
+
+def r12_section(res: dict[str, float]) -> list[str]:
+    state_rows = [
+        f"| probe_only @ {t} appended batches ({res[f'files_at_{t}']:,} files) "
+        f"| {res[f'probe_at_{t}']}s |"
+        for t in R12_BATCH_STATES
+    ]
+    return [
+        "## Grow-index accretion & compaction; exclude_self cost (r12)",
+        "",
+        "The streaming grow-index loop appends one parquet file-set per",
+        "micro-batch per relation (hashed/sigs/bands); compact_index is",
+        "its small-files answer (threshold rewrite, size-targeted file",
+        "count, crash-recovering swap). Cells: d10's probe_only over a",
+        f"{R12_N_DOCS:,}-doc at-rest index while appended batch",
+        "file-sets accumulate, then after one compaction pass. Appended",
+        "file-sets beyond the first are driver-side replicas of one",
+        "REAL grow_index_append's files (the probe cost is file-count",
+        "arithmetic, not content); decisions are asserted constant",
+        "across every file state (accretion cells run with the loop's",
+        "own exclude_self=True — the grown index holds appended batch",
+        "ids, which must match only OTHER docs). exclude_self row: the",
+        "same probe with the self-exclusion predicate (it runs after",
+        "the bucket join), True vs False on the base index.",
+        "Regenerate alone with: `python tools/scale_probe.py r12`.",
+        "",
+        "| cell | value |",
+        "|---|---|",
+        f"| probe_only, base index | {res['probe_plain']}s |",
+        f"| probe_only, exclude_self=True | {res['probe_exclude_self']}s |",
+        f"| files per appended batch | {res['files_per_append']} |",
+        *state_rows,
+        f"| compact_index (threshold 64) | {res['compact_s']}s |",
+        f"| probe_only, compacted ({res['files_compacted']:,} files) "
+        f"| {res['probe_compacted']}s |",
+        "",
+        f"Matched {res['probe_matched']}/8192 at every file state —",
+        "accretion and compaction change COST only, never decisions.",
+        "",
+        "Reading: at this index size the probe's COMPUTE floor",
+        "(~5.4-6.3s run band) dominates, so 2,660 files cost ~0.5s of",
+        "marginal listing/footer/task-setup tax and exclude_self is",
+        "free within run noise. The tax is ABSOLUTE, not relative — the",
+        "same 2,660-file state adds +31% to a 100k-doc index's ~3.2s",
+        "probe (smoke cell, same protocol), and the r10 sim8 cell",
+        "measured 82.6s vs 46.2s when file count dominated the scan —",
+        "so a long-running stream (10^4 batches -> ~50k files) NEEDS",
+        "the threshold compaction; at 5 files/append and threshold 64,",
+        "the loop compacts every ~13 batches at a measured ~52s per",
+        "pass on 4M docs, amortizing to ~4s/batch of background rewrite",
+        "against an unbounded listing tax.",
+        "",
+    ]
+
+
+def patch_r12_section(res: dict[str, float]) -> None:
+    _patch_section(
+        "## Grow-index accretion & compaction; exclude_self cost (r12)",
+        r12_section(res),
+    )
+
+
 if __name__ == "__main__":
     # every family mode also measures + patches the session calibration
     # cell, so any table added to SCALE_PROBE.md carries its box era
@@ -2253,6 +2494,15 @@ if __name__ == "__main__":
         run_calibration(spark)
         probe_r11(spark, 100_000)  # untimed warmup: JIT + codegen
         patch_r11_section(r11_cells(spark))
+        spark.stop()
+    elif mode == "r12":
+        spark = build_session("scale-probe-r12")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
+        probe_r12(spark, 200_000)  # untimed warmup: JIT + codegen
+        res = probe_r12(spark)
+        print(f"r12: {res}", flush=True)
+        patch_r12_section(res)
         spark.stop()
     elif mode == "cal":
         spark = build_session("scale-probe-cal")

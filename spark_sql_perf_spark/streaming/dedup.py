@@ -171,6 +171,11 @@ def grow_index_append(spark: SparkSession, index_dir: str, novels: DataFrame) ->
     same asymptotics as the probe's own index scans."""
     from ..pipeline.dedup import _minhash_frames
 
+    if novels.isEmpty():
+        # a fully-replayed batch accepts nothing: skip the three guard
+        # scans + write jobs outright (isEmpty only touches the
+        # batch-bounded side)
+        return
     novel_ids = novels.select("id").distinct()
     frames = dict(zip(("hashed", "sigs", "bands"), _minhash_frames(novels)))
     for rel, part in _INDEX_RELS:

@@ -1192,12 +1192,11 @@ _D10_BATCH_SQL = """
 """
 
 
-@query(
-    "d10_incremental_lsh_probe",
-    oracle=f"""
-    WITH {_D10_BATCH_SQL},
-    {_minhash_ctes_sql('idx', 'i')},
-    {_minhash_ctes_sql('batch', 'b')},
+# The probe pipeline's oracle tail (candidates -> shingle-verified
+# matches -> per-batch accounting) — shared verbatim by d10 (static
+# index) and d11 (grown index): the two queries differ only in what the
+# idx/batch CTEs hold.
+_PROBE_ORACLE_TAIL = f"""
     cand AS (
       SELECT DISTINCT b.id AS batch_id, i.id AS idx_id
       FROM bbands b JOIN ibands i ON i.band = b.band AND i.bh = b.bh),
@@ -1234,6 +1233,16 @@ _D10_BATCH_SQL = """
            COALESCE(p.n_match, 0) = 0 AS is_novel
     FROM (SELECT id FROM batch) b
     LEFT JOIN per_batch p ON p.batch_id = b.id
+"""
+
+
+@query(
+    "d10_incremental_lsh_probe",
+    oracle=f"""
+    WITH {_D10_BATCH_SQL},
+    {_minhash_ctes_sql('idx', 'i')},
+    {_minhash_ctes_sql('batch', 'b')},
+    {_PROBE_ORACLE_TAIL}
     """,
 )
 def d10_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1364,4 +1373,104 @@ def probe_with_index(
         "match_id_min",
         "best_jaccard",
         (F.coalesce("n_match", F.lit(0)) == 0).alias("is_novel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d11: probe against a GROWN index — the grow-index loop's decision
+# semantics as a driver-verifiable batch query
+# ---------------------------------------------------------------------------
+
+# d10 certifies the static-index probe; the streaming grow loop
+# (streaming/dedup.py) additionally claims that an ACCEPTED novel joins
+# the index and changes later batches' decisions. That claim was
+# pytest-only (test_streaming_probe.py drives the loop end-to-end);
+# d11 makes it oracle-checked: the index relations are the corpus's
+# UNIONED with those of an earlier batch's accepted novels (exactly how
+# grow_index_append grows them — per-doc minhash makes relation-level
+# union equal corpus-level reindexing, which is what the DuckDB oracle
+# computes), and the arriving batch holds near-dups OF THE GROWN DOCS
+# (must match ids only a grown index contains) plus fresh reversed docs
+# (must stay novel against corpus AND grown docs alike). Probed with
+# the loop's own exclude_self predicate.
+
+_D11_CORPUS_SQL = """
+    idx AS (
+      SELECT doc_id AS id, lower(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(
+                 list_reverse(string_split_regex(lower(text), '\\s+')), ' ')
+      FROM documents WHERE doc_id % 11 = 0),
+    batch AS (
+      SELECT doc_id + 3000000 AS id,
+             array_to_string(
+                 list_reverse(string_split_regex(lower(text), '\\s+')), ' ')
+               || ' probe batch suffix' AS text
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 4000000,
+             array_to_string(
+                 list_reverse(string_split_regex(lower(text), '\\s+')), ' ')
+      FROM documents WHERE doc_id % 13 = 0 AND doc_id % 11 <> 0)
+"""
+
+
+@query(
+    "d11_grown_index_probe",
+    oracle=f"""
+    WITH {_D11_CORPUS_SQL},
+    {_minhash_ctes_sql('idx', 'i')},
+    {_minhash_ctes_sql('batch', 'b')},
+    {_PROBE_ORACLE_TAIL}
+    """,
+)
+def d11_grown_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grow-index loop's decision semantics, oracle-checked (see
+    the module note above): corpus index relations UNIONED with an
+    earlier batch's accepted novels (ids +2e6, word-reversed — d10's
+    planted novel set, now stored), probed by near-dups of those grown
+    docs (+3e6, suffix) and fresh reversed docs (+4e6, %13-not-%11).
+    A near-dup-of-grown can only match ids >= 2e6 — evidence the grown
+    relations participate — and the fresh docs exercise the novel path
+    against the grown index.
+
+    100 TB design: identical to d10's probe plan (broadcast batch side,
+    no index shuffle on batch keys — the same plan gate applies,
+    test_dedup_probe.py); the index side is two unioned at-rest
+    relation sets, exactly grow_index_append's on-disk layout.
+    SCALE_PROBE.md r12's accretion cells are this query's scale
+    receipts: they probe a 4M-doc index grown by appended batches with
+    exclude_self=True at 165-2,660 files."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.lower("text").alias("text")).where(
+        F.assert_true(
+            F.col("doc_id") < 1000000,
+            F.lit("d11 planted-id offsets (2e6..4e6) alias a natural doc_id"),
+        ).isNull()
+    )
+    reversed_text = F.array_join(
+        F.reverse(F.split("text", r"\s+")), " "
+    )
+    idx0 = base.select(F.col("doc_id").alias("id"), "text")
+    grown = base.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("id"), reversed_text.alias("text")
+    )
+    near_of_grown = grown.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat("text", F.lit(" probe batch suffix")).alias("text"),
+    )
+    fresh = base.where(
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 11 != 0)
+    ).select(
+        (F.col("doc_id") + 4000000).alias("id"), reversed_text.alias("text")
+    )
+    ih0, is0, ib0 = _minhash_frames(idx0)
+    ihg, isg, ibg = _minhash_frames(grown)
+    return probe_with_index(
+        ih0.unionAll(ihg),
+        is0.unionAll(isg),
+        ib0.unionAll(ibg),
+        near_of_grown.unionAll(fresh),
+        exclude_self=True,
     )

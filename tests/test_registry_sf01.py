@@ -82,10 +82,13 @@ SPOT_QUERIES = [
     # docs must stay novel as bucket occupancy grows)
     "c16_repetition_cut_split",
     "d10_incremental_lsh_probe",
-    # r12 addition: e6 drains c16's corpus THROUGH the stream (twice-
+    # r12 additions: e6 drains c16's corpus THROUGH the stream (twice-
     # delivered) — at 10x the docs the arrival-time dedup state and the
-    # in-row cut must still reproduce the batch survivor set exactly
+    # in-row cut must still reproduce the batch survivor set exactly;
+    # d11's grown-index probe must keep near-dups-of-grown resolving to
+    # grown ids as natural bucket occupancy grows 10x
     "e6_streaming_quality_cut",
+    "d11_grown_index_probe",
 ]
 
 

@@ -118,6 +118,9 @@ EXTRA = [
     # batch-derived side (zero SortMergeJoin; the index relations never
     # shuffle on batch keys)
     "d10_incremental_lsh_probe",
+    # r12: the grown-index probe (d11) — same broadcast-probe plan
+    # family as d10 over the unioned (corpus + accepted novels) index
+    "d11_grown_index_probe",
 ]
 
 

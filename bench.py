@@ -666,7 +666,7 @@ def main() -> None:
     # (8 for sim6, ~16s) plus receipt re-samples (the
     # ALWAYS_SAMPLED pair re-samples every round by design). The
     # re-sample tier otherwise only triggers on shifted queries, so the
-    # bound is ~(19*5 + 3*8 + (2+shifted)*3) executions; if every query
+    # bound is ~(19*5 + 4*8 + 8 + (2+shifted)*3) executions; if every query
     # shifted (a box-wide event the calibration medians would absorb
     # first), the run grows ~60% — acceptable, and now visible.
     payload["bench_runtime_sec"] = round(time.perf_counter() - t_start, 1)

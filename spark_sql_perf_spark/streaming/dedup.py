@@ -19,8 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.registry import query
-from .sink import merge_into_buckets
+from .sink import _BUCKET, _with_bucket, merge_into_buckets
 from .windows import stream_events
+
+# bucket count shared by the decision merge and the bucket-pruned
+# stored-novel read in the grow loop — they must agree or the pruned
+# read silently misses buckets
+_N_DECISION_BUCKETS = 16
 
 
 def content_key(df: DataFrame) -> DataFrame:
@@ -50,10 +55,13 @@ def streaming_dedup(
     return content_key(ev).dropDuplicatesWithinWatermark(["content_key"])
 
 
-def run_stream_append(df: DataFrame, table_name: str) -> None:
+def run_stream_append(df: DataFrame, table_name: str, timeout: int = 120) -> None:
     """Drain an append-mode streaming DataFrame into a memory sink
     (dedup/map-like operators are append; aggregations use
-    ``run_stream_once``'s complete mode)."""
+    ``run_stream_once``'s complete mode). Raises on timeout instead of
+    returning over a PARTIALLY-filled memory table — a silent partial
+    drain reads as a baffling result mismatch downstream (e6's oracle
+    comparison) rather than the timeout it actually was."""
     q = (
         df.writeStream.format("memory")
         .queryName(table_name)
@@ -61,7 +69,12 @@ def run_stream_append(df: DataFrame, table_name: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"run_stream_append: availableNow drain exceeded {timeout}s — "
+            f"stopped the query instead of returning a partial {table_name}"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -186,11 +199,47 @@ def grow_index_append(spark: SparkSession, index_dir: str, novels: DataFrame) ->
             .distinct()
         )
         missing = novel_ids.join(F.broadcast(live_ids), "id", "left_anti")
-        to_append = frames[rel].join(F.broadcast(missing), "id")
+        # coalesce(1): the novel set is batch-bounded, and a single-file
+        # append commits as ONE rename, so on a rename-atomic filesystem
+        # the id-level guard's premise (an id is fully appended or
+        # absent) holds within hashed/sigs too, not just between
+        # relations. Residual windows, documented not hidden: bands
+        # still publishes one file per band directory (a crash between
+        # those renames leaves an id with partial band coverage — a
+        # bounded candidate-recall loss for that id, never inflated
+        # jaccard), and object stores without atomic rename keep the
+        # same mid-commit caveat as the upsert sink (sink.py docstring);
+        # closing that fully needs a table format's commit log.
+        to_append = frames[rel].join(F.broadcast(missing), "id").coalesce(1)
         writer = to_append.write.mode("append")
         if part:
             writer = writer.partitionBy(part)
         writer.parquet(f"{index_dir}/{rel}")
+
+
+def recover_index(spark: SparkSession, index_dir: str) -> None:
+    """Restore a crashed compact_index swap, cheapest-correct order: a
+    missing live relation means the crash hit between the swap's two
+    renames — restore the original (definitely-complete) copy; then
+    clear stale __old/__compact_tmp leftovers. Runs at the TOP of every
+    grow-loop micro-batch, not just inside compact_index: the loop's
+    first action is reading the live relations, so a crash mid-swap
+    would otherwise fail every replay before compaction's own recovery
+    could ever execute (three fs.exists probes per batch when healthy)."""
+    fs, Path = _index_fs(spark, index_dir)
+    for rel, _ in _INDEX_RELS:
+        live, old, tmp = (
+            f"{index_dir}/{rel}",
+            f"{index_dir}/{rel}__old",
+            f"{index_dir}/{rel}__compact_tmp",
+        )
+        if not fs.exists(Path(live)) and fs.exists(Path(old)):
+            if not fs.rename(Path(old), Path(live)):
+                raise IOError(f"recover_index: could not restore {live}")
+        if fs.exists(Path(old)):
+            fs.delete(Path(old), True)
+        if fs.exists(Path(tmp)):
+            fs.delete(Path(tmp), True)
 
 
 def compact_index(
@@ -216,6 +265,7 @@ def compact_index(
     single-writer loop self-heals on its next batch. Compaction must
     run from that single writer loop — between micro-batches, never
     concurrently with a probe or an append."""
+    recover_index(spark, index_dir)
     fs, Path = _index_fs(spark, index_dir)
     compacted: dict[str, int] = {}
     for rel, part in _INDEX_RELS:
@@ -224,17 +274,6 @@ def compact_index(
             f"{index_dir}/{rel}__old",
             f"{index_dir}/{rel}__compact_tmp",
         )
-        # recovery from a prior crashed swap, cheapest-correct order:
-        # a missing live relation means the crash hit between the two
-        # renames — restore the original (definitely-complete) copy
-        if not fs.exists(Path(live)) and fs.exists(Path(old)):
-            if not fs.rename(Path(old), Path(live)):
-                raise IOError(f"compact_index: could not restore {live}")
-        if fs.exists(Path(old)):
-            fs.delete(Path(old), True)
-        if fs.exists(Path(tmp)):
-            fs.delete(Path(tmp), True)
-
         n_files = _count_data_files(fs, Path, live)
         if n_files <= max_files:
             continue
@@ -325,6 +364,11 @@ def streaming_incremental_probe(
         )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if grow_index:
+            # heal a crashed compaction swap BEFORE touching the live
+            # relations — the reads below would fail on every replay
+            # otherwise and compaction's own recovery could never run
+            recover_index(spark, index_dir)
         # fresh per micro-batch: the live index includes prior appends
         ihashed = spark.read.parquet(f"{index_dir}/hashed")
         isigs = spark.read.parquet(f"{index_dir}/sigs")
@@ -347,18 +391,40 @@ def streaming_incremental_probe(
         # blocks are released when the batch ends; a long-running
         # stream must not accumulate one pinned RDD per micro-batch.
         out = out.localCheckpoint(eager=True)
+        stored_novel_ids = None
         try:
             # 1. COMMIT the decisions (replay-idempotent first-wins
             # merge) BEFORE any index mutation.
-            merge_into_buckets(out, target_dir, "batch_id", one_per_key)
+            merge_into_buckets(
+                out, target_dir, "batch_id", one_per_key,
+                n_buckets=_N_DECISION_BUCKETS,
+            )
             # 2. Append novels derived from the STORED decisions — the
             # history a replay must honor, not the recomputation it
-            # must not — restricted to this batch's ids.
+            # must not — restricted to this batch's ids. The read is
+            # pruned to the batch's buckets (the sink's own O(touched
+            # buckets) contract — an unpruned scan would pay the whole
+            # stored history every batch) and MATERIALIZED once, so the
+            # three guard/append jobs downstream re-read a tiny frozen
+            # frame instead of re-scanning the decisions table each.
+            touched = [
+                r[0]
+                for r in _with_bucket(
+                    batch.select(F.col("id").alias("batch_id")),
+                    "batch_id",
+                    _N_DECISION_BUCKETS,
+                )
+                .select(_BUCKET)
+                .distinct()
+                .collect()
+            ]
             stored_novel_ids = (
                 spark.read.parquet(target_dir)
+                .where(F.col(_BUCKET).isin(touched))
                 .where(F.col("is_novel"))
                 .select(F.col("batch_id").alias("id"))
                 .join(F.broadcast(batch.select("id")), "id", "left_semi")
+                .localCheckpoint(eager=True)
             )
             grow_index_append(
                 spark, index_dir, batch.join(F.broadcast(stored_novel_ids), "id")
@@ -366,10 +432,13 @@ def streaming_incremental_probe(
             if compact_every and (batch_id + 1) % compact_every == 0:
                 compact_index(spark, index_dir, max_files=compact_max_files)
         finally:
-            try:
-                out._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:
-                pass
+            for frame in (out, stored_novel_ids):
+                if frame is None:
+                    continue
+                try:
+                    frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                except Exception:
+                    pass
 
     stream = stream_documents(spark, sf_dir, stream_dir, max_files_per_trigger)
     return (
@@ -460,6 +529,7 @@ def _e6_oracle() -> str:
 # call — the query certifies the stream path, not a cached table.
 _E6_STAGE_MEMO: dict[str, str] = {}
 _E6_SINK_SEQ = iter(range(10**9))
+_E6_LAST_SINK: list[str] = []
 
 
 def e6_streaming_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,8 +586,16 @@ def e6_streaming_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _E6_STAGE_MEMO[sf_dir] = staged
 
+    if _E6_LAST_SINK:
+        # only the current call's table is ever read; a long session
+        # must not pin every past run's survivor set in memory
+        spark.catalog.dropTempView(_E6_LAST_SINK[-1])
+        _E6_LAST_SINK.clear()
     sink = f"e6_qcut_out_{next(_E6_SINK_SEQ)}"
-    run_stream_append(streaming_quality_cut(spark, sf_dir, staged), sink)
+    run_stream_append(
+        streaming_quality_cut(spark, sf_dir, staged), sink, timeout=300
+    )
+    _E6_LAST_SINK.append(sink)
     got = spark.table(sink)
     return (
         got.select(

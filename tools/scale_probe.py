@@ -1874,30 +1874,13 @@ def probe_r11(spark, n_docs: int) -> dict[str, float]:
     out["gopher_cut"] = round(best, 2)
     out["cut_rate"] = round(cut / n_docs, 4)
 
-    n_batch = 8192  # FIXED batch size: the per-batch cost must be read
-    # against a GROWING index, which is the production question
+    # FIXED 8k batch (the per-batch cost must be read against a GROWING
+    # index, which is the production question) — shared construction
+    # with the r12 cells so the two tables stay comparable
     idx = _r11_corpus(spark, n_docs, rep_every=1 << 30).select(
         F.col("doc_id").alias("id"), "text"
     )
-    half = n_batch // 2
-    near = idx.where(F.col("id") % (n_docs // half) == 0).limit(half).select(
-        (F.col("id") + n_docs).alias("id"),
-        F.concat("text", F.lit(" probe batch suffix")).alias("text"),
-    )
-
-    def nword(idc, pos):  # disjoint vocab -> structurally novel
-        return F.concat(
-            F.lit("ntok"),
-            uniform_int(idc, f"nw{pos}", 0, 4999).cast("string"),
-        )
-
-    novel = gen_table(spark, half, {"bid": lambda idc: idc}).select(
-        (F.col("bid") + 2 * n_docs).alias("id"),
-        F.concat_ws(" ", *[nword(F.col("bid"), p) for p in range(24)]).alias(
-            "text"
-        ),
-    )
-    batch = near.unionAll(novel)
+    batch = _r12_probe_batch(spark, idx, n_docs)
     # Materialize the index AT REST as parquet — the actual production
     # form (a localCheckpoint of the 22n-row shingle relation OOMs at
     # the 16M cell: MEMORY_AND_DISK stores deserialized row objects;
@@ -2259,8 +2242,6 @@ def probe_r12(spark, n_docs: int = R12_N_DOCS) -> dict[str, float]:
     )
     batch = _r12_probe_batch(spark, idx, n_docs)
 
-    conf = spark.conf
-    prev_parts = conf.get("spark.sql.shuffle.partitions")
     index_dir = tempfile.mkdtemp(prefix="probe-r12-index-")
     try:
         ihashed, isigs, ibands = _minhash_frames(idx)
@@ -2359,7 +2340,6 @@ def probe_r12(spark, n_docs: int = R12_N_DOCS) -> dict[str, float]:
         m = timed_probe("probe_compacted", exclude_self=True)
         assert m == m_plain, ("compacted", m, m_plain)
     finally:
-        conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(index_dir, ignore_errors=True)
     return out
 

@@ -247,13 +247,23 @@ def test_streaming_quality_cut_matches_batch_semantics(spark):
     ).count() == 0
 
 
-def test_grow_index_append_converges_after_partial_crash(spark):
-    """The r11 ADVICE failure mode, driven directly: a crash between
-    the hashed and sigs appends leaves hashed grown and sigs/bands not.
-    The per-relation guards must converge on replay — NO duplicate
-    (id, h) rows in hashed (the n_common/jaccard inflation bug), and
-    sigs/bands caught up exactly once — and a subsequent probe must
-    match a near-dup of the novel."""
+import pytest
+
+
+@pytest.mark.parametrize(
+    "pre_appended",
+    [("hashed",), ("sigs",), ("bands",), ("hashed", "sigs"),
+     ("hashed", "bands"), ("sigs", "bands")],
+    ids=lambda p: "+".join(p),
+)
+def test_grow_index_append_converges_after_partial_crash(spark, pre_appended):
+    """The r11 ADVICE failure mode, driven directly for EVERY partial
+    crash state: a crash can leave any proper subset of the three
+    relation appends durable. The per-relation guards must converge on
+    replay from each one — NO duplicate (id, h) rows in hashed (the
+    n_common/jaccard inflation bug), the missing relations caught up
+    exactly once — and a subsequent probe must match a near-dup of the
+    novel."""
     from spark_sql_perf_spark.catalog import table
     from spark_sql_perf_spark.pipeline.dedup import (
         _minhash_frames,
@@ -278,9 +288,13 @@ def test_grow_index_append_converges_after_partial_crash(spark):
     n_novels = novels.count()
     assert n_novels > 0
 
-    # simulated crash: the hashed append landed, sigs/bands did not
-    nhashed, _, _ = _minhash_frames(novels)
-    nhashed.write.mode("append").parquet(f"{index_dir}/hashed")
+    # simulated crash: the pre_appended relations landed, the rest did not
+    frames = dict(zip(("hashed", "sigs", "bands"), _minhash_frames(novels)))
+    for rel in pre_appended:
+        w = frames[rel].coalesce(1).write.mode("append")
+        if rel == "bands":
+            w = w.partitionBy("band")
+        w.parquet(f"{index_dir}/{rel}")
 
     # replay: the full guarded append
     grow_index_append(spark, index_dir, novels)

@@ -1290,25 +1290,14 @@ def incremental_probe_df(idx: DataFrame, batch: DataFrame) -> DataFrame:
     return probe_with_index(*_minhash_frames(idx), batch)
 
 
-def probe_with_index(
-    ihashed: DataFrame,
-    isigs: DataFrame,
-    ibands: DataFrame,
-    batch: DataFrame,
-    exclude_self: bool = False,
+def probe_candidates(
+    ibands: DataFrame, bbands: DataFrame, exclude_self: bool = False
 ) -> DataFrame:
-    """The probe half alone, over PREBUILT index relations — the
-    at-rest entry point: streaming/dedup.py builds (hashed, sigs,
-    bands) once as parquet and probes every micro-batch through here
-    without recomputing the corpus side.
-
-    ``exclude_self`` drops index entries whose id equals the probing
-    doc's own id — required once accepted novels are appended BACK to
-    the index (the grow-index loop): a redelivered batch must not match
-    a document against its own earlier acceptance, or replay would flip
-    its decision from novel to dup."""
-    bhashed, bsigs, bbands = _minhash_frames(batch)
-
+    """The probe's candidate-pair join alone: index band buckets
+    broadcast-joined to the batch's, distinct (batch_id, idx_id). Split
+    out so the at-rest path (streaming/dedup.probe_index_at_rest) can
+    materialize candidates FIRST and partition-prune the hashed/sigs
+    scans to the directories the candidate ids actually occupy."""
     cand = (
         ibands.alias("i")
         .join(
@@ -1320,6 +1309,40 @@ def probe_with_index(
     )
     if exclude_self:
         cand = cand.where(F.col("idx_id") != F.col("batch_id"))
+    return cand
+
+
+def probe_with_index(
+    ihashed: DataFrame,
+    isigs: DataFrame,
+    ibands: DataFrame,
+    batch: DataFrame,
+    exclude_self: bool = False,
+    cand: DataFrame | None = None,
+    bframes: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """The probe half alone, over PREBUILT index relations — the
+    at-rest entry point: streaming/dedup.py builds (hashed, sigs,
+    bands) once as parquet and probes every micro-batch through here
+    without recomputing the corpus side.
+
+    ``exclude_self`` drops index entries whose id equals the probing
+    doc's own id — required once accepted novels are appended BACK to
+    the index (the grow-index loop): a redelivered batch must not match
+    a document against its own earlier acceptance, or replay would flip
+    its decision from novel to dup.
+
+    ``cand``/``bframes`` let the at-rest path pass a MATERIALIZED
+    candidate frame (with exclude_self already applied) and the batch's
+    minhash frames, so candidates execute once, the id_part pruning
+    list can be collected from them, and the plan below reuses rather
+    than recomputes them. Defaults recompute both in-plan — the batch
+    queries' (d10/d11) unchanged shape."""
+    bhashed, bsigs, bbands = (
+        bframes if bframes is not None else _minhash_frames(batch)
+    )
+    if cand is None:
+        cand = probe_candidates(ibands, bbands, exclude_self)
     # candidate-first verification order (d2's proven shape): the index
     # shingle relation is filtered to candidate docs FIRST (broadcast
     # semi-shape), so the h-join never materializes the full

@@ -135,6 +135,10 @@ def test_streaming_probe_grow_index_loop(spark):
             for r in spark.read.parquet(target_dir).collect()
         }
 
+    # r12 ADVICE: an EMPTY first arrival (zero-row file) must be a
+    # no-op, not a wedge — the pre-fix merge wrote no bucket partitions
+    # and every subsequent batch then died reading the empty target
+    deliver(batch_a.limit(0), "arrival-00-empty")
     deliver(batch_a, "arrival-0")
     drain()
     after_a = decisions()
@@ -288,13 +292,19 @@ def test_grow_index_append_converges_after_partial_crash(spark, pre_appended):
     n_novels = novels.count()
     assert n_novels > 0
 
-    # simulated crash: the pre_appended relations landed, the rest did not
+    # simulated crash: the pre_appended relations landed, the rest did
+    # not — written exactly as grow_index_append writes (id_part layout)
+    from spark_sql_perf_spark.streaming.dedup import _ID_PART, _with_id_part
+
     frames = dict(zip(("hashed", "sigs", "bands"), _minhash_frames(novels)))
     for rel in pre_appended:
-        w = frames[rel].coalesce(1).write.mode("append")
-        if rel == "bands":
-            w = w.partitionBy("band")
-        w.parquet(f"{index_dir}/{rel}")
+        (
+            _with_id_part(frames[rel])
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy(_ID_PART)
+            .parquet(f"{index_dir}/{rel}")
+        )
 
     # replay: the full guarded append
     grow_index_append(spark, index_dir, novels)
@@ -343,6 +353,126 @@ def test_grow_index_append_converges_after_partial_crash(spark, pre_appended):
     )
     rows = {r["batch_id"]: r["match_id_min"] for r in got.collect()}
     assert rows and all(m == b - 1_000_000 for b, m in rows.items())
+
+
+def test_grow_index_append_repairs_partial_band_coverage(spark):
+    """r12 ADVICE: an id left with PARTIAL band coverage (legacy
+    band-partitioned layout crash, or a non-rename-atomic object store)
+    must be REPAIRED by replay, not skipped — the (id, band)-granular
+    bands guard anti-joins the new band rows against the live ones, so
+    only the missing bands append and none duplicate."""
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.pipeline.dedup import _minhash_frames
+    from spark_sql_perf_spark.streaming.dedup import (
+        _ID_PART,
+        _with_id_part,
+        build_probe_index,
+        grow_index_append,
+    )
+
+    work = tempfile.mkdtemp(prefix="probe-bands-")
+    index_dir = os.path.join(work, "index")
+    build_probe_index(spark, SF_DIR_TINY, index_dir)
+
+    docs = table(spark, SF_DIR_TINY, "documents")
+    novels = docs.where(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 6_000_000).alias("id"),
+        F.array_join(F.reverse(F.split(F.lower("text"), r"\s+")), " ").alias(
+            "text"
+        ),
+    )
+    n_novels = novels.count()
+    assert n_novels > 0
+    _, _, bands = _minhash_frames(novels)
+    n_bands_full = bands.count()
+    half_bands = bands.where(F.col("band") < 2)  # 2 of the 3 bands
+    assert 0 < half_bands.count() < n_bands_full
+
+    # simulated partial state: only bands 0-1 landed for every novel id
+    (
+        _with_id_part(half_bands)
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy(_ID_PART)
+        .parquet(f"{index_dir}/bands")
+    )
+    grow_index_append(spark, index_dir, novels)
+
+    live = spark.read.parquet(f"{index_dir}/bands").where(
+        F.col("id") >= 6_000_000
+    )
+    assert live.count() == n_bands_full  # coverage repaired...
+    dup_pairs = (
+        live.groupBy("id", "band").count().where(F.col("count") > 1).count()
+    )
+    assert dup_pairs == 0  # ...without duplicating the bands that landed
+
+
+def test_probe_at_rest_prunes_index_partitions(spark):
+    """r12 VERDICT task 2: the at-rest probe must partition-prune the
+    hashed/sigs verification scans to the candidate ids' id_part
+    directories — identical decisions to the unpruned probe, with a
+    file-level receipt that only the candidate partitions were read."""
+    from spark_sql_perf_spark.catalog import table
+    from spark_sql_perf_spark.pipeline.dedup import probe_with_index
+    from spark_sql_perf_spark.streaming.dedup import (
+        _ID_PART,
+        _id_part,
+        build_probe_index,
+        index_file_counts,
+        probe_index_at_rest,
+    )
+
+    work = tempfile.mkdtemp(prefix="probe-prune-")
+    index_dir = os.path.join(work, "index")
+    build_probe_index(spark, SF_DIR_TINY, index_dir)
+
+    # a trickle batch: few docs -> few candidate ids -> few id_parts
+    docs = table(spark, SF_DIR_TINY, "documents")
+    batch = docs.where(F.col("doc_id") % 83 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("id"),
+        F.concat(F.lower("text"), F.lit(" probe batch suffix")).alias("text"),
+    )
+    out, cand = probe_index_at_rest(spark, index_dir, batch)
+
+    cols = ["batch_id", "n_cand", "n_match", "match_id_min", "best_jaccard",
+            "is_novel"]
+    got = {r["batch_id"]: tuple(r[c] for c in cols[1:])
+           for r in out.select(*cols).collect()}
+    want = {
+        r["batch_id"]: tuple(r[c] for c in cols[1:])
+        for r in probe_with_index(
+            spark.read.parquet(f"{index_dir}/hashed"),
+            spark.read.parquet(f"{index_dir}/sigs"),
+            spark.read.parquet(f"{index_dir}/bands").select("id", "band", "bh"),
+            batch,
+        ).select(*cols).collect()
+    }
+    assert got == want  # pruning never changes decisions
+    assert any(not v[-1] for v in got.values())  # the near-dups matched
+
+    # receipt: the pruned scans read only the candidate partitions
+    parts = [
+        r[0]
+        for r in cand.select(_id_part("idx_id").alias("p")).distinct().collect()
+    ]
+    assert 0 < len(parts) < 64
+    totals = index_file_counts(spark, index_dir)
+    for rel in ("hashed", "sigs"):
+        read_files = (
+            spark.read.parquet(f"{index_dir}/{rel}")
+            .where(F.col(_ID_PART).isin(parts))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        assert read_files <= len(parts) < totals[rel], (
+            rel, read_files, totals[rel]
+        )
+    # and the probe PLAN carries the partition filter (not a post-scan
+    # predicate): the scan nodes prune at the source
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [id_part") >= 2, plan
 
 
 def test_compact_index_preserves_probe_and_cuts_files(spark):

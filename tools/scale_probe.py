@@ -2234,6 +2234,7 @@ def probe_r12(spark, n_docs: int = R12_N_DOCS) -> dict[str, float]:
         compact_index,
         grow_index_append,
         index_file_counts,
+        write_index_frames,
     )
 
     out: dict[str, float] = {}
@@ -2244,12 +2245,7 @@ def probe_r12(spark, n_docs: int = R12_N_DOCS) -> dict[str, float]:
 
     index_dir = tempfile.mkdtemp(prefix="probe-r12-index-")
     try:
-        ihashed, isigs, ibands = _minhash_frames(idx)
-        ihashed.write.mode("overwrite").parquet(f"{index_dir}/hashed")
-        isigs.write.mode("overwrite").parquet(f"{index_dir}/sigs")
-        ibands.write.mode("overwrite").partitionBy("band").parquet(
-            f"{index_dir}/bands"
-        )
+        write_index_frames(index_dir, *_minhash_frames(idx))
 
         def read_index():
             return (
@@ -2431,6 +2427,7 @@ def probe_r12_loop(spark, n_docs: int = 1_000_000, n_batches: int = 20,
     )
     from spark_sql_perf_spark.streaming.dedup import (
         streaming_incremental_probe,
+        write_index_frames,
     )
 
     out: dict[str, float] = {}
@@ -2444,12 +2441,7 @@ def probe_r12_loop(spark, n_docs: int = 1_000_000, n_batches: int = 20,
     idx = _r11_corpus(spark, n_docs, rep_every=1 << 30).select(
         F.col("doc_id").alias("id"), "text"
     )
-    ihashed, isigs, ibands = _minhash_frames(idx)
-    ihashed.write.mode("overwrite").parquet(f"{index_dir}/hashed")
-    isigs.write.mode("overwrite").parquet(f"{index_dir}/sigs")
-    ibands.write.mode("overwrite").partitionBy("band").parquet(
-        f"{index_dir}/bands"
-    )
+    write_index_frames(index_dir, *_minhash_frames(idx))
 
     half = batch_rows // 2
     meta_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -2522,7 +2514,11 @@ def probe_r12_loop(spark, n_docs: int = 1_000_000, n_batches: int = 20,
         max_files_per_trigger=1, grow_index=True, compact_every=10,
         compact_max_files=64,
     )
-    q.awaitTermination(1800)
+    if not q.awaitTermination(1800):
+        # same discipline as run_stream_append: a hung drain must fail
+        # loudly, not patch partial per-batch numbers into SCALE_PROBE.md
+        q.stop()
+        raise TimeoutError("probe_r12_loop: stream drain exceeded 1800s")
     out["loop_total_s"] = round(time.perf_counter() - t0, 2)
     prog = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
     durs = sorted(
@@ -2586,6 +2582,301 @@ def r12_loop_section(res: dict[str, float]) -> list[str]:
 
 def patch_r12_loop_section(res: dict[str, float]) -> None:
     _patch_section("## Grow-loop end-to-end cells (r12)", r12_loop_section(res))
+
+
+# ---------------------------------------------------------------------------
+# r13: partition-pruned at-rest probe (id_part layout) — receipts
+# ---------------------------------------------------------------------------
+
+R13_N_DOCS = 4_000_000
+R13_BATCH_SIZES = [16, 512, 8192]
+R13_ACCRETION_STATES = [50, 200]
+
+
+def probe_r13(spark, n_docs: int = R13_N_DOCS) -> dict[str, float]:
+    """The r12 VERDICT task-2 receipts: the at-rest index now lays
+    hashed/sigs/bands out partitioned by the bounded id-derived
+    ``id_part`` key, and probe_index_at_rest reads ONLY the candidate
+    ids' directories. Cells, all on a ``n_docs``-doc index:
+
+    1. pruning by batch size — pruned vs full probe (min-of-2) at
+       trickle/medium/saturating batches, with decisions asserted
+       IDENTICAL row-for-row, plus the receipt: candidate partitions
+       hit (of _N_ID_PARTS) and hashed data files actually read (of
+       the relation's total). The trickle regime is the win (per-batch
+       index I/O was the fixed O(index) tax); at saturating batches
+       the parts saturate and pruned == full, which is the regime
+       where the scan amortizes over candidates anyway (stated, not
+       hidden).
+    2. accretion under the NEW layout — an append publishes one file
+       per TOUCHED directory (not ~5 flat files as in the r12 cells),
+       so file counts accrete faster; re-priced at 50/200 appended
+       batch file-sets with the pruned probe, then compact_index
+       (whose threshold now sits above the one-file-per-directory
+       floor) re-measured.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_sql_perf_spark.pipeline.dedup import (
+        _minhash_frames,
+        probe_with_index,
+    )
+    from spark_sql_perf_spark.streaming.dedup import (
+        _ID_PART,
+        _N_ID_PARTS,
+        _id_part,
+        compact_index,
+        grow_index_append,
+        index_file_counts,
+        probe_index_at_rest,
+        write_index_frames,
+    )
+
+    out: dict[str, float] = {}
+    idx = _r11_corpus(spark, n_docs, rep_every=1 << 30).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    index_dir = tempfile.mkdtemp(prefix="probe-r13-index-")
+    try:
+        write_index_frames(index_dir, *_minhash_frames(idx))
+        totals = index_file_counts(spark, index_dir)
+        out["files_base"] = sum(totals.values())
+
+        def read_full():
+            return (
+                spark.read.parquet(f"{index_dir}/hashed"),
+                spark.read.parquet(f"{index_dir}/sigs"),
+                spark.read.parquet(f"{index_dir}/bands").select(
+                    "id", "band", "bh"
+                ),
+            )
+
+        def rows_of(df):
+            cols = ["batch_id", "n_cand", "n_match", "match_id_min",
+                    "best_jaccard", "is_novel"]
+            return {
+                r["batch_id"]: tuple(r[c] for c in cols[1:])
+                for r in df.select(*cols).collect()
+            }
+
+        def release(frame):
+            try:
+                frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
+
+        for bs in R13_BATCH_SIZES:
+            batch = _r12_probe_batch(spark, idx, n_docs, n_batch=bs)
+            best_full, want = float("inf"), None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                want = rows_of(
+                    probe_with_index(*read_full(), batch, exclude_self=True)
+                )
+                best_full = min(best_full, time.perf_counter() - t0)
+            best_pruned, got, parts_hit, cand_last = float("inf"), None, 0, None
+            for _ in range(2):
+                if cand_last is not None:
+                    release(cand_last)
+                t0 = time.perf_counter()
+                pr, cand = probe_index_at_rest(
+                    spark, index_dir, batch, exclude_self=True
+                )
+                got = rows_of(pr)
+                best_pruned = min(best_pruned, time.perf_counter() - t0)
+                cand_last = cand
+                parts_hit = (
+                    cand.select(_id_part("idx_id").alias("p")).distinct().count()
+                )
+            assert got == want, f"pruned decisions diverged at batch={bs}"
+            parts = [
+                r[0]
+                for r in cand_last.select(_id_part("idx_id").alias("p"))
+                .distinct()
+                .collect()
+            ]
+            files_read = (
+                spark.read.parquet(f"{index_dir}/hashed")
+                .where(F.col(_ID_PART).isin(parts))
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .count()
+            )
+            release(cand_last)
+            out[f"full_s_{bs}"] = round(best_full, 2)
+            out[f"pruned_s_{bs}"] = round(best_pruned, 2)
+            out[f"parts_{bs}"] = parts_hit
+            out[f"hashed_files_read_{bs}"] = files_read
+        out["n_id_parts"] = _N_ID_PARTS
+        out["hashed_files_total"] = totals["hashed"]
+
+        # --- accretion under the new layout ---
+        batch = _r12_probe_batch(spark, idx, n_docs)
+        novels = batch.where(F.col("id") >= 2 * n_docs).limit(512)
+        before = {
+            rel: set(
+                os.path.join(dp, f)
+                for dp, _, fs_ in os.walk(f"{index_dir}/{rel}")
+                for f in fs_
+                if not f.startswith(("_", "."))
+            )
+            for rel in ("hashed", "sigs", "bands")
+        }
+        grow_index_append(spark, index_dir, novels)
+        template = {
+            rel: sorted(
+                set(
+                    os.path.join(dp, f)
+                    for dp, _, fs_ in os.walk(f"{index_dir}/{rel}")
+                    for f in fs_
+                    if not f.startswith(("_", "."))
+                )
+                - before[rel]
+            )
+            for rel in ("hashed", "sigs", "bands")
+        }
+        out["files_per_append"] = sum(len(v) for v in template.values())
+
+        def timed_grown(tag):
+            best, got = float("inf"), None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pr, cand = probe_index_at_rest(
+                    spark, index_dir, batch, exclude_self=True
+                )
+                got = pr.agg(
+                    F.sum((F.col("n_match") > 0).cast("long")).alias("m")
+                ).collect()[0]["m"]
+                best = min(best, time.perf_counter() - t0)
+                release(cand)
+            out[tag] = round(best, 2)
+            return int(got)
+
+        m_base = timed_grown("pruned_s_grown_1")
+        state_done = 1
+        for target in R13_ACCRETION_STATES:
+            for i in range(state_done, target):
+                for rel, files in template.items():
+                    for src in files:
+                        d, base = os.path.split(src)
+                        shutil.copy(src, os.path.join(d, f"r13sim-{i}-{base}"))
+            state_done = max(state_done, target)
+            out[f"files_at_{target}"] = sum(
+                index_file_counts(spark, index_dir).values()
+            )
+            m = timed_grown(f"pruned_s_at_{target}")
+            assert m == m_base, (target, m, m_base)
+        t0 = time.perf_counter()
+        compacted = compact_index(spark, index_dir, max_files=64)
+        out["compact_s"] = round(time.perf_counter() - t0, 2)
+        out["files_compacted"] = sum(
+            index_file_counts(spark, index_dir).values()
+        )
+        assert set(compacted) == {"hashed", "sigs", "bands"}, compacted
+        m = timed_grown("pruned_s_compacted")
+        assert m == m_base, ("compacted", m, m_base)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return out
+
+
+def r13_section(res: dict[str, float]) -> list[str]:
+    size_rows = [
+        f"| batch {bs}: pruned {res[f'pruned_s_{bs}']}s vs full "
+        f"{res[f'full_s_{bs}']}s | {res[f'parts_{bs}']}/{res['n_id_parts']}"
+        f" parts, {res[f'hashed_files_read_{bs}']}/"
+        f"{res['hashed_files_total']} hashed files read |"
+        for bs in R13_BATCH_SIZES
+    ]
+    acc_rows = [
+        f"| pruned probe @ {t} appended batches "
+        f"({res[f'files_at_{t}']:,} files) | {res[f'pruned_s_at_{t}']}s |"
+        for t in R13_ACCRETION_STATES
+    ]
+    return [
+        "## Partition-pruned at-rest probe (r13, id_part layout)",
+        "",
+        f"The at-rest index ({R13_N_DOCS:,} docs) now lays all three",
+        "relations out partitioned by id_part = xxhash64(id) %",
+        f"{res['n_id_parts']}; probe_index_at_rest materializes the",
+        "candidate pairs first, collects their distinct id_part values",
+        "(bounded by the part count, never O(ids)), and reads ONLY",
+        "those directories of hashed/sigs. Decisions are asserted",
+        "row-identical to the unpruned probe at every cell. The guard",
+        "scans of grow_index_append prune the same way (and fold into",
+        "one job). Regenerate: `python tools/scale_probe.py r13`.",
+        "",
+        "| pruned vs full probe | I/O receipt |",
+        "|---|---|",
+        *size_rows,
+        "",
+        "Reading: the trickle regime is the target — per-batch index",
+        "I/O drops from O(index) to O(candidate partitions), the r12",
+        "verdict's named residual. At saturating batch sizes the",
+        "candidate ids hit every partition and pruned == full (stated",
+        "openly: pruning is a trickle-regime win; large batches were",
+        "already amortizing the scan over their candidates).",
+        "",
+        "Accretion re-priced under the new layout (an append publishes",
+        "one file per TOUCHED directory — more files per append than",
+        f"the r12 flat layout's ~5; here {res['files_per_append']} for",
+        "a 512-novel append — so compact_index's threshold now sits",
+        "above the one-file-per-directory floor and the cadence holds):",
+        "",
+        "| cell | value |",
+        "|---|---|",
+        f"| index files, fresh | {res['files_base']:,} |",
+        f"| files per 512-novel append | {res['files_per_append']} |",
+        f"| pruned probe @ 1 appended batch | {res['pruned_s_grown_1']}s |",
+        *acc_rows,
+        f"| compact_index (threshold floor+64) | {res['compact_s']}s |",
+        f"| pruned probe, compacted ({res['files_compacted']:,} files) "
+        f"| {res['pruned_s_compacted']}s |",
+        "",
+    ]
+
+
+def patch_r13_section(res: dict[str, float]) -> None:
+    _patch_section(
+        "## Partition-pruned at-rest probe (r13, id_part layout)", r13_section(res)
+    )
+
+
+def r13_loop_section(res: dict[str, float]) -> list[str]:
+    return [
+        "## Grow-loop end-to-end cells (r13, after guard-fold + pruned reads)",
+        "",
+        "The same cell as the r12 section above (REAL streaming loop,",
+        "grow_index=True, compact_every=10, 20 one-file micro-batches",
+        "of 2,048 docs against a 1M-doc at-rest index), re-measured",
+        "after the r13 changes: the three per-relation guard scans fold",
+        "into ONE pruned job, recover_index's fs probes are skipped",
+        "between cleanly-committed batches (session-healthy flag), and",
+        "the probe's hashed/sigs reads partition-prune. r12 committed",
+        "values for comparison: probe_only 0.94s, per-batch median",
+        "7.16s, max 10.91s, total 149.2s.",
+        "Regenerate alone with: `python tools/scale_probe.py r13loop`.",
+        "",
+        "| cell | value |",
+        "|---|---|",
+        f"| probe_only baseline (2,048-doc batch) | {res['probe_only_baseline']}s |",
+        f"| loop batches drained | {res['loop_batches']} |",
+        f"| loop per-batch median | {res['loop_batch_median_s']}s |",
+        f"| loop per-batch max (incl. compaction batch) | {res['loop_batch_max_s']}s |",
+        f"| loop total | {res['loop_total_s']}s |",
+        f"| index data files at end | {res['index_files_end']} |",
+        f"| decisions stored / novel | {res['decisions_rows']} / {res['decisions_novel']} |",
+        "",
+    ]
+
+
+def patch_r13_loop_section(res: dict[str, float]) -> None:
+    _patch_section(
+        "## Grow-loop end-to-end cells (r13, after guard-fold + pruned reads)",
+        r13_loop_section(res),
+    )
 
 
 if __name__ == "__main__":
@@ -2674,6 +2965,23 @@ if __name__ == "__main__":
         res = probe_r12_loop(spark)
         print(f"r12loop: {res}", flush=True)
         patch_r12_loop_section(res)
+        spark.stop()
+    elif mode == "r13":
+        spark = build_session("scale-probe-r13")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
+        probe_r13(spark, 200_000)  # untimed warmup: JIT + codegen
+        res = probe_r13(spark)
+        print(f"r13: {res}", flush=True)
+        patch_r13_section(res)
+        spark.stop()
+    elif mode == "r13loop":
+        spark = build_session("scale-probe-r13loop")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_calibration(spark)
+        res = probe_r12_loop(spark)
+        print(f"r13loop: {res}", flush=True)
+        patch_r13_loop_section(res)
         spark.stop()
     elif mode == "cal":
         spark = build_session("scale-probe-cal")

@@ -334,8 +334,24 @@ THERMOMETERS = {
 # or no shift — r11: sim6 (the r10 builder-note 1.48s vs driver-run
 # 2.155s discrepancy needs variance evidence either way) and g4 (its
 # +12% r10 raw drift rode shared-direction box movement; samples make
-# the next drift self-documenting).
-ALWAYS_SAMPLED = ["sim6_knn_graph", "g4_square_count"]
+# the next drift self-documenting). r13: d2 (two straight outlier
+# rounds in opposite directions on untouched code — r11 −45%, r12
+# +74% against its class; the r12 verdict's idle-box receipt read it
+# at anchor, so raw samples must ship every round until it settles).
+ALWAYS_SAMPLED = ["sim6_knn_graph", "g4_square_count", "d2_dedup_minhash_lsh"]
+
+# Cross-class sanity gate (r13, r12 VERDICT task 1): the r12 artifact
+# printed sim6 normalized 2.127 — the worst reading on record — in the
+# same file whose notes declared sim6 resolved and steady, because the
+# explode-class median (0.871) moved OPPOSITE the global calibration
+# median (1.18): a 40% cross-class split in "box drift" divided sim6's
+# raw by a number moving the other way. When a shape median diverges
+# more than this fraction from the global median, the artifact flags
+# the shape (shape_basis suffix "_divergent_vs_global") and emits BOTH
+# normalizations for its queries (``queries_normalized_global``), so a
+# cold reader sees the calibration disagreement instead of a phantom
+# regression.
+SHAPE_DIVERGENCE_GATE = 0.20
 
 # Unrecorded warm-in executions before a query's first timed sample —
 # the r12 resolution of the three-round sim6 driver-vs-builder gap
@@ -400,6 +416,17 @@ NOTES = [
     " unrecorded executions before its timed samples; r12+ readings are"
     " steady-state (comparable to prior BUILDER numbers, not to the"
     " r9-r11 driver-run transients). It stays ALWAYS_SAMPLED.",
+    "cross-class divergence gate since r13 (the r12 artifact printed"
+    " sim6 normalized 2.127 — worst on record — while its own notes"
+    " declared sim6 steady, because the explode-class median 0.871"
+    " moved opposite the global 1.18): a shape median >20% off the"
+    " global calibration median marks its shape_basis"
+    " '_divergent_vs_global' and its queries' global-median"
+    " normalizations ship alongside under queries_normalized_global —"
+    " read BOTH before calling a regression in a flagged class."
+    " d2_dedup_minhash_lsh joined ALWAYS_SAMPLED the same round (r11"
+    " −45% / r12 +74% against its class on untouched code; idle-box"
+    " receipts put it at anchor both times).",
     "q1_pricing_summary is the most scan-bandwidth-bound headline query"
     " and its min-of-N wobbles hardest when the page cache is cold"
     " relative to the join-shaped calibration peers (r9: +17% normalized"
@@ -540,11 +567,18 @@ def normalize_vs_previous(
     med = _median(cal if basis == "calibration" else list(ratios.values()))
     shape_medians: dict[str, float] = {}
     shape_basis: dict[str, str] = {}
+    divergent_shapes: set[str] = set()
     for shape, qs in CAL_SHAPES.items():
         rs = [ratios[q] for q in qs if q in ratios and q not in changed]
         if len(rs) >= MIN_SHAPE_RATIOS:
             shape_medians[shape] = round(_median(rs), 3)
             shape_basis[shape] = f"{len(rs)}_shared"
+            if med > 0 and abs(shape_medians[shape] / med - 1.0) > SHAPE_DIVERGENCE_GATE:
+                # see SHAPE_DIVERGENCE_GATE: the class thermometers and
+                # the global calibration disagree about the box — ship
+                # both normalizations rather than silently trusting one
+                shape_basis[shape] += "_divergent_vs_global"
+                divergent_shapes.add(shape)
         else:
             shape_medians[shape] = round(med, 3)
             shape_basis[shape] = "fallback_global"
@@ -552,7 +586,7 @@ def normalize_vs_previous(
     def q_med(q: str) -> float:
         return shape_medians.get(SHAPE_OF.get(q, ""), med)
 
-    return {
+    out = {
         "vs": vs,
         "median_shift": round(med, 3),
         "value_normalized": round(
@@ -570,6 +604,13 @@ def normalize_vs_previous(
             "ratios": {q: round(r, 3) for q, r in sorted(ratios.items())},
         },
     }
+    if divergent_shapes:
+        out["queries_normalized_global"] = {
+            q: round(t / med, 3)
+            for q, t in times.items()
+            if SHAPE_OF.get(q, "") in divergent_shapes
+        }
+    return out
 
 
 def main() -> None:
@@ -664,9 +705,9 @@ def main() -> None:
     # Bench wall-clock self-report: 19 headline queries x min-of-5 + 4
     # generated thermometers x min-of-8 + WARM_IN unrecorded executions
     # (8 for sim6, ~16s) plus receipt re-samples (the
-    # ALWAYS_SAMPLED pair re-samples every round by design). The
+    # ALWAYS_SAMPLED trio re-samples every round by design). The
     # re-sample tier otherwise only triggers on shifted queries, so the
-    # bound is ~(19*5 + 4*8 + 8 + (2+shifted)*3) executions; if every query
+    # bound is ~(19*5 + 4*8 + 8 + (3+shifted)*3) executions; if every query
     # shifted (a box-wide event the calibration medians would absorb
     # first), the run grows ~60% — acceptable, and now visible.
     payload["bench_runtime_sec"] = round(time.perf_counter() - t_start, 1)

@@ -66,6 +66,48 @@ def test_previous_times_skip_truncated_artifacts():
     assert len(set(times) & set(bench.HEADLINE)) >= 10
 
 
+def test_divergent_shape_median_is_flagged_with_both_normalizations(
+    monkeypatch,
+):
+    """r12 VERDICT task 1: when a shape median moves >20% off the global
+    calibration median (the r12 sim6/explode-class contradiction), the
+    artifact must flag the shape and ship the global-median
+    normalization for its queries alongside the class one — a cold
+    reader sees the calibration disagreement, not a phantom
+    regression."""
+    monkeypatch.setattr(bench, "_current_impl_changed", lambda: set())
+    shared = {
+        q: 1.0
+        for q in bench.CAL_SHAPES["scan_join_agg"]
+        + ["w2_running_total", "e3_session_window", "thermo_window_sort"]
+    }
+    # explode class at 0.7 vs global 1.0 — a 30% split, over the gate
+    prev_times = dict(shared, d8_duplicated_spans=1.0, thermo_explode_hash=1.0)
+    times = {q: v for q, v in shared.items() if q != "thermo_window_sort"}
+    times.update(d8_duplicated_spans=0.7, sim6_knn_graph=1.4)
+    thermo = {"thermo_explode_hash": 0.7, "thermo_window_sort": 1.0}
+
+    n = bench.normalize_vs_previous(times, ("BENCH_r99.json", prev_times), thermo)
+    assert n["calibration"]["shape_basis"]["explode_shuffle"] == (
+        "2_shared_divergent_vs_global"
+    )
+    assert n["calibration"]["shape_basis"]["scan_join_agg"] == "7_shared"
+    # sim6 normalizes by its class median AND ships the global twin
+    assert n["queries_normalized"]["sim6_knn_graph"] == 2.0  # 1.4 / 0.7
+    both = n["queries_normalized_global"]
+    assert set(both) == {"d8_duplicated_spans", "sim6_knn_graph"}
+    assert both["sim6_knn_graph"] == round(1.4 / 1.0, 3)
+
+    # within the gate: no flag, no global twin block
+    times2 = dict(times, d8_duplicated_spans=1.1, sim6_knn_graph=1.4)
+    thermo2 = dict(thermo, thermo_explode_hash=1.1)
+    n2 = bench.normalize_vs_previous(
+        times2, ("BENCH_r99.json", prev_times), thermo2
+    )
+    assert n2["calibration"]["shape_basis"]["explode_shuffle"] == "2_shared"
+    assert "queries_normalized_global" not in n2
+
+
 def test_shape_medians_exclude_current_round_impl_changed(monkeypatch):
     """r10 ADVICE: a calibration query flagged _IMPL_CHANGED for the
     measured round must not feed its shape median — its ratio measures
@@ -83,9 +125,13 @@ def test_shape_medians_exclude_current_round_impl_changed(monkeypatch):
 
     monkeypatch.setattr(bench, "_current_impl_changed", lambda: set())
     n = bench.normalize_vs_previous(times, ("BENCH_r99.json", prev_times), thermo)
-    # not excluded: the 2-element explode median is dragged to 5.5
+    # not excluded: the 2-element explode median is dragged to 5.5 —
+    # and (r13) a median that far off the global is exactly what the
+    # divergence gate exists to mark
     assert n["calibration"]["shape_medians"]["explode_shuffle"] == 5.5
-    assert n["calibration"]["shape_basis"]["explode_shuffle"] == "2_shared"
+    assert n["calibration"]["shape_basis"]["explode_shuffle"] == (
+        "2_shared_divergent_vs_global"
+    )
 
     monkeypatch.setattr(
         bench, "_current_impl_changed", lambda: {"d8_duplicated_spans"}

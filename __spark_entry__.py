@@ -63,6 +63,9 @@ _IMPL_CHANGED: dict[str, int] = {
     # r11 entries GC'd (d9/c14/c15 all re-verified green in
     # CORRECTNESS_r11.json, so those entries were inert — same
     # hygiene as the r10 GC).
+    # r13: e6 now runs c16's planted corpus over a 1-in-4 slice (cost
+    # trim, r12 VERDICT task 4) — query AND oracle changed together.
+    "e6_streaming_quality_cut": 13,
 }
 
 

@@ -1461,8 +1461,15 @@ _C16_TOP3 = 0.18
 # identical metrics, so a duplicate GROUP is cut or kept as a unit —
 # which is what lets the cut flag and the keep-first window live in one
 # frame (the status CASE below).
-_C16_CORPUS_SQL = """
-    base AS (SELECT doc_id, source, lower(text) AS text FROM documents),
+def _c16_corpus_sql(base_where: str = "") -> str:
+    """The c16 verification-corpus CTEs, with an optional base-doc
+    filter — e6's driver face runs the same planted structure over a
+    deterministic SLICE of the natural docs (its streaming drain costs
+    real wall-clock per verification call; the slice preserves both
+    plant families at proportional mass)."""
+    return f"""
+    base AS (SELECT doc_id, source, lower(text) AS text FROM documents
+             {base_where}),
     corpus AS (
       SELECT doc_id, source, text FROM base
       UNION ALL
@@ -1473,6 +1480,9 @@ _C16_CORPUS_SQL = """
       UNION ALL
       SELECT doc_id + 2000000, source, text FROM base WHERE doc_id % 20 = 0)
 """
+
+
+_C16_CORPUS_SQL = _c16_corpus_sql()
 
 
 def _c16_oracle() -> str:
@@ -1520,12 +1530,14 @@ def _c16_oracle() -> str:
     """
 
 
-def _c16_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _c16_corpus(spark: SparkSession, sf_dir: str, every: int = 1) -> DataFrame:
     """The planted verification corpus both c16 and its streaming face
-    (e6) run over — the Spark twin of _C16_CORPUS_SQL: natural docs +
+    (e6) run over — the Spark twin of _c16_corpus_sql: natural docs +
     repetitive copies (+1e6, trip the top-gram cut) + verbatim copies
     (+2e6, feed the dedup stage). (doc_id, source, text) with text
-    lowered."""
+    lowered. ``every`` > 1 keeps only every Nth natural doc (and with
+    it that slice's plants) — e6's cost trim; the default leaves c16's
+    plan untouched."""
     docs = table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", F.lower("text").alias("text")
@@ -1535,6 +1547,8 @@ def _c16_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("c16 planted-id offsets (1e6/2e6) alias a natural doc_id"),
         ).isNull()
     )
+    if every > 1:
+        base = base.where(F.col("doc_id") % every == 0)
     rep_copy = base.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         "source",

@@ -766,21 +766,22 @@ def e6_streaming_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_dir = os.path.join(work, "corpus.parquet")
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         # full documents schema so stream_documents reads it verbatim;
-        # planted rows inherit their base doc's metadata columns
-        meta = [c for c in docs.columns if c not in ("doc_id", "text")]
-        (
-            _c16_corpus(spark, sf_dir, every=_E6_EVERY)
-            .alias("c")
-            .join(
-                docs.select((F.col("doc_id") % 1000000).alias("base_id"), *meta)
-                .dropDuplicates(["base_id"])
-                .alias("m"),
-                F.col("c.doc_id") % 1000000 == F.col("m.base_id"),
-            )
-            .select("c.doc_id", "c.text", *[F.col(f"m.{c}") for c in meta])
-            .coalesce(1)
-            .write.parquet(corpus_dir)
+        # metadata columns ride as typed NULLs — the streaming cut and
+        # the survivor digest touch only text-derived columns, and the
+        # join-back that used to fill real metadata was the most
+        # expensive job of the staging write (a shuffle the
+        # verification query re-paid every fresh process)
+        meta = {
+            f.name: f.dataType
+            for f in docs.schema
+            if f.name not in ("doc_id", "text")
+        }
+        corpus = _c16_corpus(spark, sf_dir, every=_E6_EVERY).select(
+            "doc_id",
+            "text",
+            *[F.lit(None).cast(t).alias(c) for c, t in meta.items()],
         )
+        corpus.select(docs.columns).coalesce(1).write.parquet(corpus_dir)
         staged = os.path.join(work, "arrivals")
         os.makedirs(staged)
         part = [

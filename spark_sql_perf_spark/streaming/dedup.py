@@ -112,16 +112,25 @@ def stream_documents(
 # candidate ids are few and the scan shrinks to |candidate parts| /
 # _N_ID_PARTS of the index; at large batches the parts saturate and the
 # scan amortizes over the candidates, which is the regime where a full
-# scan was already fine. The layout also makes per-id appends ATOMIC at
-# file granularity for every relation: an id's rows (all 50 band rows
-# included) land in exactly one partition directory, and a single-task
-# append commits one file per touched directory, so a crash between
-# renames leaves each id fully appended or absent — the id-level guard
-# premise, now structural (bands' partial-band-coverage window under
-# the old band-partitioned layout is gone; the (id, band) guard below
-# still repairs any legacy/object-store partial state).
+# scan was already fine.
+#
+# Appends do NOT write into the partitioned base (a saturating batch
+# would publish one file per touched directory — measured at 192
+# files/append vs the flat layout's 3, a 38x listing-tax multiplier):
+# each relation's accepted novels land as ONE flat file per micro-batch
+# in a ``<rel>__delta`` sidecar — the LSM/base+delta shape every table
+# format uses — so the append commits as a single rename, with each
+# id's rows (all bands included) in that one file: fully appended or
+# absent, the guard premise, structural. Probes and guards read pruned
+# base UNION delta; the delta stays small because compact_index folds
+# it into the partitioned base on the threshold cadence via a
+# crash-safe two-directory swap (recover_index).
 _N_ID_PARTS = 64
 _ID_PART = "id_part"
+
+
+def _delta_dir(index_dir: str, rel: str) -> str:
+    return f"{index_dir}/{rel}__delta"
 
 
 def _id_part(col: str):
@@ -168,6 +177,28 @@ def write_index_frames(
             .partitionBy(_ID_PART)
             .parquet(f"{index_dir}/{rel}")
         )
+
+
+def read_index_relation(
+    spark: SparkSession, index_dir: str, rel: str, prune=None
+) -> DataFrame:
+    """The live view of one index relation: the id_part-partitioned
+    base — partition-PRUNED when ``prune`` (a Column predicate over
+    id_part) is given and the layout carries the column — unioned with
+    the flat ``__delta`` sidecar of not-yet-compacted appends. The
+    delta is bounded by the compaction cadence, so it is always read
+    in full (and a legacy base without id_part simply skips pruning —
+    decisions are identical either way)."""
+    base = spark.read.parquet(f"{index_dir}/{rel}")
+    cols = [c for c in base.columns if c != _ID_PART]
+    if prune is not None and _ID_PART in base.columns:
+        base = base.where(prune)
+    out = base.select(cols)
+    fs, Path = _index_fs(spark, index_dir)
+    delta = _delta_dir(index_dir, rel)
+    if fs.exists(Path(delta)) and _count_data_files(fs, Path, delta) > 0:
+        out = out.unionByName(spark.read.parquet(delta).select(cols))
+    return out
 
 
 # The three at-rest index relations, each partitioned by the bounded
@@ -218,24 +249,25 @@ def _count_partition_dirs(fs, Path, dir_path: str) -> int:
 
 
 def index_file_counts(spark: SparkSession, index_dir: str) -> dict[str, int]:
-    """Data-file count per index relation — the accretion observable
-    the compaction threshold watches."""
+    """Data-file count per index relation (base + delta sidecar) — the
+    accretion observable the compaction threshold watches."""
     fs, Path = _index_fs(spark, index_dir)
     return {
         rel: _count_data_files(fs, Path, f"{index_dir}/{rel}")
+        + _count_data_files(fs, Path, _delta_dir(index_dir, rel))
         for rel, _ in _INDEX_RELS
     }
 
 
 def grow_index_append(spark: SparkSession, index_dir: str, novels: DataFrame) -> None:
     """Append accepted novels (an (id, text) frame) to the at-rest
-    index, each relation INDEPENDENTLY guarded: hashed/sigs at id
-    granularity, bands at (id, band) granularity (r12 ADVICE — an
-    anti-join of the new band rows against the LIVE band rows, so a
-    replay REPAIRS an id left with partial band coverage by a legacy
-    layout or a non-rename-atomic object store instead of skipping it;
-    under the id_part layout an id's bands commit in one file, so the
-    finer guard is a repair path, not the primary atomicity story).
+    index's ``__delta`` sidecars, each relation INDEPENDENTLY guarded:
+    hashed/sigs at id granularity, bands at (id, band) granularity
+    (r12 ADVICE — an anti-join of the new band rows against the LIVE
+    band rows, so a replay REPAIRS an id left with partial band
+    coverage by a non-rename-atomic object store instead of skipping
+    it; on a rename-atomic filesystem the single-file delta append
+    makes that state unreachable, so the finer guard is a repair path).
 
     Per-relation guards (not one shared anti-join) are what make the
     three non-atomic appends converge under crash-and-replay: a crash
@@ -243,18 +275,18 @@ def grow_index_append(spark: SparkSession, index_dir: str, novels: DataFrame) ->
     not — on replay the hashed guard skips (no duplicate (id, h) rows
     to inflate n_common/jaccard) while the sigs and bands guards see
     the ids missing and catch up. Any crash point leaves each relation
-    either fully appended or untouched for a given id (id_part layout:
-    an id's rows land in ONE file per relation — module note), and
+    either fully appended or untouched for a given id (each append is
+    ONE flat file, one rename — all of an id's rows inside), and
     replay completes exactly the missing ones.
 
     Guard cost (r12 VERDICT task 5 — was three separate index scans
     per batch): ONE Spark job over a rel-tagged union of the three
-    relations' guard columns, partition-PRUNED to the novel ids'
+    relations' guard columns — base partition-PRUNED to the novel ids'
     id_part directories (a bounded driver-side list, <= _N_ID_PARTS
-    values) and broadcast-semi-filtered by the batch-bounded novel
-    ids; the result is materialized once and the three append jobs
-    anti-join against that tiny frozen frame instead of re-scanning
-    the index each."""
+    values) plus the small delta sidecars — broadcast-semi-filtered by
+    the batch-bounded novel ids; the result is materialized once and
+    the three append jobs anti-join against that tiny frozen frame
+    instead of re-scanning the index each."""
     from ..pipeline.dedup import _minhash_frames
 
     if novels.isEmpty():
@@ -271,12 +303,11 @@ def grow_index_append(spark: SparkSession, index_dir: str, novels: DataFrame) ->
             .distinct()
             .collect()
         ]
+        prune = F.col(_ID_PART).isin(parts) if parts else F.lit(False)
         frames = dict(zip(("hashed", "sigs", "bands"), _minhash_frames(novels)))
 
         def guard_read(rel: str) -> DataFrame:
-            df = spark.read.parquet(f"{index_dir}/{rel}")
-            if _ID_PART in df.columns:
-                df = df.where(F.col(_ID_PART).isin(parts))
+            df = read_index_relation(spark, index_dir, rel, prune=prune)
             band = (
                 F.col("band")
                 if rel == "bands"
@@ -292,7 +323,7 @@ def grow_index_append(spark: SparkSession, index_dir: str, novels: DataFrame) ->
             .distinct()
             .localCheckpoint(eager=True)
         )
-        for rel, part in _INDEX_RELS:
+        for rel, _ in _INDEX_RELS:
             if rel == "bands":
                 live_pairs = live.where(F.col("rel") == rel).select("id", "band")
                 to_append = frames[rel].join(
@@ -302,21 +333,20 @@ def grow_index_append(spark: SparkSession, index_dir: str, novels: DataFrame) ->
                 live_ids = live.where(F.col("rel") == rel).select("id")
                 missing = novel_ids.join(F.broadcast(live_ids), "id", "left_anti")
                 to_append = frames[rel].join(F.broadcast(missing), "id")
-            # coalesce(1): a single task publishes ONE file per touched
-            # id_part directory; with id_part a function of id, every
-            # id's rows for this relation sit in one of those files, so
-            # a crash between the per-directory renames leaves each id
-            # fully appended or absent (the guard premise). Object
+            # coalesce(1) into the flat delta sidecar: the batch-bounded
+            # append commits as ONE file rename, so each relation's
+            # novel set is fully appended or absent — never split
+            # across directories (the partitioned-base alternative
+            # published one file per touched directory: 192/append at
+            # saturating batches, a 38x listing-tax multiplier the r13
+            # loop cells measured before this sidecar existed). Object
             # stores without atomic rename keep the same mid-commit
-            # caveat as the upsert sink (sink.py docstring); closing
-            # that fully needs a table format's commit log — and the
+            # caveat as the upsert sink (sink.py docstring) — and the
             # (id, band) bands guard above repairs exactly that state.
             (
-                _with_id_part(to_append)
-                .coalesce(1)
+                to_append.coalesce(1)
                 .write.mode("append")
-                .partitionBy(part)
-                .parquet(f"{index_dir}/{rel}")
+                .parquet(_delta_dir(index_dir, rel))
             )
     finally:
         for frame in (novel_ids, live):
@@ -343,7 +373,9 @@ def probe_index_at_rest(
     via an isin partition filter. Per-batch index I/O becomes
     O(candidate partitions) instead of O(index) — the trickle-regime
     fix; at saturating batch sizes the filter keeps every directory and
-    the plan equals the unpruned one.
+    the plan equals the unpruned one. Every relation read is base
+    UNION its small delta sidecar (read_index_relation), so decisions
+    always include not-yet-compacted appends.
 
     Returns (decisions, cand); ``cand`` is localCheckpointed — the
     caller must release it when the batch ends (the grow loop's
@@ -358,9 +390,9 @@ def probe_index_at_rest(
         probe_with_index,
     )
 
-    ihashed = spark.read.parquet(f"{index_dir}/hashed")
-    isigs = spark.read.parquet(f"{index_dir}/sigs")
-    ibands = spark.read.parquet(f"{index_dir}/bands").select("id", "band", "bh")
+    ibands = read_index_relation(spark, index_dir, "bands").select(
+        "id", "band", "bh"
+    )
     bframes = _minhash_frames(batch)
     cand = probe_candidates(ibands, bframes[2], exclude_self).localCheckpoint(
         eager=True
@@ -372,10 +404,8 @@ def probe_index_at_rest(
     prune = (
         F.col(_ID_PART).isin(parts) if parts else F.lit(False)
     )
-    if _ID_PART in ihashed.columns:
-        ihashed = ihashed.where(prune)
-    if _ID_PART in isigs.columns:
-        isigs = isigs.where(prune)
+    ihashed = read_index_relation(spark, index_dir, "hashed", prune=prune)
+    isigs = read_index_relation(spark, index_dir, "sigs", prune=prune)
     out = probe_with_index(
         ihashed, isigs, ibands, batch,
         exclude_self=exclude_self, cand=cand, bframes=bframes,
@@ -384,14 +414,27 @@ def probe_index_at_rest(
 
 
 def recover_index(spark: SparkSession, index_dir: str) -> None:
-    """Restore a crashed compact_index swap, cheapest-correct order: a
-    missing live relation means the crash hit between the swap's two
-    renames — restore the original (definitely-complete) copy; then
-    clear stale __old/__compact_tmp leftovers. Runs at the TOP of every
-    grow-loop micro-batch, not just inside compact_index: the loop's
-    first action is reading the live relations, so a crash mid-swap
-    would otherwise fail every replay before compaction's own recovery
-    could ever execute (three fs.exists probes per batch when healthy)."""
+    """Restore a crashed compact_index swap. The swap's rename order
+    (tmp complete -> delta aside -> base aside -> tmp published ->
+    olds deleted) makes every crash point recoverable from directory
+    EXISTENCE alone:
+
+    - live base missing: the crash hit between the base renames — roll
+      BACK to the definitely-complete originals (base__old -> base,
+      and delta__old -> delta so the folded rows are not lost).
+    - live base present and a tmp still exists: the swap never reached
+      the base renames — roll back the delta rename (delta__old ->
+      delta) and drop the tmp.
+    - live base present, no tmp: the publish completed — the delta's
+      rows are IN the base, so a surviving delta__old must be deleted,
+      never restored (restoring it would duplicate (id, h) rows and
+      inflate n_common/jaccard).
+
+    Runs at the TOP of every grow-loop micro-batch (skipped between
+    cleanly-committed batches via the loop's healthy flag), not just
+    inside compact_index: the loop's first action is reading the live
+    relations, so a crash mid-swap would otherwise fail every replay
+    before compaction's own recovery could ever execute."""
     fs, Path = _index_fs(spark, index_dir)
     for rel, _ in _INDEX_RELS:
         live, old, tmp = (
@@ -399,9 +442,23 @@ def recover_index(spark: SparkSession, index_dir: str) -> None:
             f"{index_dir}/{rel}__old",
             f"{index_dir}/{rel}__compact_tmp",
         )
+        delta = _delta_dir(index_dir, rel)
+        delta_old = f"{delta}__old"
         if not fs.exists(Path(live)) and fs.exists(Path(old)):
             if not fs.rename(Path(old), Path(live)):
                 raise IOError(f"recover_index: could not restore {live}")
+            if fs.exists(Path(delta_old)) and not fs.exists(Path(delta)):
+                if not fs.rename(Path(delta_old), Path(delta)):
+                    raise IOError(f"recover_index: could not restore {delta}")
+        if fs.exists(Path(delta_old)):
+            if fs.exists(Path(tmp)) and not fs.exists(Path(delta)):
+                # swap never published: the delta was only staged aside
+                if not fs.rename(Path(delta_old), Path(delta)):
+                    raise IOError(f"recover_index: could not restore {delta}")
+            else:
+                # publish completed (tmp consumed): folded rows live in
+                # the base — the staged-aside delta must go
+                fs.delete(Path(delta_old), True)
         if fs.exists(Path(old)):
             fs.delete(Path(old), True)
         if fs.exists(Path(tmp)):
@@ -411,31 +468,31 @@ def recover_index(spark: SparkSession, index_dir: str) -> None:
 def compact_index(
     spark: SparkSession, index_dir: str, max_files: int = 64
 ) -> dict[str, int]:
-    """Rewrite any index relation whose data-file count exceeds its
-    partition-directory count (the compacted-state floor: one file per
-    id_part directory) by more than ``max_files`` — the small-files
-    answer for the grow-index loop: per-micro-batch appends publish one
-    file per TOUCHED directory per batch, and after enough batches the
-    probe's index scan is file-listing-bound (the same tax SCALE_PROBE
-    measured for sim8). The floor term keeps the threshold meaningful
-    under the id_part layout: a freshly-compacted relation holds
-    n_dirs files, so a flat threshold below that would re-trigger a
-    full rewrite on every check.
+    """Fold each relation's flat ``__delta`` sidecar into its
+    id_part-partitioned base when the accreted file count warrants it —
+    the small-files answer for the grow-index loop: appends publish one
+    delta file per relation per micro-batch, and after enough batches
+    the probe's delta scan is file-listing-bound (the same tax
+    SCALE_PROBE measured for sim8). Trigger: delta files plus the
+    base's EXCESS over its one-file-per-directory floor exceeds
+    ``max_files`` (a freshly-compacted relation sits exactly at the
+    floor, so the threshold never re-triggers an idle rewrite).
     Returns {relation: file_count_before} for the relations rewritten.
 
     Target file count is sized from the relation's byte size (~128 MB
     per file, Spark's default maxPartitionBytes, so a compacted file is
-    one scan split); ``bands`` keeps its band partitioning.
+    one scan split), floored at one file per id_part directory.
 
-    Crash discipline: write to ``<rel>__compact_tmp``, then swap via
-    rename — rel -> <rel>__old, tmp -> rel, delete old. The swap is
-    delete-then-rename with the same mid-commit crash window as the
-    upsert sink's dynamic-partition overwrite (documented there); every
-    call first RECOVERS from a prior crash (restore <rel>__old if the
-    live relation is missing, clear stale tmp/old otherwise), so the
-    single-writer loop self-heals on its next batch. Compaction must
-    run from that single writer loop — between micro-batches, never
-    concurrently with a probe or an append."""
+    Crash discipline — rename order is the recovery contract
+    (recover_index's docstring walks every crash point): (1) write
+    base UNION delta to ``<rel>__compact_tmp``; (2) delta ->
+    ``<delta>__old``; (3) base -> ``<rel>__old``; (4) tmp -> base;
+    (5) delete both olds. The staged-aside delta is deleted only after
+    the publish — never restored once the fold is visible, or the
+    folded rows would double. Every call first RECOVERS from a prior
+    crash, so the single-writer loop self-heals on its next batch.
+    Compaction must run from that single writer loop — between
+    micro-batches, never concurrently with a probe or an append."""
     recover_index(spark, index_dir)
     fs, Path = _index_fs(spark, index_dir)
     compacted: dict[str, int] = {}
@@ -445,27 +502,40 @@ def compact_index(
             f"{index_dir}/{rel}__old",
             f"{index_dir}/{rel}__compact_tmp",
         )
-        n_files = _count_data_files(fs, Path, live)
-        if n_files <= _count_partition_dirs(fs, Path, live) + max_files:
+        delta = _delta_dir(index_dir, rel)
+        delta_old = f"{delta}__old"
+        n_base = _count_data_files(fs, Path, live)
+        n_delta = _count_data_files(fs, Path, delta)
+        base_excess = max(0, n_base - _count_partition_dirs(fs, Path, live))
+        if n_delta + base_excess <= max_files:
             continue
         nbytes = fs.getContentSummary(Path(live)).getLength()
+        if fs.exists(Path(delta)):
+            nbytes += fs.getContentSummary(Path(delta)).getLength()
         n_target = max(1, int(nbytes // (128 * 1024 * 1024)) + 1)
-        df = spark.read.parquet(live)
-        if part:
-            # hash-distribute by the partition column so each band's
-            # rows coalesce into one task -> one file per band dir
-            writer = df.repartition(
-                max(n_target, 16), F.col(part)
-            ).write.mode("overwrite").partitionBy(part)
-        else:
-            writer = df.repartition(n_target).write.mode("overwrite")
-        writer.parquet(tmp)
+        df = read_index_relation(spark, index_dir, rel)
+        # hash-distribute by the partition key so each id_part's rows
+        # coalesce into one task -> one file per directory (a
+        # production-sized index raises _N_ID_PARTS rather than files
+        # per directory — the directory is the pruning unit)
+        (
+            _with_id_part(df)
+            .repartition(max(n_target, 16), F.col(part))
+            .write.mode("overwrite")
+            .partitionBy(part)
+            .parquet(tmp)
+        )
+        if fs.exists(Path(delta)):
+            if not fs.rename(Path(delta), Path(delta_old)):
+                raise IOError(f"compact_index: could not stage {delta} aside")
         if not fs.rename(Path(live), Path(old)):
             raise IOError(f"compact_index: could not stage {live} aside")
         if not fs.rename(Path(tmp), Path(live)):
             raise IOError(f"compact_index: could not publish {tmp}")
         fs.delete(Path(old), True)
-        compacted[rel] = n_files
+        if fs.exists(Path(delta_old)):
+            fs.delete(Path(delta_old), True)
+        compacted[rel] = n_base + n_delta
     return compacted
 
 

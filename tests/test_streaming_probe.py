@@ -159,15 +159,18 @@ def test_streaming_probe_grow_index_loop(spark):
     assert {k: v for k, v in after_b.items() if k < 3_000_000} == after_a
 
     # redelivery of batch A (same content, new file): nothing changes —
-    # and this drain runs the in-loop compaction path (compact_every),
-    # which must also change nothing
-    sigs_before = spark.read.parquet(f"{index_dir}/sigs").count()
+    # and this drain runs the in-loop compaction path (compact_every,
+    # folding the grown deltas into the base), which must also change
+    # nothing
+    from spark_sql_perf_spark.streaming.dedup import read_index_relation
+
+    sigs_before = read_index_relation(spark, index_dir, "sigs").count()
     deliver(batch_a, "arrival-2")
     drain(compact_every=1, compact_max_files=0)
     assert decisions() == after_b
-    assert spark.read.parquet(f"{index_dir}/sigs").count() == sigs_before
+    assert read_index_relation(spark, index_dir, "sigs").count() == sigs_before
     per_id = (
-        spark.read.parquet(f"{index_dir}/sigs")
+        read_index_relation(spark, index_dir, "sigs")
         .groupBy("id").count().where(F.col("count") > 1).count()
     )
     assert per_id == 0  # no id indexed twice
@@ -293,30 +296,30 @@ def test_grow_index_append_converges_after_partial_crash(spark, pre_appended):
     assert n_novels > 0
 
     # simulated crash: the pre_appended relations landed, the rest did
-    # not — written exactly as grow_index_append writes (id_part layout)
-    from spark_sql_perf_spark.streaming.dedup import _ID_PART, _with_id_part
+    # not — written exactly as grow_index_append writes (one flat file
+    # into the relation's __delta sidecar)
+    from spark_sql_perf_spark.streaming.dedup import read_index_relation
 
     frames = dict(zip(("hashed", "sigs", "bands"), _minhash_frames(novels)))
     for rel in pre_appended:
         (
-            _with_id_part(frames[rel])
+            frames[rel]
             .coalesce(1)
             .write.mode("append")
-            .partitionBy(_ID_PART)
-            .parquet(f"{index_dir}/{rel}")
+            .parquet(f"{index_dir}/{rel}__delta")
         )
 
     # replay: the full guarded append
     grow_index_append(spark, index_dir, novels)
 
-    hashed = spark.read.parquet(f"{index_dir}/hashed")
+    hashed = read_index_relation(spark, index_dir, "hashed")
     dup_pairs = (
         hashed.groupBy("id", "h").count().where(F.col("count") > 1).count()
     )
     assert dup_pairs == 0  # the pre-fix code would double-append here
     for rel in ("sigs", "bands"):
         per_id = (
-            spark.read.parquet(f"{index_dir}/{rel}")
+            read_index_relation(spark, index_dir, rel)
             .where(F.col("id") >= 4_000_000)
             .groupBy("id", *(["band"] if rel == "bands" else []))
             .count()
@@ -325,7 +328,7 @@ def test_grow_index_append_converges_after_partial_crash(spark, pre_appended):
         )
         assert per_id == 0, rel
     assert (
-        spark.read.parquet(f"{index_dir}/sigs")
+        read_index_relation(spark, index_dir, "sigs")
         .where(F.col("id") >= 4_000_000)
         .count()
         == n_novels
@@ -333,12 +336,12 @@ def test_grow_index_append_converges_after_partial_crash(spark, pre_appended):
 
     # a second replay of the SAME append is a complete no-op
     before = {
-        rel: spark.read.parquet(f"{index_dir}/{rel}").count()
+        rel: read_index_relation(spark, index_dir, rel).count()
         for rel in ("hashed", "sigs", "bands")
     }
     grow_index_append(spark, index_dir, novels)
     for rel, n in before.items():
-        assert spark.read.parquet(f"{index_dir}/{rel}").count() == n, rel
+        assert read_index_relation(spark, index_dir, rel).count() == n, rel
 
     # the grown index actually serves: a near-dup of a novel matches it
     probe = novels.select(
@@ -346,9 +349,11 @@ def test_grow_index_append_converges_after_partial_crash(spark, pre_appended):
         F.concat("text", F.lit(" probe batch suffix")).alias("text"),
     )
     got = probe_with_index(
-        spark.read.parquet(f"{index_dir}/hashed"),
-        spark.read.parquet(f"{index_dir}/sigs"),
-        spark.read.parquet(f"{index_dir}/bands").select("id", "band", "bh"),
+        read_index_relation(spark, index_dir, "hashed"),
+        read_index_relation(spark, index_dir, "sigs"),
+        read_index_relation(spark, index_dir, "bands").select(
+            "id", "band", "bh"
+        ),
         probe,
     )
     rows = {r["batch_id"]: r["match_id_min"] for r in got.collect()}
@@ -356,18 +361,17 @@ def test_grow_index_append_converges_after_partial_crash(spark, pre_appended):
 
 
 def test_grow_index_append_repairs_partial_band_coverage(spark):
-    """r12 ADVICE: an id left with PARTIAL band coverage (legacy
-    band-partitioned layout crash, or a non-rename-atomic object store)
-    must be REPAIRED by replay, not skipped — the (id, band)-granular
-    bands guard anti-joins the new band rows against the live ones, so
-    only the missing bands append and none duplicate."""
+    """r12 ADVICE: an id left with PARTIAL band coverage (a crash on a
+    non-rename-atomic object store, or a legacy layout) must be
+    REPAIRED by replay, not skipped — the (id, band)-granular bands
+    guard anti-joins the new band rows against the live ones, so only
+    the missing bands append and none duplicate."""
     from spark_sql_perf_spark.catalog import table
     from spark_sql_perf_spark.pipeline.dedup import _minhash_frames
     from spark_sql_perf_spark.streaming.dedup import (
-        _ID_PART,
-        _with_id_part,
         build_probe_index,
         grow_index_append,
+        read_index_relation,
     )
 
     work = tempfile.mkdtemp(prefix="probe-bands-")
@@ -390,15 +394,14 @@ def test_grow_index_append_repairs_partial_band_coverage(spark):
 
     # simulated partial state: only bands 0-1 landed for every novel id
     (
-        _with_id_part(half_bands)
+        half_bands
         .coalesce(1)
         .write.mode("append")
-        .partitionBy(_ID_PART)
-        .parquet(f"{index_dir}/bands")
+        .parquet(f"{index_dir}/bands__delta")
     )
     grow_index_append(spark, index_dir, novels)
 
-    live = spark.read.parquet(f"{index_dir}/bands").where(
+    live = read_index_relation(spark, index_dir, "bands").where(
         F.col("id") >= 6_000_000
     )
     assert live.count() == n_bands_full  # coverage repaired...
@@ -477,10 +480,12 @@ def test_probe_at_rest_prunes_index_partitions(spark):
 
 def test_compact_index_preserves_probe_and_cuts_files(spark):
     """compact_index is the grow-index small-files story: after many
-    appended batches, a forced compaction must (a) reduce every
-    relation to its size-derived file target, (b) leave probe results
-    byte-identical, and (c) self-heal a crashed swap (live relation
-    missing, __old present) on the next call."""
+    appended batches (one flat delta file per relation per batch), a
+    forced compaction must (a) fold every delta into its base and
+    reduce the file count to the size-derived target, (b) leave probe
+    results byte-identical, and (c) self-heal a crashed swap on the
+    next call — both the base swap (live missing, __old present) and
+    the delta stage-aside (delta renamed aside, publish not reached)."""
     from spark_sql_perf_spark.catalog import table
     from spark_sql_perf_spark.pipeline.dedup import probe_with_index
     from spark_sql_perf_spark.streaming.dedup import (
@@ -488,6 +493,8 @@ def test_compact_index_preserves_probe_and_cuts_files(spark):
         compact_index,
         grow_index_append,
         index_file_counts,
+        read_index_relation,
+        recover_index,
     )
 
     work = tempfile.mkdtemp(prefix="probe-compact-")
@@ -495,19 +502,22 @@ def test_compact_index_preserves_probe_and_cuts_files(spark):
     build_probe_index(spark, SF_DIR_TINY, index_dir)
 
     docs = table(spark, SF_DIR_TINY, "documents")
-    # several grow batches -> one appended file-set per batch per relation
+    # several grow batches -> one appended delta file per batch per relation
     for k in range(4):
         novels = docs.where(F.col("doc_id") % 17 == k).select(
             (F.col("doc_id") + (5 + k) * 1_000_000).alias("id"),
             F.concat(F.lower("text"), F.lit(f" grown batch {k}")).alias("text"),
         )
         grow_index_append(spark, index_dir, novels)
+    assert os.path.isdir(f"{index_dir}/sigs__delta")
 
     def read_index():
         return (
-            spark.read.parquet(f"{index_dir}/hashed"),
-            spark.read.parquet(f"{index_dir}/sigs"),
-            spark.read.parquet(f"{index_dir}/bands").select("id", "band", "bh"),
+            read_index_relation(spark, index_dir, "hashed"),
+            read_index_relation(spark, index_dir, "sigs"),
+            read_index_relation(spark, index_dir, "bands").select(
+                "id", "band", "bh"
+            ),
         )
 
     probe = docs.where(F.col("doc_id") % 17 == 1).select(
@@ -530,6 +540,7 @@ def test_compact_index_preserves_probe_and_cuts_files(spark):
     assert set(compacted) == {"hashed", "sigs", "bands"}
     for rel in ("hashed", "sigs"):
         assert after_files[rel] < before_files[rel], (rel, after_files)
+        assert not os.path.exists(f"{index_dir}/{rel}__delta")  # folded
     assert after_files["bands"] <= before_files["bands"]
 
     got = {
@@ -550,3 +561,20 @@ def test_compact_index_preserves_probe_and_cuts_files(spark):
         for r in probe_with_index(*read_index(), probe).collect()
     }
     assert got2 == want
+
+    # delta stage-aside recovery (crash between the delta rename and the
+    # base publish: delta__old present, tmp complete, base unchanged) —
+    # recover_index must roll the delta BACK, not lose or double it
+    novels5 = docs.where(F.col("doc_id") % 17 == 5).select(
+        (F.col("doc_id") + 11_000_000).alias("id"),
+        F.concat(F.lower("text"), F.lit(" grown batch 5")).alias("text"),
+    )
+    grow_index_append(spark, index_dir, novels5)
+    want_sigs = read_index_relation(spark, index_dir, "sigs").count()
+    shutil.move(f"{index_dir}/sigs__delta", f"{index_dir}/sigs__delta__old")
+    shutil.copytree(f"{index_dir}/sigs", f"{index_dir}/sigs__compact_tmp")
+    recover_index(spark, index_dir)
+    assert os.path.isdir(f"{index_dir}/sigs__delta")
+    assert not os.path.exists(f"{index_dir}/sigs__delta__old")
+    assert not os.path.exists(f"{index_dir}/sigs__compact_tmp")
+    assert read_index_relation(spark, index_dir, "sigs").count() == want_sigs

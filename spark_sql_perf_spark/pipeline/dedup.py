@@ -1127,22 +1127,45 @@ def _minhash_ctes_sql(src: str, p: str) -> str:
           for bi, (a, b) in enumerate(_BANDS))})"""
 
 
-def _minhash_frames(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(hashed, sigs, bands) for an (id, text) frame — the Spark twin
-    of _minhash_ctes_sql (d2's inline pipeline, parameterized)."""
+def _fan_out(df: DataFrame, key: str = "id") -> DataFrame:
+    """One narrow exchange when the source plans fewer partitions than
+    the session's parallelism — the single-row-group testdata case,
+    where the scan stage (and everything codegen pipelines into it:
+    shingle explode, per-shingle md5, the distinct's partial agg) would
+    otherwise run on ONE core while 31 idle. No-op on an already-
+    parallel scan (the 100 TB case, where an extra shuffle of the text
+    relation before the distinct's own exchange would be pure waste) —
+    i.e. scan parallelism is derived from the input layout, not from a
+    constant tuned for either scale (guide §2.5/§6)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 2 * n >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, key)
+
+
+def _minhash_hashed(corpus: DataFrame) -> DataFrame:
+    """The expensive leg of the minhash pipeline: shingle explode ->
+    per-shingle md5 -> distinct (id, h)."""
     ws = F.split("text", r"\s+")
     shingles = F.expr(
         "transform(sequence(1, size(ws) - 2),"
         " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))"
     )
-    hashed = (
+    return (
         corpus.select("id", ws.alias("ws"))
         .where(F.size("ws") >= 3)
         .select("id", F.explode(shingles).alias("sh"))
         .select("id", (md5_hash32("sh", "mh") % _P).alias("h"))
         .distinct()
     )
-    sigs = hashed.select(
+
+
+def _sigs_from_hashed(hashed: DataFrame) -> DataFrame:
+    return hashed.select(
         "id",
         *[
             ((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"h{j}")
@@ -1152,6 +1175,9 @@ def _minhash_frames(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]
         *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_HASHES)],
         F.count(F.lit(1)).alias("n_sh"),
     )
+
+
+def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
     band_structs = F.array(
         *[
             F.struct(
@@ -1167,10 +1193,61 @@ def _minhash_frames(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]
             for bi, (a, b) in enumerate(_BANDS)
         ]
     )
-    bands = sigs.select("id", F.explode(band_structs).alias("s")).select(
+    return sigs.select("id", F.explode(band_structs).alias("s")).select(
         "id", F.col("s.band").alias("band"), F.col("s.bh").alias("bh")
     )
-    return hashed, sigs, bands
+
+
+def _minhash_frames(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(hashed, sigs, bands) for an (id, text) frame — the Spark twin
+    of _minhash_ctes_sql (d2's inline pipeline, parameterized)."""
+    hashed = _minhash_hashed(corpus)
+    sigs = _sigs_from_hashed(hashed)
+    return hashed, sigs, _bands_from_sigs(sigs)
+
+
+def _minhash_frames_materialized(
+    corpus: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """_minhash_frames with the two aggregate legs MATERIALIZED
+    (localCheckpoint, per invocation — recomputed from the parquet scan
+    every call). The lazy form is correct for single-consumer callers
+    (the streaming index writer), but the probe queries (d10/d11)
+    consume hashed, sigs AND bands in one plan, and Catalyst re-derives
+    each from the scan: the r13 stage profile showed the corpus
+    shingle+md5+distinct pipeline executing twice per probe (two
+    identical 2.6 MB exchanges, each a ~1.2 s single-task stage at
+    sf0.1) and the batch side twice more. Materializing hashed and sigs
+    makes every consumer read the computed relation instead — exactly
+    the at-rest production layout, where the index relations are
+    parquet, computed once (guide §1.2: don't compute things twice;
+    §3.3: materialize an intermediate consumed by several joins)."""
+    hashed = _minhash_hashed(_fan_out(corpus)).localCheckpoint()
+    sigs = _sigs_from_hashed(hashed).localCheckpoint()
+    return hashed, sigs, _bands_from_sigs(sigs)
+
+
+def _materialize_concurrently(
+    sources: list[DataFrame],
+) -> list[tuple[DataFrame, DataFrame, DataFrame]]:
+    """_minhash_frames_materialized over several INDEPENDENT (id, text)
+    relations, submitted from driver threads so their checkpoint jobs
+    overlap instead of running back-to-back (guide §2.6: actions are
+    only sequential because the driver calls them sequentially; each
+    relation's frames are 2 small jobs, and the scheduler back-fills
+    the tail of one with the next's tasks)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    if len(sources) == 1:
+        return [_minhash_frames_materialized(sources[0])]
+    with ThreadPoolExecutor(max_workers=len(sources)) as pool:
+        return list(
+            pool.map(
+                inheritable_thread_target(_minhash_frames_materialized), sources
+            )
+        )
 
 
 # Batch plants, identical in both engines: every 7th doc arrives again
@@ -1286,8 +1363,13 @@ def d10_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def incremental_probe_df(idx: DataFrame, batch: DataFrame) -> DataFrame:
     """d10's probe pipeline over any (id, text) index/batch frames (the
-    scale probe drives it directly, like span_excise_df for d9)."""
-    return probe_with_index(*_minhash_frames(idx), batch)
+    scale probe drives it directly, like span_excise_df for d9). Index
+    relations materialized once per call (see
+    _minhash_frames_materialized — the in-plan analog of the at-rest
+    index the production loop reads from parquet), index and batch
+    sides overlapped from driver threads."""
+    iframes, bframes = _materialize_concurrently([idx, batch])
+    return probe_with_index(*iframes, batch, bframes=bframes)
 
 
 def probe_candidates(
@@ -1339,7 +1421,7 @@ def probe_with_index(
     than recomputes them. Defaults recompute both in-plan — the batch
     queries' (d10/d11) unchanged shape."""
     bhashed, bsigs, bbands = (
-        bframes if bframes is not None else _minhash_frames(batch)
+        bframes if bframes is not None else _minhash_frames_materialized(batch)
     )
     if cand is None:
         cand = probe_candidates(ibands, bbands, exclude_self)
@@ -1488,12 +1570,15 @@ def d11_grown_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("doc_id") + 4000000).alias("id"), reversed_text.alias("text")
     )
-    ih0, is0, ib0 = _minhash_frames(idx0)
-    ihg, isg, ibg = _minhash_frames(grown)
+    batch = near_of_grown.unionAll(fresh)
+    (ih0, is0, ib0), (ihg, isg, ibg), bframes = _materialize_concurrently(
+        [idx0, grown, batch]
+    )
     return probe_with_index(
         ih0.unionAll(ihg),
         is0.unionAll(isg),
         ib0.unionAll(ibg),
-        near_of_grown.unionAll(fresh),
+        batch,
         exclude_self=True,
+        bframes=bframes,
     )

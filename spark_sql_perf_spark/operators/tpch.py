@@ -38,6 +38,64 @@ def _charge() -> F.Column:
 _CHARGE_SQL = f"{_REV_SQL} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
 
 
+def _cents(col: str) -> F.Column:
+    """Exact integer cents of a 2-decimal-clean money double."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _rev_cents() -> F.Column:
+    """revenue in units of 1e-4 dollars, as exact 64-bit integers."""
+    return _cents("l_extendedprice") * (100 - _cents("l_discount"))
+
+
+def rev_sum(alias: str) -> F.Column:
+    """SUM(revenue) as double — value-identical to
+    SUM(CAST({_REV_SQL} AS DECIMAL(38,4))) cast double, computed with
+    integer-cents products instead of per-row Decimal multiplies.
+    Decimal multiply + changePrecision dominated q1's aggregate stage
+    (r13 decomposition: the decimal form's agg cost ~3x the integer
+    form's); the products are exact in 64-bit (l_extendedprice <= ~1e7
+    cents, factors <= 200, so each term <= ~2e11), the SUM accumulates
+    in decimal(38,0) (no overflow at any scale factor), and the single
+    scale-shifting division happens once per GROUP, not per row. The
+    final double is bit-identical because both forms cast the same
+    exact rational to double (IEEE casts are correctly rounded) —
+    verified value-identical vs the decimal form and the DuckDB oracle
+    at sf0.001/0.01/0.1."""
+    return (F.sum(_rev_cents().cast("decimal(38,0)")) / 10000).cast(
+        "double"
+    ).alias(alias)
+
+
+def charge_sum(alias: str) -> F.Column:
+    """SUM(charge) as double via integer cents (see rev_sum; charge
+    terms <= ~4e13, still exact in 64-bit)."""
+    charge = _rev_cents() * (100 + _cents("l_tax"))
+    return (F.sum(charge.cast("decimal(38,0)")) / 1000000).cast(
+        "double"
+    ).alias(alias)
+
+
+def cents_sum(col: str, alias: str) -> F.Column:
+    """money_sum's integer-cents twin for 2-decimal-clean testdata money
+    columns (the cleanliness tests/test_cents_exact.py asserts): the same
+    exact sum accumulated from long cents instead of per-row
+    decimal(18,2) casts, divided back once per group. Value-identical
+    (same exact rational -> same correctly-rounded double)."""
+    return (F.sum(_cents(col).cast("decimal(38,0)")) / 100).cast(
+        "double"
+    ).alias(alias)
+
+
+def cents_avg(col: str, alias: str) -> F.Column:
+    """money_avg's integer-cents twin (identical double sum, then the
+    same single IEEE division by the non-null count)."""
+    return (
+        (F.sum(_cents(col).cast("decimal(38,0)")) / 100).cast("double")
+        / F.count(F.col(col))
+    ).alias(alias)
+
+
 @query(
     "q1_pricing_summary",
     oracle=f"""
@@ -63,13 +121,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money_sum("l_quantity", "sum_qty"),
-            money_sum("l_extendedprice", "sum_base_price"),
-            F.sum(_rev().cast("decimal(38,4)")).cast("double").alias("sum_disc_price"),
-            F.sum(_charge().cast("decimal(38,6)")).cast("double").alias("sum_charge"),
-            money_avg("l_quantity", "avg_qty"),
-            money_avg("l_extendedprice", "avg_price"),
-            money_avg("l_discount", "avg_disc"),
+            cents_sum("l_quantity", "sum_qty"),
+            cents_sum("l_extendedprice", "sum_base_price"),
+            rev_sum("sum_disc_price"),
+            charge_sum("sum_charge"),
+            cents_avg("l_quantity", "avg_qty"),
+            cents_avg("l_extendedprice", "avg_price"),
+            cents_avg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -105,7 +163,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev().cast("decimal(38,4)")).cast("double").alias("revenue"))
+        .agg(rev_sum("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -146,7 +204,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_rev().cast("decimal(38,4)")).cast("double").alias("revenue"))
+        .agg(rev_sum("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -212,7 +270,7 @@ def flagship_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.sum(_rev().cast("decimal(38,4)")).cast("double").alias("revenue"),
+            rev_sum("revenue"),
             money_sum("l_quantity", "sum_qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )

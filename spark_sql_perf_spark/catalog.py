@@ -50,6 +50,13 @@ def tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Size-gated shuffled-hash preference (see session.DEFAULT_CONF —
+    # same setting for sessions this engine does not own, e.g. the
+    # external driver's; runtime-settable, measured r13).
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+    )
     # NOTE: leave spark.sql.adaptive.coalescePartitions.parallelismFirst at
     # its default (true). With false, AQE coalesces toward the 64 MB
     # advisory size, which at bench scale collapses post-shuffle stages to
@@ -116,6 +123,28 @@ def _ts_as_timestamp(df: DataFrame) -> Column:
     if kind == "long":
         return F.timestamp_micros(F.expr("ts div 1000"))
     return F.col("ts").cast("timestamp")
+
+
+def fan_out(df: DataFrame, key: str = "id") -> DataFrame:
+    """One narrow exchange when the source plans fewer partitions than
+    the session's parallelism — the single-row-group testdata case,
+    where the scan stage (and everything codegen pipelines into it:
+    n-gram explode, per-gram hashing, partial aggregation) would
+    otherwise run on ONE core while 31 idle. No-op on an already-
+    parallel scan (the 100 TB case, where an extra shuffle of the text
+    relation before the aggregate's own exchange would be pure waste) —
+    scan parallelism derives from the input layout, not from a constant
+    tuned for either scale (guide §2.5/§6). Only worth applying above
+    compute-heavy per-row pipelines; for decode-bound scans the
+    exchange costs more than it frees (measured: q1 regressed)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 2 * n >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, key)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

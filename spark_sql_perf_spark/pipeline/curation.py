@@ -135,6 +135,12 @@ def c1_decontaminate_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision.
     """
     docs = table(spark, sf_dir, "documents")
+    # NOTE (r13): the three consumers (sizes, eval grams, hit join)
+    # re-derive this pipeline from the scan, but AQE materializes their
+    # exchange subtrees as CONCURRENT query stages, so the wall cost is
+    # ~one pipeline; an explicit localCheckpoint (and/or a fan-out
+    # exchange) measured NEUTRAL-to-worse interleaved (1.16 s old vs
+    # 1.22/1.23 s) because it serializes what AQE overlaps. Left as-is.
     grams = (
         docs.select("doc_id", _words().alias("ws"))
         .where(F.size("ws") >= _C1_N)

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import memo
+from ..catalog import fan_out as _fan_out
 from ..catalog import table
 from ..functions.text import md5_hash32, md5_hash32_sql
 from ..operators.registry import query
@@ -1127,24 +1128,6 @@ def _minhash_ctes_sql(src: str, p: str) -> str:
           for bi, (a, b) in enumerate(_BANDS))})"""
 
 
-def _fan_out(df: DataFrame, key: str = "id") -> DataFrame:
-    """One narrow exchange when the source plans fewer partitions than
-    the session's parallelism — the single-row-group testdata case,
-    where the scan stage (and everything codegen pipelines into it:
-    shingle explode, per-shingle md5, the distinct's partial agg) would
-    otherwise run on ONE core while 31 idle. No-op on an already-
-    parallel scan (the 100 TB case, where an extra shuffle of the text
-    relation before the distinct's own exchange would be pure waste) —
-    i.e. scan parallelism is derived from the input layout, not from a
-    constant tuned for either scale (guide §2.5/§6)."""
-    sc = df.sparkSession.sparkContext
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    if 2 * n >= sc.defaultParallelism:
-        return df
-    return df.repartition(sc.defaultParallelism, key)
 
 
 def _minhash_hashed(corpus: DataFrame) -> DataFrame:

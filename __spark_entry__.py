@@ -66,6 +66,20 @@ _IMPL_CHANGED: dict[str, int] = {
     # r13: e6 now runs c16's planted corpus over a 1-in-4 slice (cost
     # trim, r12 VERDICT task 4) — query AND oracle changed together.
     "e6_streaming_quality_cut": 13,
+    # r13 optimization round: queries whose Spark-side computation was
+    # restructured for speed (results proven identical vs the unchanged
+    # oracles at sf0.001/0.01/0.1 in-session, but the driver should
+    # re-verify them first). d10/d11: materialized minhash index
+    # relations + concurrent build; q1/q3/q5/flagship: integer-cents
+    # money aggregates.
+    "d10_incremental_lsh_probe": 13,
+    "d11_grown_index_probe": 13,
+    "q1_pricing_summary": 13,
+    "q3_shipping_priority": 13,
+    "q5_local_supplier_volume": 13,
+    "flagship_star_agg": 13,
+    # g6: per-iteration localCheckpoint + scalar teleport terms.
+    "g6_pagerank": 13,
 }
 
 

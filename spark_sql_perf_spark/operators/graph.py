@@ -820,36 +820,40 @@ def pagerank_df(edges: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
     At larger iteration counts, localCheckpoint the rank frame per
     iteration (as d6 does) to keep lineage flat.
     """
+    # nodes and the degree-joined edge relation are consumed by EVERY
+    # iteration; materialized once (r13) so the unrolled plan stops
+    # re-deriving them per iteration and lineage stays flat — the d6
+    # pattern this docstring always prescribed for higher iteration
+    # counts. n_nodes is a positive scalar, so the teleport terms are
+    # computed once in Python ints (// == SQL div on non-negatives) —
+    # bit-identical to the previous per-row `div n_nodes` expressions.
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
-    counts = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_nodes = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = edges.join(deg, "src")
-    r = (
-        nodes.crossJoin(F.broadcast(counts))
-        .select("node", F.expr(f"{_PR_SCALE} div n_nodes").alias("r"))
-    )
-    for _ in range(n_iters):
+    ed = edges.join(deg, "src").localCheckpoint()
+    teleport = ((_PR_SCALE * 3) // 20) // n_nodes
+    r = nodes.select("node", F.lit(_PR_SCALE // n_nodes).alias("r"))
+    for k in range(n_iters):
         contrib = (
             ed.join(r, F.col("src") == F.col("node"))
             .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        r = (
-            nodes.crossJoin(F.broadcast(counts))
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.expr(f"(({_PR_SCALE} * 3) div 20) div n_nodes")
-                    + F.expr("(17 * coalesce(contrib, cast(0 as bigint))) div 20")
-                ).alias("r"),
-            )
+        r = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr("(17 * coalesce(contrib, cast(0 as bigint))) div 20")
+            ).alias("r"),
         )
+        if k < n_iters - 1:
+            r = r.localCheckpoint()
     return r.select("node", F.col("r").alias("rank_fp"))
 
 

@@ -80,6 +80,8 @@ _IMPL_CHANGED: dict[str, int] = {
     "flagship_star_agg": 13,
     # g6: per-iteration localCheckpoint + scalar teleport terms.
     "g6_pagerank": 13,
+    # sim5: the codebook distance projection materialized once per call.
+    "sim5_pq_adc_ann": 13,
 }
 
 

@@ -440,6 +440,24 @@ NOTES = [
     " always; the session-wide resolution memo necessarily remains in"
     " the remaining calibration ratios (it IS part of each query's"
     " measured construction cost).",
+    "r14: d2_dedup_minhash_lsh's cross-call hashed/sigs memo (the r13"
+    " VERDICT's gaming-adjacent finding) is REMOVED — every timed sample"
+    " now recomputes the shingle->minhash pipeline from parquet and"
+    " materializes hashed/sigs per invocation (localCheckpoint, the"
+    " d10/d11 pattern). r14+ d2 readings are honest per-invocation"
+    " numbers; the one-time raw uptick vs r12/r13 (whose min-of-N served"
+    " later samples from executor memory) is the memo's removal, not a"
+    " plan regression.",
+    "scaling probe basis (r14): the session conf now provably tracks"
+    " $SPARK_GRAFT_CPUS — build_session sets master=local[$CPUS] and"
+    " shuffle.partitions=$CPUS, and tune_session's floor derives from"
+    " sc.defaultParallelism instead of a literal 32 (the r13 pin that"
+    " made the 8-core probe plan 32-way shuffles). The core line's"
+    " 'conf' block carries the effective master and shuffle partitions."
+    " NOTE the achievable 8-vs-32-core ratio at sf0.1 stays near 1"
+    " regardless: every sf0.1 table is a single parquet file with ONE"
+    " row group, so scan stages are 1 task at any core count and the"
+    " residue is driver-bound constants.",
     "q1_pricing_summary is the most scan-bandwidth-bound headline query"
     " and its min-of-N wobbles hardest when the page cache is cold"
     " relative to the join-shaped calibration peers (r9: +17% normalized"
@@ -750,6 +768,15 @@ def main() -> None:
         "thermo": payload["thermo"],
         "sf": payload["sf"],
         "detail": os.path.basename(detail_path),
+        # Effective session basis for the scaling probe (r14, VERDICT
+        # item 2): proves the conf tracked $SPARK_GRAFT_CPUS so a
+        # near-1 low-core ratio reads as the single-row-group input
+        # bound it is, not as the env being ignored.
+        "conf": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+        },
     }
     if normalized is not None:
         core["median_shift"] = normalized["median_shift"]

@@ -48,7 +48,16 @@ def tune_session(spark: SparkSession) -> None:
     except Exception:
         pass
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Partition floor derives from the session's ACTUAL parallelism, not
+    # a literal: a hard-coded 32 overrode the env-derived value in
+    # externally-owned sessions and made the driver's $SPARK_GRAFT_CPUS
+    # scaling probe meaningless (r13 VERDICT item 2 — an 8-core run
+    # still planned 32-way shuffles). AQE re-splits big shuffles upward,
+    # so this floor only removes empty-task overhead at any scale.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # Size-gated shuffled-hash preference (see session.DEFAULT_CONF —
     # same setting for sessions this engine does not own, e.g. the
@@ -96,11 +105,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the caller's session (e.g. the external driver's) may not set it.
     # Runtime-settable; affects literal parsing + collection uniformly.
     tune_session(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    # The nanosAsLong conf is per-SESSION while the memo is per-APP: a
+    # second session sharing the SparkContext (newSession/clone) would
+    # hit the memo with the conf never set on it and misread
+    # TIMESTAMP(NANOS) events data at execution time (r13 ADVICE). Set
+    # it unconditionally, before the memo lookup.
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Evict entries from stopped applications (r13 ADVICE): a
+    # long-lived process cycling sessions would otherwise pin dead
+    # DataFrame/py4j references for its lifetime. Single-app processes
+    # keep at most one generation.
+    for stale in [k for k in _TABLE_MEMO if k[0] != app_id]:
+        del _TABLE_MEMO[stale]
+    key = (app_id, sf_dir, name)
     df = _TABLE_MEMO.get(key)
     if df is None:
         if name == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
             df = raw.withColumn("ts", _ts_as_timestamp(raw))
         else:

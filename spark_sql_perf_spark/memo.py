@@ -1,8 +1,10 @@
 """Registry of cached-DataFrame evictors for module-level memos.
 
-A few operators memoize persisted DataFrames across invocations
-(``pipeline.dedup._D2_MEMO``, ``operators.windows2._RANK_CACHED``) so a
-bench min-of-N loop reuses Spark's CacheManager instead of recomputing.
+A few operators register cached DataFrames here
+(``operators.windows2._RANK_CACHED``, ``operators.graph._EDGE_MEMO``,
+``pipeline.curation._PACK_CACHED``) — per-invocation correctness caches
+for the two-pass rank/cumsum helpers, plus the graph queries' shared
+input edge relation.
 Each memo module registers an evictor here at import time; the
 ``ExperimentRunner`` calls :func:`evict_all` in its per-iteration
 cleanup and teardown so a suite run that *ends* on a memoized query

@@ -147,29 +147,6 @@ _SHINGLES_SQL = """
 """
 
 
-# (sf_dir -> cached (hashed, sigs)): repeated invocations on the SAME
-# input reuse the cached frames (a bench min-of-N loop, oracle sweeps);
-# switching inputs evicts the stale entry, so executor storage stays
-# bounded to one corpus. Reusing the DataFrame objects also lets Spark's
-# CacheManager serve the second run from memory instead of recomputing
-# the shingle->minhash pipeline. A run that ENDS on d2 is drained by the
-# evictor below, which ExperimentRunner calls in its teardown.
-_D2_MEMO: dict[str, tuple[DataFrame, DataFrame]] = {}
-
-
-def _evict_d2_memo() -> None:
-    while _D2_MEMO:
-        _, frames = _D2_MEMO.popitem()
-        for df in frames:
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                pass
-
-
-memo.register_evictor(_evict_d2_memo)
-
-
 # d2's full CTE chain through the verified near-dup `pairs` relation —
 # shared by d2's oracle and d6's connected-components oracle
 _D2_PAIR_CTES = f"""{_CORPUS_SQL},
@@ -227,40 +204,40 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product never materializes, which is the property that lets
     MinHash dedup run at 100 TB (candidates ~ near-dups, not |docs|^2).
     """
-    for stale in [k for k in _D2_MEMO if k != sf_dir]:
-        for df in _D2_MEMO.pop(stale):
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                pass
-    if sf_dir in _D2_MEMO:
-        hashed, sigs = _D2_MEMO[sf_dir]
-    else:
-        corpus = _corpus(spark, sf_dir, suffix="planted near duplicate suffix")
-        # Hash shingles to ints BEFORE the distinct: the dedup shuffle and
-        # every downstream join moves 8-byte longs, never shingle strings.
-        # One md5 per shingle; the other 5 minhash functions are linear
-        # permutations of it.
-        hashed = (
-            _shingles_df(corpus)
-            .select("doc_id", (md5_hash32("sh", "mh") % _P).alias("h"))
-            .distinct()
-            .cache()
-        )
-        perms = hashed.select(
-            "doc_id",
-            *[
-                ((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"h{j}")
-                for j, (a, b) in enumerate(_PERM)
-            ],
-        )
-        # sigs is tiny (one row per doc) and feeds three consumers (bands
-        # x2 via the self-join, sizes) — cache it; bands is a cheap explode
-        sigs = perms.groupBy("doc_id").agg(
-            *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_HASHES)],
-            F.count(F.lit(1)).alias("n_sh"),
-        ).cache()
-        _D2_MEMO[sf_dir] = (hashed, sigs)
+    corpus = _corpus(spark, sf_dir, suffix="planted near duplicate suffix")
+    # Hash shingles to ints BEFORE the distinct: the dedup shuffle and
+    # every downstream join moves 8-byte longs, never shingle strings.
+    # One md5 per shingle; the other 5 minhash functions are linear
+    # permutations of it. The shingle explode + md5 is a compute-heavy
+    # per-row pipeline fused into the scan, so fan the single-row-group
+    # scan out first (fan_out is a no-op on an already-parallel scan).
+    #
+    # hashed feeds three consumers (perms->sigs plus both sides of the
+    # exact-jaccard verify join) and sigs two (bands' explode self-join,
+    # sizes) — MATERIALIZE both per invocation (localCheckpoint,
+    # recomputed from the parquet scan on every call; the d10/d11
+    # pattern) so Catalyst reads the computed relation per consumer
+    # instead of re-deriving the shingle pipeline (guide §1.2/§3.3).
+    # Nothing is reused across invocations: a bench min-of-N loop or an
+    # oracle sweep pays the full shingle->minhash recomputation each
+    # sample (the r13 verdict retired the former cross-call memo here).
+    hashed = (
+        _shingles_df(_fan_out(corpus, key="doc_id"))
+        .select("doc_id", (md5_hash32("sh", "mh") % _P).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    perms = hashed.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"h{j}")
+            for j, (a, b) in enumerate(_PERM)
+        ],
+    )
+    sigs = perms.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(_N_HASHES)],
+        F.count(F.lit(1)).alias("n_sh"),
+    ).localCheckpoint()
     # one row per (doc, band) via explode — a union would recompute the
     # signature aggregation once per band.
     band_structs = F.array(

@@ -66,9 +66,10 @@ def test_runner_cpu_profile(spark, tmp_path):
 
 
 def test_runner_evicts_module_memos(spark, tmp_path):
-    """A run that ENDS on the memoized queries (d2 minhash, w8's two-pass
-    rank) must not leave cached frames pinned: the runner's teardown
-    drains the module memos and the session cache."""
+    """A run that ENDS on memoized/cached queries (w8's two-pass rank;
+    d2 holds no cross-call state since r14 but its checkpoints must not
+    pin the cache manager) must not leave cached frames pinned: the
+    runner's teardown drains the module memos and the session cache."""
     from spark_sql_perf_spark.operators import windows2
     from spark_sql_perf_spark.pipeline import dedup
     from spark_sql_perf_spark.runner import ExperimentRunner
@@ -81,7 +82,13 @@ def test_runner_evicts_module_memos(spark, tmp_path):
     )
     for res in runs[0].results:
         assert res.failure is None, res.failure
-    assert dedup._D2_MEMO == {}
+    # d2's cross-call memo was removed in r14 (r13 VERDICT task 1): the
+    # module must not grow back any testdata-keyed DataFrame memo.
+    assert not any(
+        isinstance(v, dict) and "MEMO" in k
+        for k, v in vars(dedup).items()
+        if k.startswith("_D2")
+    )
     assert windows2._RANK_CACHED == []
     # nothing left in the Spark-side cache manager either
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -60,28 +60,40 @@ def _correctness_files() -> list[str]:
 # be garbage-collected at leisure (it no longer needs hand-clearing each
 # round; a stale green row simply never vouches for newer code).
 _IMPL_CHANGED: dict[str, int] = {
-    # r11 entries GC'd (d9/c14/c15 all re-verified green in
-    # CORRECTNESS_r11.json, so those entries were inert — same
-    # hygiene as the r10 GC).
-    # r13: e6 now runs c16's planted corpus over a 1-in-4 slice (cost
-    # trim, r12 VERDICT task 4) — query AND oracle changed together.
-    "e6_streaming_quality_cut": 13,
-    # r13 optimization round: queries whose Spark-side computation was
+    # r13 entries GC'd (e6/d10/d11/q1/q3/q5/flagship/g6/sim5 all
+    # re-verified hash-exact in CORRECTNESS_r13.json, so those entries
+    # were inert — same hygiene as the r10/r11 GCs).
+    # r14 optimization round: queries whose Spark-side computation was
     # restructured for speed (results proven identical vs the unchanged
-    # oracles at sf0.001/0.01/0.1 in-session, but the driver should
-    # re-verify them first). d10/d11: materialized minhash index
-    # relations + concurrent build; q1/q3/q5/flagship: integer-cents
-    # money aggregates.
-    "d10_incremental_lsh_probe": 13,
-    "d11_grown_index_probe": 13,
-    "q1_pricing_summary": 13,
-    "q3_shipping_priority": 13,
-    "q5_local_supplier_volume": 13,
-    "flagship_star_agg": 13,
-    # g6: per-iteration localCheckpoint + scalar teleport terms.
-    "g6_pagerank": 13,
-    # sim5: the codebook distance projection materialized once per call.
-    "sim5_pq_adc_ann": 13,
+    # oracles at sf0.001/0.01 in-session, but the driver should
+    # re-verify them first). d2: the cross-call hashed/sigs cache is
+    # gone — both relations now materialize per invocation
+    # (localCheckpoint) with the scan fanned out before the shingle
+    # explode; d6/c15 consume d2's frames in-plan and change with it.
+    "d2_dedup_minhash_lsh": 14,
+    "d6_dedup_components": 14,
+    "c7_fuzzy_decontaminate": 14,
+    "c15_leakage_safe_split": 14,
+    # r14: w2/e3 fan the single-row-group scan out BY THE WINDOW KEY
+    # (one pinned exchange replaces the AQE-coalesced serial sort); g4's
+    # diagonal join is hinted shuffled-hash (drops both wedge sorts).
+    "w2_running_total": 14,
+    "e3_session_window": 14,
+    "g4_square_count": 14,
+    # r14: the IVF family — _ivf_search derives the query-side cell
+    # ranking from the pre-filtered query vectors (the corpus-wide
+    # ranking subtree is consumed once), sql_lloyd_centroids returns its
+    # k trained rows materialized, kmeans' training input materializes
+    # before the 10-iteration fit; sim5's codebook projection and the
+    # LSH plane literals are built as parsed SQL fragments (construction
+    # cost only — bit-identical trees); sim8's sidecar write is a JVM
+    # literal row. All proven hash-exact at sf0.001/0.01 in-session.
+    "sim3_ivf_ann": 14,
+    "sim4_ivf_kmeans_ann": 14,
+    "sim4_recall_vs_exact": 14,
+    "ml1_kmeans_cluster_sizes": 14,
+    "sim5_pq_adc_ann": 14,
+    "sim8_ann_serve_at_rest": 14,
 }
 
 

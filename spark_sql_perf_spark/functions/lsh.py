@@ -173,13 +173,22 @@ _PLANE_UNROLL_MAX_DIM = 32
 
 
 def _plane_sign_spark_lit(bit: int, dim: int, unroll: bool = False) -> F.Column:
+    # Plane literals are assembled as ONE parsed SQL fragment instead of
+    # dim separate F.lit() Column objects: each lit/multiply/add is a
+    # py4j round trip, and a 16-plane x dim-64 signature paid ~0.5 s of
+    # pure driver construction per call site (r14 profile; the expr
+    # string parses in ~10 ms). repr(float) round-trips exactly and
+    # Spark's double-literal parse is correctly rounded, so the parsed
+    # Literal carries the identical IEEE bits and the projection tree
+    # (GetArrayItem * Literal, left-associated sum / zip_with fold) is
+    # unchanged — bit-identical signatures (tests/test_lsh.py).
+    vals = [_plane_value(bit, i) for i in range(1, dim + 1)]
     if unroll and dim <= _PLANE_UNROLL_MAX_DIM:
-        proj = sum(
-            F.col("v")[i - 1] * F.lit(_plane_value(bit, i))
-            for i in range(1, dim + 1)
+        proj = F.expr(
+            " + ".join(f"(v[{i}] * {v!r}D)" for i, v in enumerate(vals))
         )
     else:
-        plane = F.array(*[F.lit(_plane_value(bit, i)) for i in range(1, dim + 1)])
+        plane = F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
         proj = F.aggregate(
             F.zip_with(F.col("v"), plane, lambda a, b: a * b),
             F.lit(0.0),

@@ -506,8 +506,18 @@ def _square_count_diagonal(g: DataFrame) -> DataFrame:
         .join(g.select(F.col("src").alias("v"), F.col("dst").alias("s")), "v")
         .where(F.col("s") < F.col("v"))
     )
+    # The diagonal join's sides are equal-sized, so the planner keeps
+    # sort-merge under preferSortMergeJoin=false (SHJ's muchSmaller
+    # condition cannot hold — r13 receipt). Forcing shuffled-hash drops
+    # both wedge sorts: measured 5/5 pairwise interleaved wins at sf0.1
+    # (min 1.363 vs 1.508, medians 1.58 vs 1.84), identical count.
+    # Scale-safe because this path only executes under the broadcast
+    # ceiling (square_count_df's strategy gate), which bounds the wedge
+    # relations the hash build partitions; AQE skew-join splitting
+    # applies to SHJ as well. The CN path (the at-scale strategy) is
+    # untouched.
     return (
-        fwdw.join(bwdw, ["s", "u"])
+        fwdw.join(bwdw.hint("shuffle_hash"), ["s", "u"])
         .where(F.col("t") < F.col("v"))
         .agg(F.count(F.lit(1)).alias("n_squares"))
     )

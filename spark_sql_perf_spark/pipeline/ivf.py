@@ -110,17 +110,25 @@ def _ivf_search(
     nearest cells (candidates always live in exactly one cell, so
     multi-probe trades scanned-candidate count for recall — the standard
     IVF knob; well-balanced trained centroids need nprobe > 1)."""
-    ranked_cells = _ranked_cells(vecs, cents)
-    assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "v", "cid")
-
+    # The q side ranks only the query vectors: the window partitions by
+    # vec_id, so ranking a pre-filtered vecs frame yields the identical
+    # per-query cell ranking while the corpus-wide crossJoin+window (the
+    # expensive subtree) is consumed exactly ONCE, by the candidate
+    # side — previously both sides re-derived it (r14; guide §1.2).
+    # No materialization needed: at scale the ranked relation is
+    # O(corpus x k) and must never be checkpointed.
     q = (
-        ranked_cells.where(
-            (F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)
-        )
+        _ranked_cells(vecs.where(F.col("vec_id") < n_queries), cents)
+        .where(F.col("rn") <= nprobe)
         .select("vec_id", "v", "cid")
         .alias("q")
     )
-    cand = assigned.where(F.col("vec_id") >= n_queries).alias("n")
+    cand = (
+        _ranked_cells(vecs, cents)
+        .where((F.col("rn") == 1) & (F.col("vec_id") >= n_queries))
+        .select("vec_id", "v", "cid")
+        .alias("n")
+    )
 
     cos = _dot("q.v", "n.v") / (F.sqrt(_dot("q.v", "q.v")) * F.sqrt(_dot("n.v", "n.v")))
     scored = (
@@ -229,7 +237,14 @@ def kmeans_centroids(
     from pyspark.ml.functions import array_to_vector
 
     vecs = _normalized(_vecs(spark, sf_dir))
-    train = vecs.select(array_to_vector(F.col("v")).alias("features"))
+    # Materialize the training frame per invocation: KMeans.fit makes
+    # one pass per Lloyd iteration, and an unmaterialized plan re-runs
+    # the scan + normalization + vector conversion on every one of the
+    # 10 iterations (guide §4.5/§5 — heavyweight input computed once).
+    # Identical rows in, identical fixed-seed fit out.
+    train = vecs.select(
+        array_to_vector(F.col("v")).alias("features")
+    ).localCheckpoint()
     model = KMeans(k=k, seed=seed, maxIter=10).fit(train)
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
@@ -298,7 +313,14 @@ def sql_lloyd_centroids(
         cents = gathered.select(
             "cid", F.transform(F.col("cv"), lambda x: F.round(x / norm, 6)).alias("cv")
         )
-    return cents
+    # Materialize the trained centroids per invocation (k rows — O(k)
+    # executor storage at any corpus scale): consumers broadcast cents
+    # into per-vector crossJoins, and without materialization each
+    # consumer re-executes the whole unrolled Lloyd chain, whose deep
+    # nested plan also codegen-compiles as one unit (r14; the g6
+    # per-iteration-checkpoint precedent). Values are the exact computed
+    # rows, so results are bit-identical.
+    return cents.localCheckpoint()
 
 
 def _dd_dist(vcol: str, ccol: str) -> str:

@@ -86,15 +86,23 @@ def _dm_col(m: int, cb_m: list[tuple[float, float]]) -> F.Column:
     the plan tree 16× bigger (512 expressions corpus-wide → a ~3 MiB
     codegen'd task binary and ~15 s of compile overhead at sf0.01);
     the transform form keeps the arithmetic — and its left-to-right
-    order, matching the expanded SQL — inside one lambda."""
-    pairs = F.array(
-        *[F.struct(F.lit(c0).alias("a"), F.lit(c1).alias("b")) for c0, c1 in cb_m]
+    order, matching the expanded SQL — inside one lambda.
+
+    The whole column is assembled as ONE parsed SQL fragment: the
+    former Column-API form (16 structs × 2 lits + a Python lambda per
+    sub-space) cost ~6.9 s of pure py4j construction for the 32-column
+    projection at any scale (r14 phase profile); one expr string per
+    column parses in ~10 ms total. repr(float) of the 3-decimal
+    codebook components round-trips exactly, so the parsed literals,
+    the expression tree, and therefore the results are bit-identical."""
+    pairs = ",".join(
+        f"named_struct('a',{c0!r}D,'b',{c1!r}D)" for c0, c1 in cb_m
     )
-    v1 = F.element_at("v", m * D_SUB + 1)
-    v2 = F.element_at("v", m * D_SUB + 2)
-    return F.transform(
-        pairs,
-        lambda x: F.round((v1 - x.a) * (v1 - x.a) + (v2 - x.b) * (v2 - x.b), 6),
+    v1 = f"element_at(v, {m * D_SUB + 1})"
+    v2 = f"element_at(v, {m * D_SUB + 2})"
+    return F.expr(
+        f"transform(array({pairs}), x -> round(({v1} - x.a) * ({v1} - x.a)"
+        f" + ({v2} - x.b) * ({v2} - x.b), 6))"
     ).alias(f"dm{m}")
 
 

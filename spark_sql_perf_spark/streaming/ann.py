@@ -222,11 +222,22 @@ def write_lsh_partitioned(
         .write.mode("overwrite").partitionBy("sig_part").parquet(path)
     )
     spark = vecs.sparkSession
-    spark.createDataFrame(
-        [(params.nbits, params.split_bits, params.cap, params.levels,
-          nparts, dim)],
-        "nbits int, split_bits int, cap int, levels int, nparts int, dim int",
-    ).coalesce(1).write.mode("overwrite").parquet(_params_path(path))
+    # One-row sidecar built JVM-side (range(1) + literals): a pickled
+    # local relation (createDataFrame) coalesced to one task measured
+    # ~5 s of pure py4j/Python-worker overhead for this single row
+    # (r14 phase profile); the literal projection writes in ~0.2 s and
+    # reads back identically.
+    sidecar_cols = [
+        F.lit(params.nbits).cast("int").alias("nbits"),
+        F.lit(params.split_bits).cast("int").alias("split_bits"),
+        F.lit(params.cap).cast("int").alias("cap"),
+        F.lit(params.levels).cast("int").alias("levels"),
+        F.lit(nparts).cast("int").alias("nparts"),
+        F.lit(dim).cast("int").alias("dim"),
+    ]
+    spark.range(0, 1, 1, 1).select(*sidecar_cols).write.mode("overwrite").parquet(
+        _params_path(path)
+    )
     return params
 
 

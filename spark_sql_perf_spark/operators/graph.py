@@ -844,6 +844,12 @@ def pagerank_df(edges: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # Empty edge frame: the pre-r13 in-plan form returned an empty
+        # result here, while Python integer division on the driver-side
+        # scalar would raise ZeroDivisionError (r13 ADVICE). Preserve
+        # the original contract.
+        return nodes.select("node", F.lit(0).cast("bigint").alias("rank_fp"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = edges.join(deg, "src").localCheckpoint()
     teleport = ((_PR_SCALE * 3) // 20) // n_nodes

@@ -1378,10 +1378,14 @@ def probe_with_index(
     candidate frame (with exclude_self already applied) and the batch's
     minhash frames, so candidates execute once, the id_part pruning
     list can be collected from them, and the plan below reuses rather
-    than recomputes them. Defaults recompute both in-plan — the batch
-    queries' (d10/d11) unchanged shape."""
+    than recomputes them. The bframes DEFAULT is the LAZY in-plan form
+    (r13 ADVICE): a materialized default would call fan_out's df.rdd —
+    which throws on a streaming DataFrame — and pin one localCheckpoint
+    per call in looping callers that never release them (the
+    tools/scale_probe grow loops). Callers that want the materialized
+    batch side (d10/d11, the at-rest probe) pass bframes explicitly."""
     bhashed, bsigs, bbands = (
-        bframes if bframes is not None else _minhash_frames_materialized(batch)
+        bframes if bframes is not None else _minhash_frames(batch)
     )
     if cand is None:
         cand = probe_candidates(ibands, bbands, exclude_self)
